@@ -1,0 +1,145 @@
+package graft
+
+import graft.format.QTable
+import graft.jobs._
+import graft.synth.DataGen
+import graft.verify.ScanEquivalence
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entrypoint: one subcommand per maintenance job (mirrors
+  * the reference's flow-per-pipeline deployment layout, `prefect.yaml`
+  * deployments — each job independently schedulable).
+  *
+  * Usage:
+  *   spark-submit --class graft.Main <jar> synth   --table T --rows N [--buckets B] [--files-per-bucket F] [--seed S]
+  *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J]
+  *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J]
+  *   spark-submit --class graft.Main <jar> merge   --table T --rows N [--inserts K] [--job-id J]
+  *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
+  *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
+  *   spark-submit --class graft.Main <jar> verify  --table T [--against V]
+  *   spark-submit --class graft.Main <jar> describe --table T
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val cmd = args.head
+    val opts = parseOpts(args.tail)
+    val spark = SparkSession.builder()
+      .appName(s"graft-$cmd")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def table = QTable(req(opts, "table"), spark)
+    def targetBytes = opts.get("target-mb").map(_.toLong << 20).getOrElse(128L << 20)
+    def jobId = opts.getOrElse("job-id", java.util.UUID.randomUUID().toString)
+
+    try cmd match {
+      case "synth" =>
+        val rows = req(opts, "rows").toLong
+        val buckets = opts.getOrElse("buckets", "8").toInt
+        val fpb = opts.getOrElse("files-per-bucket", "8").toInt
+        val seed = opts.getOrElse("seed", "42").toLong
+        val root = req(opts, "table")
+        val t = if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "metadata", "version-hint.text")))
+          QTable(root, spark)
+        else QTable.create(root, spark, buckets)
+        val snap = AppendJob.append(t, DataGen.generate(spark, rows, seed).toDF(), fpb)
+        report("synth", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "compact" =>
+        val snap = new CompactJob(table, targetBytes, jobId = jobId).run()
+        report("compact", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "cluster" =>
+        val snap = new ClusterJob(table, targetBytes,
+          hilbert = opts.contains("hilbert"), jobId = jobId).run()
+        report("cluster", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "merge" =>
+        val rows = req(opts, "rows").toLong
+        val inserts = opts.getOrElse("inserts", "5").toInt
+        val corr = DataGen.correctionsDF(spark, rows,
+          opts.getOrElse("seed", "42").toLong, inserts)
+        val snap = new MergeJob(table, jobId).run(corr)
+        report("merge", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "expire" =>
+        val res = new ExpireSnapshotsJob(table).run(opts.getOrElse("keep", "2").toInt)
+        report("expire", Map(
+          "expired-versions" -> res.expiredVersions.mkString(","),
+          "deleted-data-files" -> res.deletedDataFiles.toString,
+          "deleted-manifests" -> res.deletedManifests.toString))
+
+      case "rewrite-manifests" =>
+        val snap = new RewriteManifestsJob(table).run(
+          opts.getOrElse("entries-per-manifest", "512").toInt)
+        report("rewrite-manifests",
+          snap.summary ++ Map("version" -> snap.version.toString,
+            "manifests-after" -> snap.manifests.size.toString))
+
+      case "verify" =>
+        val t = table
+        val cur = t.currentSnapshot
+        val against = opts.get("against").map(_.toLong)
+          .getOrElse(cur.parentVersion)
+        require(against >= 0, "no parent snapshot to verify against; pass --against V")
+        val pre = t.read(t.snapshotAt(against))
+        val (ok, bad) = ScanEquivalence.check(pre, t.read(cur))
+        report("verify", Map(
+          "against-version" -> against.toString,
+          "current-version" -> cur.version.toString,
+          "scan-equivalent" -> ok.toString,
+          "violations" -> bad.toString))
+        if (!ok) sys.exit(1)
+
+      case "describe" =>
+        val t = table
+        val s = t.currentSnapshot
+        val es = t.entries(s)
+        report("describe", s.summary ++ Map(
+          "version" -> s.version.toString,
+          "operation" -> s.operation,
+          "manifests" -> s.manifests.size.toString,
+          "files" -> es.size.toString,
+          "avg-file-bytes" ->
+            (if (es.isEmpty) "0" else (es.map(_.byteCount).sum / es.size).toString),
+          "versions" -> t.listVersions.mkString(",")))
+
+      case other =>
+        System.err.println(s"unknown command: $other\n$usage"); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private def report(cmd: String, kv: Map[String, String]): Unit = {
+    val body = kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    println(s"""{"job":"$cmd",$body}""")
+  }
+
+  private def parseOpts(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --option, got $a")
+      val k = a.stripPrefix("--")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m(k) = args(i + 1); i += 2
+      } else { m(k) = "true"; i += 1 }
+    }
+    m.toMap
+  }
+
+  private def req(opts: Map[String, String], k: String): String =
+    opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
+
+  private val usage =
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rewrite-manifests|verify|describe> --table PATH [options]"""
+}

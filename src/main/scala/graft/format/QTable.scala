@@ -1,0 +1,174 @@
+package graft.format
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** "qtable" — the from-scratch Iceberg-style table format.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<jobId>/part-*.parquet        immutable data files
+  *   <root>/metadata/v<N>.json                 snapshot (incl. manifest list)
+  *   <root>/metadata/manifest-<uuid>.json      data-file manifests
+  *   <root>/metadata/version-hint.text         current version pointer
+  *   <root>/metadata/checkpoints/<jobId>/<group>.json  per-group lineage
+  * }}}
+  *
+  * Commit protocol (snapshot isolation, upgraded from the reference's
+  * last-writer-wins deterministic-path overwrite, SURVEY §2.2 K5):
+  *  1. write all data files (immutable, job-scoped directory);
+  *  2. write manifests;
+  *  3. claim `v<N+1>.json` with CREATE_NEW — losing a race throws
+  *     [[CommitConflictException]] (optimistic concurrency);
+  *  4. flip `version-hint.text` via atomic rename.
+  * A reader that resolved a Snapshot keeps a consistent view: its file
+  * set is immutable until ExpireSnapshotsJob garbage-collects it.
+  */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+class QTable(val root: String, val spark: SparkSession) extends Serializable {
+
+  def metadataDir: Path = Paths.get(root, "metadata")
+  def dataDir: Path = Paths.get(root, "data")
+  private def hintFile: Path = metadataDir.resolve("version-hint.text")
+  private def versionFile(v: Long): Path = metadataDir.resolve(s"v$v.json")
+
+  def currentVersion: Long = {
+    if (!Files.exists(hintFile)) -1L
+    else new String(Files.readAllBytes(hintFile)).trim.toLong
+  }
+
+  def snapshotAt(v: Long): Snapshot = Json.read(versionFile(v), classOf[Snapshot])
+
+  def currentSnapshot: Snapshot = {
+    val v = currentVersion
+    require(v >= 0, s"table $root has no committed snapshot")
+    snapshotAt(v)
+  }
+
+  def currentSnapshotOpt: Option[Snapshot] =
+    if (currentVersion >= 0) Some(currentSnapshot) else None
+
+  def listVersions: Seq[Long] =
+    Files.list(metadataDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+
+  def readManifest(meta: ManifestMeta): ManifestData =
+    Json.read(metadataDir.resolve(meta.path), classOf[ManifestData])
+
+  def entries(s: Snapshot): Seq[DataFileEntry] =
+    s.manifests.flatMap(m => readManifest(m).files)
+
+  /** Manifest- then file-level pruning by phash range and/or bucket —
+    * the scan-planning analogue of predicate pushdown (SURVEY §2.1 S2). */
+  def planFiles(s: Snapshot,
+      phashRange: Option[(Long, Long)] = None,
+      bucket: Option[Int] = None): Seq[DataFileEntry] = {
+    def overlapL(lo: Long, hi: Long, mn: Long, mx: Long) = mx >= lo && mn <= hi
+    val manifests = s.manifests.filter { m =>
+      phashRange.forall { case (lo, hi) => overlapL(lo, hi, m.phashMin, m.phashMax) } &&
+      bucket.forall(b => b >= m.pbucketMin && b <= m.pbucketMax)
+    }
+    manifests.flatMap(m => readManifest(m).files).filter { f =>
+      phashRange.forall { case (lo, hi) => overlapL(lo, hi, f.phashMin, f.phashMax) } &&
+      bucket.forall(b => b >= f.pbucketMin && b <= f.pbucketMax)
+    }
+  }
+
+  /** Read a snapshot (or a pruned file subset) with the fixed stored
+    * schema — schema is declared, never inferred, so no footer merge. */
+  def read(s: Snapshot): DataFrame = readFiles(entries(s).map(_.path))
+
+  def read(): DataFrame = read(currentSnapshot)
+
+  def readFiles(paths: Seq[String]): DataFrame = {
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ImageRow.storedSchema)
+    else spark.read.schema(ImageRow.storedSchema).parquet(paths: _*)
+  }
+
+  /** Commit a new snapshot. `files` are chunked into NEW manifests,
+    * sorted by (pbucket, phash) for manifest-level range pruning;
+    * `reuseManifests` are carried by reference (the cheap append path —
+    * an append at 10^12-image scale must not rewrite O(table) metadata).
+    * Rewrite-style jobs pass the full file list and no reuse. */
+  def commit(parent: Option[Snapshot], operation: String,
+      files: Seq[DataFileEntry], extraSummary: Map[String, String] = Map.empty,
+      entriesPerManifest: Int = 512,
+      reuseManifests: Seq[ManifestMeta] = Nil): Snapshot = {
+    val sorted = files.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
+    val newManifests = sorted.grouped(math.max(1, entriesPerManifest)).map { group =>
+      val name = s"manifest-${java.util.UUID.randomUUID()}.json"
+      Json.write(metadataDir.resolve(name), ManifestData(group))
+      ManifestMeta(
+        path = name,
+        fileCount = group.size.toLong,
+        rowCount = group.map(_.rowCount).sum,
+        byteCount = group.map(_.byteCount).sum,
+        pbucketMin = group.map(_.pbucketMin).min,
+        pbucketMax = group.map(_.pbucketMax).max,
+        phashMin = group.map(_.phashMin).min,
+        phashMax = group.map(_.phashMax).max)
+    }.toSeq
+    val manifests = reuseManifests ++ newManifests
+
+    val parentV = parent.map(_.version).getOrElse(-1L)
+    val summary = Map(
+      "total-files" -> manifests.map(_.fileCount).sum.toString,
+      "total-rows" -> manifests.map(_.rowCount).sum.toString,
+      "total-bytes" -> manifests.map(_.byteCount).sum.toString) ++ extraSummary
+    val buckets = parent.map(_.buckets).getOrElse(QTable.DefaultBuckets)
+    commitSnapshot(parentV, operation, manifests, summary, buckets)
+  }
+
+  private[format] def commitSnapshot(parentV: Long, operation: String,
+      manifests: Seq[ManifestMeta], summary: Map[String, String],
+      buckets: Int): Snapshot = {
+    Files.createDirectories(metadataDir)
+    // guard: committing off a stale parent loses the race deterministically
+    val head = currentVersion
+    if (head != parentV)
+      throw new CommitConflictException(
+        s"stale commit: parent v$parentV but table is at v$head")
+    val v = parentV + 1
+    val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
+      System.currentTimeMillis())
+    if (!Json.writeNew(versionFile(v), snap))
+      throw new CommitConflictException(s"concurrent commit already claimed v$v")
+    Json.atomicWriteString(hintFile, v.toString)
+    snap
+  }
+
+  /** Allocate a fresh immutable data directory for a job/group write. */
+  def newDataDir(jobId: String, group: String): String =
+    dataDir.resolve(jobId).resolve(group).toString
+
+  def hadoopConf: org.apache.hadoop.conf.Configuration =
+    spark.sessionState.newHadoopConf()
+
+  /** Stats-harvest every parquet file a job just wrote under `dir`. */
+  def harvest(dir: String): Seq[DataFileEntry] =
+    ParquetStats.entriesFor(ParquetStats.listParquet(dir, hadoopConf), hadoopConf)
+}
+
+object QTable {
+  val DefaultBuckets = 8
+
+  def apply(root: String, spark: SparkSession): QTable = new QTable(root, spark)
+
+  /** Create an empty table (v0 snapshot with no files). */
+  def create(root: String, spark: SparkSession, buckets: Int = DefaultBuckets): QTable = {
+    val t = new QTable(root, spark)
+    Files.createDirectories(t.metadataDir)
+    Files.createDirectories(t.dataDir)
+    t.commitSnapshot(-1L, "create", Nil, Map("buckets" -> buckets.toString), buckets)
+    t
+  }
+}

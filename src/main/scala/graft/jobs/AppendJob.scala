@@ -1,0 +1,38 @@
+package graft.jobs
+
+import graft.format.QTable
+import graft.model.{ImageRow, Snapshot}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Append rows to a qtable as a new snapshot.
+  *
+  * The bucket partition column is `pbucket = pmod(xxhash64(image_id), B)`
+  * — an Iceberg-style hash-bucket transform, derived (never user-set) so
+  * it can always be recomputed from the key. `filesPerBucket` controls
+  * initial file granularity; tests deliberately write MANY small files so
+  * the maintenance jobs have real work (FIXTURES.md §1).
+  */
+object AppendJob {
+
+  def append(table: QTable, rows: DataFrame, filesPerBucket: Int = 1,
+      jobId: String = java.util.UUID.randomUUID().toString): Snapshot = {
+    val snap = table.currentSnapshot
+    val b = snap.buckets
+    val dir = table.newDataDir(jobId, "append")
+    val nFiles = math.max(1, b * filesPerBucket)
+    rows
+      .withColumn("pbucket", pmod(xxhash64(col("image_id")), lit(b.toLong)).cast("int"))
+      .select(ImageRow.storedSchema.fieldNames.map(col): _*)
+      // range-partition on (pbucket, image_id): files align with buckets,
+      // splitting each bucket into ~filesPerBucket files
+      .repartitionByRange(nFiles, col("pbucket"), col("image_id"))
+      .write.parquet(dir)
+    val files = table.harvest(dir)
+    // append-only commit: parent manifests carried by reference, new files
+    // land in fresh manifests — O(append) metadata, not O(table)
+    table.commit(Some(snap), "append", files,
+      Map("job-id" -> jobId, "appended-files" -> files.size.toString),
+      reuseManifests = snap.manifests)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.jobs
+
+import graft.format.QTable
+import graft.model._
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+
+/** Small-file compaction: bin-pack files below the small-file threshold
+  * into ~targetFileBytes outputs, one partition group (pbucket) at a
+  * time, each group checkpointed for idempotent resume.
+  *
+  * Scale notes (the part that must survive 100 TB):
+  *  - planning is pure manifest metadata — no data scan;
+  *  - the rewrite itself is `read(files).coalesce(nOut)` — a SHUFFLE-FREE
+  *    concatenation; compaction never needs a shuffle;
+  *  - untouched (already-large) files are carried into the new snapshot
+  *    by reference, the copy-on-write analogue of the reference skipping
+  *    re-compression of already-gzipped blobs
+  *    (`google_cloud_storage_client.py:150-154`).
+  */
+class CompactJob(
+    table: QTable,
+    targetFileBytes: Long = 8L << 20,
+    smallFileFraction: Double = 0.75,
+    jobId: String = java.util.UUID.randomUUID().toString) {
+
+  private val threshold = (targetFileBytes * smallFileFraction).toLong
+
+  final case class Plan(group: String, inputs: Seq[DataFileEntry]) {
+    def bytes: Long = inputs.map(_.byteCount).sum
+  }
+
+  /** Groups of small files keyed by partition bucket; only groups with
+    * >= 2 small files have compaction work. */
+  def plan(snap: Snapshot): Seq[Plan] = {
+    val small = table.entries(snap).filter(_.byteCount < threshold)
+    small.groupBy(_.pbucketMin).toSeq
+      .filter(_._2.size >= 2)
+      .map { case (b, fs) => Plan(s"b$b", fs.sortBy(_.path)) }
+      .sortBy(_.group)
+  }
+
+  /** Run compaction; `failAfterGroups` is a test hook simulating a killed
+    * driver after k committed groups. Returns the new snapshot. */
+  def run(failAfterGroups: Int = Int.MaxValue): Snapshot = {
+    val snap = table.currentSnapshot
+    val plans = plan(snap)
+    if (plans.isEmpty) return snap
+
+    val ckpt = new Checkpoint(table, jobId)
+    val already = ckpt.committed
+    var done = 0
+    val outputs = scala.collection.mutable.ArrayBuffer[LineageEntry]()
+
+    plans.foreach { p =>
+      already.get(p.group) match {
+        case Some(e) => outputs += e // resumed: skip committed group
+        case None =>
+          if (done >= failAfterGroups)
+            throw new RuntimeException(
+              s"[test-hook] simulated crash after $done groups")
+          val dir = table.newDataDir(jobId, p.group)
+          cleanDir(dir) // crashed partial attempt is overwritten
+          val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
+          val df: DataFrame = table.readFiles(p.inputs.map(_.path))
+          df.coalesce(nOut).write.parquet(dir)
+          val files = table.harvest(dir)
+          val entry = LineageEntry(jobId, "compact", p.group,
+            p.inputs.map(_.path), files,
+            files.map(_.rowCount).sum, files.map(_.byteCount).sum,
+            "committed", attempt = 1)
+          ckpt.commit(entry)
+          outputs += entry
+          done += 1
+      }
+    }
+
+    val rewrittenInputs = plans.flatMap(_.inputs.map(_.path)).toSet
+    val untouched = table.entries(snap).filterNot(f => rewrittenInputs.contains(f.path))
+    val newFiles = untouched ++ outputs.flatMap(_.outputFiles)
+    table.commit(Some(snap), "compact", newFiles, Map(
+      "job-id" -> jobId,
+      "files-rewritten" -> rewrittenInputs.size.toString,
+      "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
+      "groups" -> plans.size.toString))
+  }
+
+  private def cleanDir(dir: String): Unit = {
+    val hp = new HPath(dir)
+    val fs = hp.getFileSystem(table.hadoopConf)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+}

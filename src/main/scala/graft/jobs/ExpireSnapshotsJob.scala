@@ -1,0 +1,67 @@
+package graft.jobs
+
+import graft.format.QTable
+
+import java.nio.file.{Files, Paths}
+
+/** Snapshot expiry: retain the most recent `keepLast` snapshots, delete
+  * version files, manifests, and data files reachable ONLY from expired
+  * snapshots. The current version pointer is never touched, so readers of
+  * retained snapshots are unaffected (snapshot isolation holds for the
+  * retained window).
+  */
+class ExpireSnapshotsJob(table: QTable) {
+
+  final case class Result(expiredVersions: Seq[Long], deletedDataFiles: Int,
+      deletedManifests: Int)
+
+  def run(keepLast: Int): Result = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val versions = table.listVersions
+    val (expired, retained) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (expired.isEmpty) return Result(Nil, 0, 0)
+
+    val retainedSnaps = retained.map(table.snapshotAt)
+    val liveFiles = retainedSnaps.flatMap(s => table.entries(s).map(_.path)).toSet
+    val liveManifests = retainedSnaps.flatMap(_.manifests.map(_.path)).toSet
+
+    var dataDeleted = 0
+    var manifestsDeleted = 0
+    expired.foreach { v =>
+      val s = table.snapshotAt(v)
+      s.manifests.foreach { m =>
+        if (!liveManifests.contains(m.path)) {
+          val entries = table.readManifest(m).files
+          entries.foreach { f =>
+            if (!liveFiles.contains(f.path)) {
+              val p = Paths.get(f.path)
+              if (Files.deleteIfExists(p)) dataDeleted += 1
+            }
+          }
+        }
+      }
+      // second pass so shared manifests keep their files until unreferenced
+      s.manifests.foreach { m =>
+        if (!liveManifests.contains(m.path)) {
+          if (Files.deleteIfExists(table.metadataDir.resolve(m.path))) manifestsDeleted += 1
+        }
+      }
+      Files.deleteIfExists(table.metadataDir.resolve(s"v$v.json"))
+    }
+    Result(expired, dataDeleted, manifestsDeleted)
+  }
+}
+
+/** Manifest rewrite: re-chunk the current snapshot's file list into
+  * right-sized manifests sorted by (pbucket, phash) so manifest-level
+  * range pruning stays effective after many incremental commits. Data
+  * files are untouched — this is a metadata-only commit.
+  */
+class RewriteManifestsJob(table: QTable) {
+  def run(entriesPerManifest: Int = 512): graft.model.Snapshot = {
+    val snap = table.currentSnapshot
+    table.commit(Some(snap), "rewrite-manifests", table.entries(snap),
+      Map("manifests-before" -> snap.manifests.size.toString),
+      entriesPerManifest = entriesPerManifest)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.jobs
+
+import graft.format.QTable
+import graft.model._
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Copy-on-write MERGE INTO: upsert caption corrections by image_id.
+  *
+  * Semantics (ANSI MERGE, the engine analogue of the reference's
+  * deterministic-path last-writer-wins upsert, SURVEY §2.2 K5 and EP2):
+  *   WHEN MATCHED THEN UPDATE SET caption = source.caption
+  *   WHEN NOT MATCHED THEN INSERT (full row)
+  *
+  * Copy-on-write: only data files that actually contain a matched
+  * image_id are rewritten; every other file is carried into the new
+  * snapshot by reference. The matched-file scan broadcasts the (small)
+  * source to avoid shuffling the big table; candidate files are pruned
+  * first by manifest image_id ranges.
+  */
+class MergeJob(
+    table: QTable,
+    jobId: String = java.util.UUID.randomUUID().toString) {
+
+  def run(source0: DataFrame, failAfterGroups: Int = Int.MaxValue): Snapshot = {
+    val spark = table.spark
+    val snap = table.currentSnapshot
+    val all = table.entries(snap)
+
+    val source = source0.cache()
+    val srcCount = source.count()
+
+    // 1. prune candidate files by image_id range overlap with the source
+    val srcIdBounds = source.agg(min("image_id"), max("image_id")).head()
+    val (srcMin, srcMax) = (srcIdBounds.getString(0), srcIdBounds.getString(1))
+    val candidates = all.filter(f => f.imageIdMax >= srcMin && f.imageIdMin <= srcMax)
+
+    // 2. find files containing matches: big-side scan, broadcast source
+    // keys. `_metadata.file_path` (not input_file_name) — the metadata
+    // column changes the scan output so a cached plain scan of the same
+    // files can never be substituted in (which would yield empty paths).
+    val srcKeys = broadcast(source.select(col("image_id")))
+    val matchedFiles: Set[String] = if (candidates.isEmpty) Set.empty else {
+      table.readFiles(candidates.map(_.path))
+        .select(col("image_id"), col("_metadata.file_path").as("_file"))
+        .join(srcKeys, Seq("image_id"))
+        .select("_file").distinct().collect().map(_.getString(0))
+        .map(normalizePath).toSet
+    }
+    val affected = candidates.filter(f => matchedFiles.contains(normalizePath(f.path)))
+
+    // 3. inserts = source ids present in no file (anti join against the
+    //    candidate scan only — pruning made the big side small)
+    val inserts = source.join(
+      table.readFiles(affected.map(_.path)).select("image_id"),
+      Seq("image_id"), "left_anti").cache()
+    val insertCount = inserts.count()
+
+    val ckpt = new Checkpoint(table, jobId)
+    val already = ckpt.committed
+    var done = 0
+    val outputs = scala.collection.mutable.ArrayBuffer[LineageEntry]()
+
+    // 4. rewrite affected files per partition group, checkpointed
+    val groups = affected.groupBy(_.pbucketMin).toSeq
+      .map { case (b, fs) => (s"b$b", fs.sortBy(_.path)) }.sortBy(_._1)
+    val updatesSrc = broadcast(
+      source.select(col("image_id"), col("caption").as("_new_caption")))
+
+    groups.foreach { case (group, files) =>
+      already.get(group) match {
+        case Some(e) => outputs += e
+        case None =>
+          if (done >= failAfterGroups)
+            throw new RuntimeException(s"[test-hook] simulated crash after $done groups")
+          val dir = table.newDataDir(jobId, group)
+          cleanDir(dir)
+          val df = table.readFiles(files.map(_.path))
+            .join(updatesSrc, Seq("image_id"), "left")
+            .withColumn("caption", coalesce(col("_new_caption"), col("caption")))
+            .drop("_new_caption")
+            .select(ImageRow.storedSchema.fieldNames.map(col): _*)
+          df.coalesce(math.max(1, files.size)).write.parquet(dir)
+          val out = table.harvest(dir)
+          val entry = LineageEntry(jobId, "merge", group, files.map(_.path), out,
+            out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
+          ckpt.commit(entry)
+          outputs += entry
+          done += 1
+      }
+    }
+
+    // 5. write inserts as new files in their hash buckets
+    if (insertCount > 0) {
+      val group = "inserts"
+      already.get(group) match {
+        case Some(e) => outputs += e
+        case None =>
+          val dir = table.newDataDir(jobId, group)
+          cleanDir(dir)
+          inserts
+            .withColumn("pbucket",
+              pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int"))
+            .select(ImageRow.storedSchema.fieldNames.map(col): _*)
+            .coalesce(1).write.parquet(dir)
+          val out = table.harvest(dir)
+          val entry = LineageEntry(jobId, "merge", group, Nil, out,
+            out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
+          ckpt.commit(entry)
+          outputs += entry
+      }
+    }
+
+    val affectedPaths = affected.map(_.path).toSet
+    val untouched = all.filterNot(f => affectedPaths.contains(f.path))
+    source.unpersist(); inserts.unpersist()
+    table.commit(Some(snap), "merge", untouched ++ outputs.flatMap(_.outputFiles), Map(
+      "job-id" -> jobId,
+      "source-rows" -> srcCount.toString,
+      "rows-updated" -> (srcCount - insertCount).toString,
+      "rows-inserted" -> insertCount.toString,
+      "files-rewritten" -> affected.size.toString))
+  }
+
+  /** Data file names are UUID-unique (Spark part files), so matching on
+    * the name sidesteps scheme/slash differences between
+    * `input_file_name()` URIs and manifest paths. */
+  private def normalizePath(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  private def cleanDir(dir: String): Unit = {
+    val hp = new HPath(dir)
+    val fs = hp.getFileSystem(table.hadoopConf)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+}

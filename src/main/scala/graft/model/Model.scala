@@ -1,0 +1,98 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Core data model of the qtable engine.
+  *
+  * The row shape is mandated by the build brief (image+caption lakehouse
+  * rows). The envelope/metadata split mirrors the reference's
+  * payload-vs-metadata design (quanterra-pipeline
+  * `src/models/data/eodhd_models.py:15-27`: typed envelope wrapping a
+  * payload), re-expressed as table-format metadata (snapshots/manifests)
+  * around Parquet data files.
+  */
+final case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long)
+
+object ImageRow {
+  /** Fixed, validated-not-inferred schema (cf. reference CSV header
+    * validation, `hargreaves_lansdown_models.py:24-46`). */
+  val schema: StructType = StructType(Seq(
+    StructField("image_id", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("caption", StringType, nullable = false),
+    StructField("phash", LongType, nullable = false)
+  ))
+
+  /** On-disk schema: row columns + the stored bucket-partition column. */
+  val storedSchema: StructType =
+    schema.add(StructField("pbucket", IntegerType, nullable = false))
+}
+
+/** Per-data-file entry recorded in a manifest. min/max column stats are
+  * harvested from Parquet footers at commit time and drive scan pruning
+  * (the analogue of the reference pushing date-range params into its HTTP
+  * reads, `eodhd_client.py:52-58`).
+  */
+final case class DataFileEntry(
+    path: String,
+    rowCount: Long,
+    byteCount: Long,
+    pbucketMin: Int,
+    pbucketMax: Int,
+    phashMin: Long,
+    phashMax: Long,
+    imageIdMin: String,
+    imageIdMax: String)
+
+/** Manifest file metadata held in the snapshot (an inlined manifest list,
+  * Iceberg-style): range stats allow skipping whole manifests. */
+final case class ManifestMeta(
+    path: String,
+    fileCount: Long,
+    rowCount: Long,
+    byteCount: Long,
+    pbucketMin: Int,
+    pbucketMax: Int,
+    phashMin: Long,
+    phashMax: Long)
+
+/** The content of one manifest-*.json file. */
+final case class ManifestData(files: Seq[DataFileEntry])
+
+/** One committed table version. `parentVersion` is -1 for the first
+  * snapshot. Readers that hold a Snapshot object are isolated: the file
+  * set it references is immutable until ExpireSnapshots removes it. */
+final case class Snapshot(
+    version: Long,
+    parentVersion: Long,
+    operation: String,
+    manifests: Seq[ManifestMeta],
+    summary: Map[String, String],
+    buckets: Int,
+    timestampMs: Long)
+
+/** Per-partition-group lineage record for resumable maintenance jobs.
+  * status is "committed" once the group's output files are durable; a
+  * resumed run (same jobId) skips committed groups (upgrades the
+  * reference's idempotent deterministic-path overwrite, SURVEY §2.2 K5,
+  * into real checkpointed resume). */
+final case class LineageEntry(
+    jobId: String,
+    jobType: String,
+    group: String,
+    inputFiles: Seq[String],
+    outputFiles: Seq[DataFileEntry],
+    rowCount: Long,
+    byteCount: Long,
+    status: String,
+    attempt: Int)

@@ -1,0 +1,68 @@
+package graft.verify
+
+import graft.codec.Psnr
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Post-maintenance scan-equivalence oracle (north rule): full-table
+  * pre/post join on image_id; captions must match exactly; image bytes
+  * must be bit-equal for lossless fmt and decode to PSNR >= threshold for
+  * lossy fmt. Fully distributed — never collects row data to the driver
+  * (the `bytes` column is fat; SURVEY §7.3).
+  */
+object ScanEquivalence {
+
+  /** Rows that violate equivalence; empty => pass. */
+  def violations(pre: DataFrame, post: DataFrame, psnrDb: Double = 40.0): DataFrame = {
+    val psnrUdf = udf((a: Array[Byte], b: Array[Byte]) => Psnr.ofBytes(a, b))
+
+    val l = pre.select(
+      col("image_id"),
+      col("bytes").as("pre_bytes"),
+      col("fmt").as("pre_fmt"),
+      col("caption").as("pre_caption"))
+    val r = post.select(
+      col("image_id"),
+      col("bytes").as("post_bytes"),
+      col("fmt").as("post_fmt"),
+      col("caption").as("post_caption"))
+
+    val joined = l.join(r, Seq("image_id"), "full_outer")
+    val issue = when(col("pre_bytes").isNull, lit("missing_in_pre"))
+      .when(col("post_bytes").isNull, lit("missing_in_post"))
+      .when(col("pre_caption") =!= col("post_caption"), lit("caption_mismatch"))
+      .when(col("pre_fmt") =!= col("post_fmt"), lit("fmt_mismatch"))
+      .when(col("pre_fmt") === "png" && col("pre_bytes") =!= col("post_bytes"),
+        lit("png_bytes_mismatch"))
+      .when(col("pre_fmt") =!= "png" &&
+        psnrUdf(col("pre_bytes"), col("post_bytes")) < lit(psnrDb),
+        lit("psnr_below_threshold"))
+      .otherwise(lit(null))
+
+    joined.withColumn("issue", issue)
+      .where(col("issue").isNotNull)
+      .select("image_id", "issue")
+  }
+
+  /** Convenience boolean gate + violation count. */
+  def check(pre: DataFrame, post: DataFrame, psnrDb: Double = 40.0): (Boolean, Long) = {
+    val n = violations(pre, post, psnrDb).count()
+    (n == 0, n)
+  }
+
+  /** Same check, ignoring expected caption updates: equivalence modulo a
+    * corrections table (for MERGE verification: updated ids must carry
+    * the corrected caption, all others must be untouched). */
+  def checkMerged(pre: DataFrame, post: DataFrame, corrections: DataFrame,
+      psnrDb: Double = 40.0): (Boolean, Long) = {
+    val corr = corrections.select(col("image_id"), col("caption").as("_corr_caption"),
+      col("bytes").as("_corr_bytes"), col("fmt").as("_corr_fmt"))
+    // expected view = pre upserted with corrections (driverless, pure plan)
+    val expected = pre.join(corr, Seq("image_id"), "full_outer")
+      .withColumn("caption", coalesce(col("_corr_caption"), col("caption")))
+      .withColumn("bytes", coalesce(col("bytes"), col("_corr_bytes")))
+      .withColumn("fmt", coalesce(col("fmt"), col("_corr_fmt")))
+      .drop("_corr_caption", "_corr_bytes", "_corr_fmt")
+    check(expected, post, psnrDb)
+  }
+}

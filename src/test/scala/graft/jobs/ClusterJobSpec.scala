@@ -1,0 +1,105 @@
+package graft.jobs
+
+import graft.TestSpark
+import graft.format.QTable
+import graft.synth.DataGen
+import graft.verify.ScanEquivalence
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusterJobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(n: Long, buckets: Int = 2): QTable = {
+    val t = QTable.create(TestSpark.tmpDir("cluster"), spark, buckets)
+    AppendJob.append(t, DataGen.generate(spark, n, 42L, 8).toDF(), filesPerBucket = 4)
+    t
+  }
+
+  /** Sum of per-file phash spans, normalized — lower = better clustered. */
+  private def phashSpanScore(t: QTable, snap: graft.model.Snapshot): Double = {
+    val es = t.entries(snap)
+    es.map(e => (e.phashMax - e.phashMin).toDouble / Long.MaxValue).sum / es.size
+  }
+
+  test("z-order rewrite: scan equivalent, phash ranges tighten, pruning improves") {
+    val t = freshTable(1500)
+    val pre = t.currentSnapshot
+    val preDf = t.read(pre)
+    val preScore = phashSpanScore(t, pre)
+    val preFilesPerProbe = probePruning(t, pre)
+
+    val snap = new ClusterJob(t, targetFileBytes = 60L << 10).run()
+    assert(snap.operation == "cluster-zorder")
+    assert(t.entries(snap).map(_.rowCount).sum == 1500)
+
+    val (ok, bad) = ScanEquivalence.check(preDf, t.read(snap))
+    assert(ok, s"$bad violations after clustering")
+
+    // clustering must tighten per-file phash ranges vs the append layout
+    val postScore = phashSpanScore(t, snap)
+    assert(postScore < preScore,
+      f"phash span score did not improve: pre=$preScore%.4f post=$postScore%.4f")
+
+    // manifest-stat pruning: narrow phash probes must scan a smaller
+    // fraction of table rows after clustering than before
+    val postFilesPerProbe = probePruning(t, snap)
+    assert(postFilesPerProbe < preFilesPerProbe,
+      s"pruned row fraction regressed: $postFilesPerProbe >= $preFilesPerProbe")
+    assert(postFilesPerProbe < 0.5,
+      s"clustered probes still scan ${postFilesPerProbe} of the table")
+  }
+
+  /** Avg fraction of table ROWS in files matched by narrow phash probes
+    * placed inside the live phash domain. Random layout => ~1.0 (every
+    * file's min/max spans the domain); clustered => << 1. */
+  private def probePruning(t: QTable, snap: graft.model.Snapshot): Double = {
+    val es = t.entries(snap)
+    val totalRows = es.map(_.rowCount).sum.toDouble
+    val lo = es.map(_.phashMin).min
+    val hi = es.map(_.phashMax).max
+    val span = hi - lo
+    val width = math.max(1L, span / 256)
+    val probes = Seq(0.2, 0.5, 0.8).map(f => lo + (span * f).toLong)
+    probes.map { p =>
+      t.planFiles(snap, phashRange = Some((p, p + width)))
+        .map(_.rowCount).sum.toDouble / totalRows
+    }.sum / probes.size
+  }
+
+  test("hilbert variant also passes scan equivalence") {
+    val t = freshTable(400)
+    val preDf = t.read(t.currentSnapshot)
+    val snap = new ClusterJob(t, targetFileBytes = 60L << 10, hilbert = true).run()
+    assert(snap.operation == "cluster-hilbert")
+    val (ok, bad) = ScanEquivalence.check(preDf, t.read(snap))
+    assert(ok, s"$bad violations after hilbert clustering")
+  }
+
+  test("kill/resume on cluster job") {
+    val t = freshTable(600)
+    val jobId = "cluster-resume"
+    intercept[RuntimeException] {
+      new ClusterJob(t, targetFileBytes = 60L << 10, jobId = jobId).run(failAfterGroups = 1)
+    }
+    val committedBefore = new Checkpoint(t, jobId).committed
+    assert(committedBefore.size == 1)
+    val firstOutputs = committedBefore.values.head.outputFiles.map(_.path).toSet
+    val snap = new ClusterJob(t, targetFileBytes = 60L << 10, jobId = jobId).run()
+    assert(new Checkpoint(t, jobId).committed(committedBefore.keys.head)
+      .outputFiles.map(_.path).toSet == firstOutputs)
+    assert(t.entries(snap).map(_.rowCount).sum == 600)
+  }
+
+  test("skew: heavy near-dup phash cluster does not hotspot one output file") {
+    val t = freshTable(2000)
+    val snap = new ClusterJob(t, targetFileBytes = 40L << 10).run()
+    val es = t.entries(snap)
+    // with ~10% of rows in one near-dup cluster sharing a phash region,
+    // the salted (zkey, tiebreak) range partitioning must keep the max
+    // file row count within a sane multiple of the mean
+    val counts = es.map(_.rowCount)
+    val mean = counts.sum.toDouble / counts.size
+    assert(counts.max <= mean * 4,
+      s"skewed file: max=${counts.max} mean=$mean%.1f files=${counts.size}")
+  }
+}

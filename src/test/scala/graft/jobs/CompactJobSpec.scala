@@ -1,0 +1,91 @@
+package graft.jobs
+
+import graft.TestSpark
+import graft.format.QTable
+import graft.synth.DataGen
+import graft.verify.ScanEquivalence
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompactJobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshTable(n: Long, buckets: Int = 4, filesPerBucket: Int = 5): QTable = {
+    val t = QTable.create(TestSpark.tmpDir("compact"), spark, buckets)
+    AppendJob.append(t, DataGen.generate(spark, n, 42L, 8).toDF(), filesPerBucket)
+    t
+  }
+
+  test("end-to-end: many small files -> fewer files, scan equivalent") {
+    val t = freshTable(1200)
+    val pre = t.currentSnapshot
+    val preFiles = t.entries(pre).size
+    val preDf = t.read(pre)
+
+    val snap = new CompactJob(t, targetFileBytes = 8L << 20).run()
+    assert(snap.operation == "compact")
+    val postFiles = t.entries(snap).size
+    assert(postFiles < preFiles, s"$postFiles !< $preFiles")
+    assert(t.entries(snap).map(_.rowCount).sum == 1200)
+
+    val (ok, bad) = ScanEquivalence.check(preDf, t.read(snap))
+    assert(ok, s"$bad scan-equivalence violations after compaction")
+  }
+
+  test("kill/resume: committed groups are not rewritten twice") {
+    val t = freshTable(600)
+    val jobId = "resume-test-job"
+    val job = new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId)
+    val preDf = t.read(t.currentSnapshot)
+
+    // crash after the first committed group
+    intercept[RuntimeException] { job.run(failAfterGroups = 1) }
+    val ckpt = new Checkpoint(t, jobId)
+    val afterCrash = ckpt.committed
+    assert(afterCrash.size == 1, s"expected 1 committed group, got ${afterCrash.size}")
+    val firstGroupOutputs = afterCrash.values.head.outputFiles.map(_.path).toSet
+
+    // resume with the SAME jobId: completes, group 0 output identical
+    val job2 = new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId)
+    val snap = job2.run()
+    val resumed = new Checkpoint(t, jobId).committed
+    assert(resumed.size > 1)
+    assert(resumed(afterCrash.keys.head).outputFiles.map(_.path).toSet == firstGroupOutputs,
+      "resume must not rewrite the committed group")
+    val (ok, bad) = ScanEquivalence.check(preDf, t.read(snap))
+    assert(ok, s"$bad violations after resumed compaction")
+  }
+
+  test("snapshot isolation: pinned reader unaffected by concurrent compact") {
+    val t = freshTable(500)
+    val pinned = t.currentSnapshot // reader resolves BEFORE compaction
+    val before = t.read(pinned).selectExpr("sum(crc32(bytes))", "count(*)").head()
+
+    new CompactJob(t, targetFileBytes = 8L << 20).run() // writer commits N+1
+
+    // the pinned snapshot still reads the exact same data from the old files
+    val after = t.read(pinned).selectExpr("sum(crc32(bytes))", "count(*)").head()
+    assert(before == after, "pinned snapshot changed under a concurrent commit")
+    // and the new snapshot is equivalent content at different layout
+    val (ok, bad) = ScanEquivalence.check(t.read(pinned), t.read())
+    assert(ok, s"$bad violations between pinned and new snapshot")
+    assert(t.currentSnapshot.version == pinned.version + 1)
+  }
+
+  test("already-large files are carried over untouched (copy-on-write)") {
+    val t = freshTable(400, buckets = 2, filesPerBucket = 3)
+    val pre = t.entries(t.currentSnapshot)
+    // tiny target: every existing file is "large" => no work, same snapshot
+    val snapNoop = new CompactJob(t, targetFileBytes = 1L).run()
+    assert(t.entries(snapNoop).map(_.path).sorted == pre.map(_.path).sorted)
+  }
+
+  test("scan-equivalence verifier actually detects corruption") {
+    val t = freshTable(200, buckets = 2, filesPerBucket = 2)
+    val df = t.read()
+    import org.apache.spark.sql.functions._
+    val corrupted = df.withColumn("caption",
+      when(col("image_id") === "img000000000007", lit("tampered")).otherwise(col("caption")))
+    val (ok, bad) = ScanEquivalence.check(df, corrupted)
+    assert(!ok && bad == 1)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.jobs
+
+import graft.TestSpark
+import graft.format.QTable
+import graft.synth.DataGen
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+class ExpireRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("expire snapshots deletes only unreferenced files, keeps current") {
+    val t = QTable.create(TestSpark.tmpDir("expire"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 300, 42L, 4).toDF(), filesPerBucket = 4) // v1
+    val v1Files = t.entries(t.currentSnapshot).map(_.path)
+    new CompactJob(t, targetFileBytes = 8L << 20).run() // v2 rewrites most files
+    val v2 = t.currentSnapshot
+    val v2Files = t.entries(v2).map(_.path).toSet
+
+    // before expiry, old small files still exist (isolation window)
+    assert(v1Files.forall(p => Files.exists(Paths.get(p))))
+
+    val res = new ExpireSnapshotsJob(t).run(keepLast = 1)
+    assert(res.expiredVersions == Seq(0L, 1L))
+    // v1-only files gone; current snapshot files intact
+    val v1Only = v1Files.filterNot(v2Files.contains)
+    assert(v1Only.nonEmpty)
+    v1Only.foreach(p => assert(!Files.exists(Paths.get(p)), s"$p should be deleted"))
+    v2Files.foreach(p => assert(Files.exists(Paths.get(p)), s"$p must survive"))
+    // table still reads fine and fully
+    assert(t.read().count() == 300)
+    assert(t.listVersions == Seq(2L))
+    // expired version files gone
+    assert(!Files.exists(t.metadataDir.resolve("v1.json")))
+  }
+
+  test("rewrite manifests: metadata-only commit, same files, fewer manifests") {
+    val t = QTable.create(TestSpark.tmpDir("rwm"), spark, buckets = 2)
+    // several appends => several manifests
+    (1 to 4).foreach { k =>
+      AppendJob.append(t, DataGen.generate(spark, 50, 42L + k, 2).toDF(), filesPerBucket = 2)
+    }
+    val pre = t.currentSnapshot
+    val preFiles = t.entries(pre).map(_.path).sorted
+    assert(pre.manifests.size > 1)
+
+    val snap = new RewriteManifestsJob(t).run(entriesPerManifest = 1000)
+    assert(snap.operation == "rewrite-manifests")
+    assert(snap.manifests.size == 1)
+    assert(t.entries(snap).map(_.path).sorted == preFiles, "file set must not change")
+    // manifests sorted by (pbucket, phash): verify ordering inside manifest
+    val files = t.readManifest(snap.manifests.head).files
+    val keys = files.map(f => (f.pbucketMin, f.phashMin))
+    assert(keys == keys.sorted)
+  }
+
+  test("expire refuses keepLast < 1") {
+    val t = QTable.create(TestSpark.tmpDir("expire2"), spark, buckets = 2)
+    intercept[IllegalArgumentException] { new ExpireSnapshotsJob(t).run(0) }
+  }
+}
