@@ -32,6 +32,10 @@ object Main {
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // fat-binary-row table tuning (see Bench.scala / README):
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

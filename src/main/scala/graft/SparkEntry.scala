@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.format.QTable
+import graft.jobs._
+import graft.queries.Queries
+import graft.synth.DataGen
+import graft.verify.ScanEquivalence
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the full maintenance pipeline (append -> compact ->
+    * z-order cluster -> MERGE) on a freshly synthesized image+caption
+    * qtable, returning one row per correctness check (driver
+    * smoke-checks rows > 0 AND this encodes the engine's own oracles). */
+  def entry(spark: SparkSession): DataFrame = maintenanceDemo(spark, 400)
+
+  def maintenanceDemo(spark: SparkSession, rows: Long): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val t = QTable.create(root, spark, buckets = 4)
+    AppendJob.append(t, DataGen.generate(spark, rows, 42L).toDF(), filesPerBucket = 4)
+    val v1 = t.currentSnapshot
+    val preDf = t.read(v1)
+    val filesBefore = t.entries(v1).size
+
+    val c = new CompactJob(t, targetFileBytes = 8L << 20).run()
+    val (okC, badC) = ScanEquivalence.check(preDf, t.read(c))
+
+    val z = new ClusterJob(t, targetFileBytes = 8L << 20).run()
+    val (okZ, badZ) = ScanEquivalence.check(preDf, t.read(z))
+
+    val corr = DataGen.correctionsDF(spark, rows, 42L, inserts = 3)
+    val m = new MergeJob(t).run(corr)
+    val (okM, badM) = ScanEquivalence.checkMerged(preDf, t.read(m), corr)
+
+    // pinned reader isolation: v1 still reads identically post-commits
+    val pinnedOk = t.read(v1).count() == rows
+
+    Seq(
+      ("compact_scan_equivalent", okC, badC, filesBefore.toLong, t.entries(c).size.toLong),
+      ("cluster_scan_equivalent", okZ, badZ, t.entries(c).size.toLong, t.entries(z).size.toLong),
+      ("merge_scan_equivalent", okM, badM, t.entries(z).size.toLong, t.entries(m).size.toLong),
+      ("snapshot_isolation_pinned_reader", pinnedOk, if (pinnedOk) 0L else 1L, rows, rows)
+    ).toDF("check", "passed", "violations", "before", "after")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.withOracle.map { case (k, (fn, _)) => k -> fn } ++
+      Queries.withoutOracle ++
+      Map("m1_maintenance_e2e" ->
+        ((s: SparkSession, _: String) => maintenanceDemo(s, 300)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops that depend on Spark-
+    * specific hashing (minhash/simhash) or on the engine's own table
+    * format (m1) — those get the weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    Queries.withOracle.map { case (k, (_, sql)) => k -> sql }
 }

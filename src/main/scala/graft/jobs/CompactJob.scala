@@ -22,7 +22,9 @@ class CompactJob(
     table: QTable,
     targetFileBytes: Long = 8L << 20,
     smallFileFraction: Double = 0.75,
-    jobId: String = java.util.UUID.randomUUID().toString) {
+    jobId: String = java.util.UUID.randomUUID().toString,
+    concurrency: Int = 4,
+    minGroupBytes: Long = -1L) {
 
   private val threshold = (targetFileBytes * smallFileFraction).toLong
 
@@ -31,13 +33,17 @@ class CompactJob(
   }
 
   /** Groups of small files keyed by partition bucket; only groups with
-    * >= 2 small files have compaction work. */
+    * >= 2 small files have compaction work. Adjacent bucket groups are
+    * coalesced until each carries enough bytes that per-group job
+    * overhead amortizes — group count adapts to table size, so the same
+    * planner works at 40 MB and at 100 TB. */
   def plan(snap: Snapshot): Seq[Plan] = {
     val small = table.entries(snap).filter(_.byteCount < threshold)
-    small.groupBy(_.pbucketMin).toSeq
+    val perBucket = small.groupBy(_.pbucketMin).toSeq
       .filter(_._2.size >= 2)
-      .map { case (b, fs) => Plan(s"b$b", fs.sortBy(_.path)) }
-      .sortBy(_.group)
+      .sortBy(_._1)
+    JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
+      .map { case (name, fs) => Plan(name, fs) }
   }
 
   /** Run compaction; `failAfterGroups` is a test hook simulating a killed
@@ -48,31 +54,28 @@ class CompactJob(
     if (plans.isEmpty) return snap
 
     val ckpt = new Checkpoint(table, jobId)
-    val already = ckpt.committed
-    var done = 0
-    val outputs = scala.collection.mutable.ArrayBuffer[LineageEntry]()
-
-    plans.foreach { p =>
-      already.get(p.group) match {
-        case Some(e) => outputs += e // resumed: skip committed group
-        case None =>
-          if (done >= failAfterGroups)
-            throw new RuntimeException(
-              s"[test-hook] simulated crash after $done groups")
-          val dir = table.newDataDir(jobId, p.group)
-          cleanDir(dir) // crashed partial attempt is overwritten
-          val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
-          val df: DataFrame = table.readFiles(p.inputs.map(_.path))
-          df.coalesce(nOut).write.parquet(dir)
-          val files = table.harvest(dir)
-          val entry = LineageEntry(jobId, "compact", p.group,
-            p.inputs.map(_.path), files,
-            files.map(_.rowCount).sum, files.map(_.byteCount).sum,
-            "committed", attempt = 1)
-          ckpt.commit(entry)
-          outputs += entry
-          done += 1
-      }
+    val outputs = GroupRunner.run[Plan](plans, _.group, ckpt.committed,
+      failAfterGroups, concurrency) { p =>
+      val dir = table.newDataDir(jobId, p.group)
+      cleanDir(dir) // crashed partial attempt is overwritten
+      val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
+      val df: DataFrame = table.readFiles(p.inputs.map(_.path))
+      val t0 = System.nanoTime()
+      df.coalesce(nOut).write.parquet(dir)
+      val t1 = System.nanoTime()
+      val files = table.harvest(dir)
+      val t2 = System.nanoTime()
+      Timing.record("compact", p.group, (t1 - t0) / 1e9)
+      if (sys.env.contains("GRAFT_TIMING"))
+        System.err.println(f"[timing] compact ${p.group}%-8s files=${p.inputs.size}%3d " +
+          f"bytes=${p.bytes / (1 << 20)}%5d MiB nOut=$nOut%3d " +
+          f"write=${(t1 - t0) / 1e9}%7.2fs harvest=${(t2 - t1) / 1e9}%6.2fs")
+      val entry = LineageEntry(jobId, "compact", p.group,
+        p.inputs.map(_.path), files,
+        files.map(_.rowCount).sum, files.map(_.byteCount).sum,
+        "committed", attempt = 1)
+      ckpt.commit(entry)
+      entry
     }
 
     val rewrittenInputs = plans.flatMap(_.inputs.map(_.path)).toSet

@@ -21,7 +21,8 @@ import org.apache.spark.sql.DataFrame
   */
 class MergeJob(
     table: QTable,
-    jobId: String = java.util.UUID.randomUUID().toString) {
+    jobId: String = java.util.UUID.randomUUID().toString,
+    concurrency: Int = 4) {
 
   def run(source0: DataFrame, failAfterGroups: Int = Int.MaxValue): Snapshot = {
     val spark = table.spark
@@ -59,8 +60,6 @@ class MergeJob(
 
     val ckpt = new Checkpoint(table, jobId)
     val already = ckpt.committed
-    var done = 0
-    val outputs = scala.collection.mutable.ArrayBuffer[LineageEntry]()
 
     // 4. rewrite affected files per partition group, checkpointed
     val groups = affected.groupBy(_.pbucketMin).toSeq
@@ -68,30 +67,25 @@ class MergeJob(
     val updatesSrc = broadcast(
       source.select(col("image_id"), col("caption").as("_new_caption")))
 
-    groups.foreach { case (group, files) =>
-      already.get(group) match {
-        case Some(e) => outputs += e
-        case None =>
-          if (done >= failAfterGroups)
-            throw new RuntimeException(s"[test-hook] simulated crash after $done groups")
-          val dir = table.newDataDir(jobId, group)
-          cleanDir(dir)
-          val df = table.readFiles(files.map(_.path))
-            .join(updatesSrc, Seq("image_id"), "left")
-            .withColumn("caption", coalesce(col("_new_caption"), col("caption")))
-            .drop("_new_caption")
-            .select(ImageRow.storedSchema.fieldNames.map(col): _*)
-          df.coalesce(math.max(1, files.size)).write.parquet(dir)
-          val out = table.harvest(dir)
-          val entry = LineageEntry(jobId, "merge", group, files.map(_.path), out,
-            out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
-          ckpt.commit(entry)
-          outputs += entry
-          done += 1
-      }
+    val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
+      groups, _._1, already, failAfterGroups, concurrency) { case (group, files) =>
+      val dir = table.newDataDir(jobId, group)
+      cleanDir(dir)
+      val df = table.readFiles(files.map(_.path))
+        .join(updatesSrc, Seq("image_id"), "left")
+        .withColumn("caption", coalesce(col("_new_caption"), col("caption")))
+        .drop("_new_caption")
+        .select(ImageRow.storedSchema.fieldNames.map(col): _*)
+      df.coalesce(math.max(1, files.size)).write.parquet(dir)
+      val out = table.harvest(dir)
+      val entry = LineageEntry(jobId, "merge", group, files.map(_.path), out,
+        out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
+      ckpt.commit(entry)
+      entry
     }
 
     // 5. write inserts as new files in their hash buckets
+    val outputs = scala.collection.mutable.ArrayBuffer[LineageEntry](rewritten: _*)
     if (insertCount > 0) {
       val group = "inserts"
       already.get(group) match {

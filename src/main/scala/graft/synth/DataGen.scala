@@ -106,18 +106,20 @@ object DataGen {
     px
   }
 
-  def imageRow(i: Long, seed: Long): ImageRow = {
+  def imageRow(i: Long, seed: Long): ImageRow = imageRow(i, seed, Sizes)
+
+  def imageRow(i: Long, seed: Long, sizes: Array[Int]): ImageRow = {
     val r = mix(seed ^ (i * 2654435761L))
     val cluster = clusterOf(i, seed)
     // near-dup cluster members share dimensions (the pattern dictates the
     // frame); unique images draw sizes independently
     val (w, h) = if (cluster >= 0) {
       val cr = mix(seed ^ (0x51edL + cluster))
-      (Sizes(((cr & Long.MaxValue) % Sizes.length).toInt),
-        Sizes(((mix(cr) & Long.MaxValue) % Sizes.length).toInt))
+      (sizes(((cr & Long.MaxValue) % sizes.length).toInt),
+        sizes(((mix(cr) & Long.MaxValue) % sizes.length).toInt))
     } else {
-      (Sizes(((r & Long.MaxValue) % Sizes.length).toInt),
-        Sizes(((mix(r) & Long.MaxValue) % Sizes.length).toInt))
+      (sizes(((r & Long.MaxValue) % sizes.length).toInt),
+        sizes(((mix(r) & Long.MaxValue) % sizes.length).toInt))
     }
     val fmt = if ((mix(r + 1) & 1L) == 0L) "png" else "jpeg"
     val px = pixels(i, seed, w, h)
@@ -129,10 +131,10 @@ object DataGen {
 
   /** Distributed generation: executor-side row synthesis, no driver loop. */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L,
-      parallelism: Int = 0): Dataset[ImageRow] = {
+      parallelism: Int = 0, sizes: Array[Int] = Sizes): Dataset[ImageRow] = {
     import spark.implicits._
     val p = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
-    spark.range(0, n, 1, p).map(i => imageRow(i, seed))
+    spark.range(0, n, 1, p).map(i => imageRow(i, seed, sizes))
   }
 
   /** MERGE fixture: ~1% caption corrections for existing ids plus

@@ -79,12 +79,12 @@ class ClusterJobSpec extends AnyFunSuite {
     val t = freshTable(600)
     val jobId = "cluster-resume"
     intercept[RuntimeException] {
-      new ClusterJob(t, targetFileBytes = 60L << 10, jobId = jobId).run(failAfterGroups = 1)
+      new ClusterJob(t, targetFileBytes = 60L << 10, jobId = jobId, minGroupBytes = 1L).run(failAfterGroups = 1)
     }
     val committedBefore = new Checkpoint(t, jobId).committed
     assert(committedBefore.size == 1)
     val firstOutputs = committedBefore.values.head.outputFiles.map(_.path).toSet
-    val snap = new ClusterJob(t, targetFileBytes = 60L << 10, jobId = jobId).run()
+    val snap = new ClusterJob(t, targetFileBytes = 60L << 10, jobId = jobId, minGroupBytes = 1L).run()
     assert(new Checkpoint(t, jobId).committed(committedBefore.keys.head)
       .outputFiles.map(_.path).toSet == firstOutputs)
     assert(t.entries(snap).map(_.rowCount).sum == 600)

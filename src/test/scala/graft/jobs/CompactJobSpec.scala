@@ -34,7 +34,7 @@ class CompactJobSpec extends AnyFunSuite {
   test("kill/resume: committed groups are not rewritten twice") {
     val t = freshTable(600)
     val jobId = "resume-test-job"
-    val job = new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId)
+    val job = new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId, minGroupBytes = 1L)
     val preDf = t.read(t.currentSnapshot)
 
     // crash after the first committed group
@@ -45,7 +45,7 @@ class CompactJobSpec extends AnyFunSuite {
     val firstGroupOutputs = afterCrash.values.head.outputFiles.map(_.path).toSet
 
     // resume with the SAME jobId: completes, group 0 output identical
-    val job2 = new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId)
+    val job2 = new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId, minGroupBytes = 1L)
     val snap = job2.run()
     val resumed = new Checkpoint(t, jobId).committed
     assert(resumed.size > 1)
