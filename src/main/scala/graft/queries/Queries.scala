@@ -320,6 +320,89 @@ object Queries {
       |CAST((length(text) - length(replace(text,'query',''))) / 5 AS BIGINT) AS n_query
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q16
+  /** IVF-style bucketed approximate kNN: coarse-quantize vectors into
+    * sign-bit cells (first 3 dims), search only the query's cell — the
+    * scale path next to q12's brute force. At 10^9+ vectors the cell
+    * column is a table partition key and the probe prunes all other
+    * cells via manifest stats. */
+  def q16KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    def cell(c: org.apache.spark.sql.Column) =
+      (when(element_at(c, 1) > 0f, 4).otherwise(0) +
+        when(element_at(c, 2) > 0f, 2).otherwise(0) +
+        when(element_at(c, 3) > 0f, 1).otherwise(0)).cast("int")
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"),
+        cell(col("embedding")).as("qcell"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val ed = col("embedding").cast("array<double>")
+    e.withColumn("cell", cell(col("embedding")))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 0 && col("cell") === col("qcell"))
+      .select(col("vec_id"), col("cell"),
+        round(dot(ed, col("qv")) / (sqrt(dot(ed, ed)) * sqrt(dot(col("qv"), col("qv")))), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q16Sql: String =
+    """WITH q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qv,
+      |    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+      |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+      |     CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS qcell
+      |  FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  (CASE WHEN e.embedding[1] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN e.embedding[2] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN e.embedding[3] > 0 THEN 1 ELSE 0 END) AS cell,
+      |  ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |       * sqrt(list_inner_product(q.qv, q.qv))), 4) AS cosine
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |  AND (CASE WHEN e.embedding[1] > 0 THEN 4 ELSE 0 END +
+      |       CASE WHEN e.embedding[2] > 0 THEN 2 ELSE 0 END +
+      |       CASE WHEN e.embedding[3] > 0 THEN 1 ELSE 0 END) = q.qcell
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Hilbert-curve key (the Z-order alternative) over the same keys as
+    * q06 — rows-only check (the Skilling transform has no concise ANSI
+    * SQL form). */
+  def q17HilbertKey(s: SparkSession, dir: String): DataFrame = {
+    val m = lit(1L << 21)
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.expr.zfunctions.hilbert_key(
+        pmod(col("l_partkey"), m), pmod(col("l_suppkey"), m),
+        pmod(col("l_orderkey"), m)).as("hkey"))
+  }
+
+  // ---------------------------------------------------------------- m2
+  /** Multimodal pipeline over a synthesized image table: decode, validate
+    * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
+    * the pHash fingerprint. Rows-only (operates on the engine's own
+    * synthetic table, not the shared testdata). */
+  def m2ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageFunctions._
+    val imgs = graft.synth.DataGen.generate(s, 200, 42L, 4).toDF()
+    imgs.select(
+      col("image_id"), col("w"), col("h"), col("fmt"),
+      decodeDims(col("bytes")).as("decoded"),
+      length(thumbnail(col("bytes"), lit(8))).as("thumb_bytes"),
+      round(element_at(meanRgb(col("bytes")), 1), 2).as("mean_r"),
+      phashOf(col("bytes")).as("phash2"),
+      col("phash"))
+      .withColumn("dims_match",
+        (col("decoded._1") === col("w") && col("decoded._2") === col("h")).cast("int"))
+      .withColumn("phash_match", (col("phash2") === col("phash")).cast("int"))
+      .drop("decoded")
+  }
+
   // ------------------------------------------------------------ registry
 
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -335,9 +418,12 @@ object Queries {
     "q10_quality_score" -> ((q10QualityScore _, q10Sql)),
     "q11_lastwins_dedup" -> ((q11LastWins _, q11Sql)),
     "q12_knn_cosine" -> ((q12KnnCosine _, q12Sql)),
-    "q15_lang_heuristic" -> ((q15LangHeuristic _, q15Sql)))
+    "q15_lang_heuristic" -> ((q15LangHeuristic _, q15Sql)),
+    "q16_knn_ivf" -> ((q16KnnIvf _, q16Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_minhash_lsh" -> (q13MinhashLsh _),
-    "q14_simhash" -> (q14SimHash _))
+    "q14_simhash" -> (q14SimHash _),
+    "q17_hilbert_key" -> (q17HilbertKey _),
+    "m2_image_features" -> (m2ImageFeatures _))
 }
