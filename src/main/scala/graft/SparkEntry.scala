@@ -38,12 +38,16 @@ object SparkEntry {
     // pinned reader isolation: v1 still reads identically post-commits
     val pinnedOk = t.read(v1).count() == rows
 
-    Seq(
+    // ROW-COUNT-GATED: only passing checks are emitted, so any failure
+    // changes the row count the driver records (4 = all green, 0 = the
+    // suite is broken — rows>0 smoke then fails too).
+    val checks = Seq(
       ("compact_scan_equivalent", okC, badC, filesBefore.toLong, t.entries(c).size.toLong),
       ("cluster_scan_equivalent", okZ, badZ, t.entries(c).size.toLong, t.entries(z).size.toLong),
       ("merge_scan_equivalent", okM, badM, t.entries(z).size.toLong, t.entries(m).size.toLong),
-      ("snapshot_isolation_pinned_reader", pinnedOk, if (pinnedOk) 0L else 1L, rows, rows)
-    ).toDF("check", "passed", "violations", "before", "after")
+      ("snapshot_isolation_pinned_reader", pinnedOk, if (pinnedOk) 0L else 1L, rows, rows))
+    val gated = if (checks.forall(_._2)) checks else Seq.empty
+    gated.toDF("check", "passed", "violations", "before", "after")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -26,8 +26,26 @@ class Checkpoint(table: QTable, val jobId: String) {
       .toMap
   }
 
+  /** All lineage rows, including `failed` ones (for inspection/metrics). */
+  def all: Seq[LineageEntry] = {
+    if (!Files.exists(dir)) return Nil
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(p => Json.read(p, classOf[LineageEntry]))
+      .toSeq.sortBy(_.group)
+  }
+
   def commit(entry: LineageEntry): Unit =
     Json.write(dir.resolve(s"${sanitize(entry.group)}.json"), entry)
+
+  /** Delete the checkpoint dir once the job's final snapshot commit has
+    * succeeded: a finished jobId must never be resumable against a LATER
+    * snapshot (its group names would alias fresh work and silently skip
+    * it — input validation in GroupRunner is the second guard). */
+  def clear(): Unit = {
+    if (!Files.exists(dir)) return
+    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
 
   private def sanitize(g: String): String = g.replaceAll("[^A-Za-z0-9_.-]", "_")
 }

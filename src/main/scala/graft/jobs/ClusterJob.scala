@@ -8,18 +8,28 @@ import org.apache.spark.sql.functions._
 
 /** Z-order / Hilbert clustering rewrite.
   *
-  * Per partition group (pbucket): compute the clustering key with the
-  * custom Catalyst expression [[graft.expr.ZOrderKey]], range-repartition
-  * on (zkey, tiebreak) and sort within partitions by zkey, then write
-  * ~targetFileBytes files whose narrow per-file phash ranges land in the
-  * rewritten manifests and drive scan pruning.
+  * Per partition group (pbucket range):
+  *  1. a CHEAP key-only pass — a column-pruned scan of (phash, w, h,
+  *     image_id), never touching the fat `bytes` column — computes
+  *     approximate quantiles of the clustering key (the same
+  *     sketch-based boundary estimation `repartitionByRange` would do,
+  *     but over ~1% of the bytes);
+  *  2. the single FULL scan computes the key with the custom Catalyst
+  *     expression [[graft.expr.ZOrderKey]], assigns each row its
+  *     quantile bin, and [[ExactShuffle.repartitionByBin]] moves it in
+  *     one hash shuffle to exactly its bin's partition (no
+  *     RangePartitioning sample job — that would decode every image
+  *     TWICE);
+  *  3. sortWithinPartitions(zkey, tiebreak) + write: ~targetFileBytes
+  *     files whose narrow per-file phash ranges land in the rewritten
+  *     manifests and drive scan pruning.
   *
   * Skew: phash is heavily skewed (near-duplicate clusters — by design in
-  * the synthetic data, and in any real image corpus). Range-partitioning
-  * on zkey alone would put every near-dup in one reducer. The uniform
-  * `tiebreak = xxhash64(image_id)` as the SECOND range key splits zkey
-  * ties across partitions — salting built into the sort key, with AQE
-  * left on as the runtime backstop.
+  * the synthetic data, and in any real image corpus). Fixed-width zkey
+  * ranges would put every near-dup in one reducer; quantile-derived bins
+  * adapt the boundaries to the observed distribution, and the uniform
+  * xxhash64(image_id) bits interleaved INTO the zkey break pure-tie mass
+  * apart (salting built into the key), with AQE as the runtime backstop.
   */
 class ClusterJob(
     table: QTable,
@@ -39,23 +49,79 @@ class ClusterJob(
       .map { case (name, fs) => Plan(name, fs) }
   }
 
+  private def jobType = if (hilbert) "cluster-hilbert" else "cluster-zorder"
+
+  /** Quantile grid resolution for bin boundaries (boundaries for nOut
+    * bins are read off the grid, so one pass serves every group). */
+  private val QuantileGrid = 128
+
+  /** ONE column-pruned pass over the whole snapshot computes a per-group
+    * zkey quantile grid: scan only (pbucket, phash, w, h, image_id) —
+    * never the fat `bytes` column — and aggregate percentile sketches
+    * grouped by rewrite group. Per-group boundary jobs would cost one
+    * extra Spark job per group; this is O(1) jobs regardless of group
+    * count, the kind of constant that matters with 10^5 groups at
+    * 100 TB. */
+  private def boundsByGroup(plans: Seq[Plan]): Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions.{percentile_approx => pctApprox}
+    val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
+    // pbucket -> group name (groups are contiguous bucket ranges)
+    val groupOfBucket = lit(null).cast("string")
+    val groupExpr = plans.foldLeft(groupOfBucket) { (acc, p) =>
+      val lo = p.inputs.map(_.pbucketMin).min
+      val hi = p.inputs.map(_.pbucketMax).max
+      when(col("pbucket").between(lo, hi), lit(p.group)).otherwise(acc)
+    }
+    val grid = (1 until QuantileGrid).map(_.toDouble / QuantileGrid).toArray
+    val rows = table.readFiles(plans.flatMap(_.inputs.map(_.path)))
+      .select(groupExpr.as("g"), zkeyCol.as("zkey"))
+      .groupBy("g")
+      .agg(pctApprox(col("zkey"), lit(grid), lit(10000)).as("q"))
+      .collect()
+    rows.map(r => r.getString(0) ->
+      r.getSeq[Long](1).toArray).toMap
+  }
+
   def run(failAfterGroups: Int = Int.MaxValue): Snapshot = {
     val snap = table.currentSnapshot
     val plans = plan(snap)
     if (plans.isEmpty) return snap
 
     val ckpt = new Checkpoint(table, jobId)
-    val outputs = GroupRunner.run[Plan](plans, _.group, ckpt.committed,
-      failAfterGroups, concurrency) { p =>
+    val tB0 = System.nanoTime()
+    val grids = boundsByGroup(plans)
+    if (sys.env.contains("GRAFT_TIMING"))
+      System.err.println(f"[timing] cluster-bounds ${(System.nanoTime() - tB0) / 1e9}%6.2fs")
+    val outputs = GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path),
+      ckpt.committed, failAfterGroups, concurrency,
+      onFailure = gf => ckpt.commit(LineageEntry(jobId, jobType, gf.group,
+        Nil, Nil, 0L, 0L, "failed", gf.attempts))) { p =>
       val dir = table.newDataDir(jobId, p.group)
       cleanDir(dir)
       val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
-      val df = table.readFiles(p.inputs.map(_.path))
-        .withColumn("zkey", imageZKey(col("phash"), col("w"), col("h"),
-          col("image_id"), hilbert))
+      val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
+      val keyed = table.readFiles(p.inputs.map(_.path))
+        .withColumn("zkey", zkeyCol)
         .withColumn("tiebreak", xxhash64(col("image_id")))
+
       val t0 = System.nanoTime()
-      df.repartitionByRange(nOut, col("zkey"), col("tiebreak"))
+      val clustered =
+        if (nOut == 1) keyed.coalesce(1)
+        else {
+          // boundaries for nOut bins read off the precomputed grid (or a
+          // direct per-group quantile job for the rare nOut > grid case)
+          val bounds: Seq[Long] =
+            if (nOut <= QuantileGrid)
+              (1 until nOut).map(i => grids(p.group)(i * QuantileGrid / nOut - 1))
+            else table.readFiles(p.inputs.map(_.path))
+              .select(zkeyCol.as("zkey"))
+              .stat.approxQuantile("zkey", (1 until nOut).map(_.toDouble / nOut).toArray, 0.001)
+              .map(_.toLong).toSeq
+          ExactShuffle.repartitionByBin(
+            keyed.withColumn("__bin", ExactShuffle.binByBounds(col("zkey"), bounds)),
+            nOut, col("__bin")).drop("__bin")
+        }
+      clustered
         .sortWithinPartitions(col("zkey"), col("tiebreak"))
         .drop("zkey", "tiebreak")
         .write.parquet(dir)
@@ -67,7 +133,7 @@ class ClusterJob(
         System.err.println(f"[timing] cluster ${p.group}%-8s files=${p.inputs.size}%3d " +
           f"bytes=${p.bytes / (1 << 20)}%5d MiB nOut=$nOut%3d " +
           f"write=${(t1 - t0) / 1e9}%7.2fs harvest=${(t2 - t1) / 1e9}%6.2fs")
-      val entry = LineageEntry(jobId, if (hilbert) "cluster-hilbert" else "cluster-zorder",
+      val entry = LineageEntry(jobId, jobType,
         p.group, p.inputs.map(_.path), files,
         files.map(_.rowCount).sum, files.map(_.byteCount).sum,
         "committed", attempt = 1)
@@ -75,11 +141,13 @@ class ClusterJob(
       entry
     }
 
-    table.commit(Some(snap), if (hilbert) "cluster-hilbert" else "cluster-zorder",
+    val committed = table.commit(Some(snap), jobType,
       outputs.flatMap(_.outputFiles).toSeq, Map(
         "job-id" -> jobId,
         "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
         "groups" -> plans.size.toString))
+    ckpt.clear()
+    committed
   }
 
   private def cleanDir(dir: String): Unit = {

@@ -3,16 +3,20 @@ package graft.jobs
 import graft.format.QTable
 import graft.model._
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.DataFrame
 
 /** Small-file compaction: bin-pack files below the small-file threshold
-  * into ~targetFileBytes outputs, one partition group (pbucket) at a
+  * into ~targetFileBytes outputs, one partition group (pbucket range) at a
   * time, each group checkpointed for idempotent resume.
   *
   * Scale notes (the part that must survive 100 TB):
   *  - planning is pure manifest metadata — no data scan;
-  *  - the rewrite itself is `read(files).coalesce(nOut)` — a SHUFFLE-FREE
-  *    concatenation; compaction never needs a shuffle;
+  *  - the rewrite is a SHUFFLE-FREE scan-and-write: scan splits are sized
+  *    to targetFileBytes (`spark.sql.files.maxPartitionBytes` pinned for
+  *    the job), so every task reads ~target bytes of small files and
+  *    writes exactly one right-sized output file. Parallelism is
+  *    #outputFiles × #concurrent groups — it grows with the data, unlike
+  *    a `coalesce(nOut)` plan whose read parallelism is capped at the
+  *    output file count (the round-1 scaling bug);
   *  - untouched (already-large) files are carried into the new snapshot
   *    by reference, the copy-on-write analogue of the reference skipping
   *    re-compression of already-gzipped blobs
@@ -54,38 +58,43 @@ class CompactJob(
     if (plans.isEmpty) return snap
 
     val ckpt = new Checkpoint(table, jobId)
-    val outputs = GroupRunner.run[Plan](plans, _.group, ckpt.committed,
-      failAfterGroups, concurrency) { p =>
-      val dir = table.newDataDir(jobId, p.group)
-      cleanDir(dir) // crashed partial attempt is overwritten
-      val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
-      val df: DataFrame = table.readFiles(p.inputs.map(_.path))
-      val t0 = System.nanoTime()
-      df.coalesce(nOut).write.parquet(dir)
-      val t1 = System.nanoTime()
-      val files = table.harvest(dir)
-      val t2 = System.nanoTime()
-      Timing.record("compact", p.group, (t1 - t0) / 1e9)
-      if (sys.env.contains("GRAFT_TIMING"))
-        System.err.println(f"[timing] compact ${p.group}%-8s files=${p.inputs.size}%3d " +
-          f"bytes=${p.bytes / (1 << 20)}%5d MiB nOut=$nOut%3d " +
-          f"write=${(t1 - t0) / 1e9}%7.2fs harvest=${(t2 - t1) / 1e9}%6.2fs")
-      val entry = LineageEntry(jobId, "compact", p.group,
-        p.inputs.map(_.path), files,
-        files.map(_.rowCount).sum, files.map(_.byteCount).sum,
-        "committed", attempt = 1)
-      ckpt.commit(entry)
-      entry
+    val outputs = JobPlanning.withScanSplitBytes(table.spark, targetFileBytes) {
+      GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path), ckpt.committed,
+        failAfterGroups, concurrency,
+        onFailure = gf => ckpt.commit(LineageEntry(jobId, "compact", gf.group,
+          Nil, Nil, 0L, 0L, "failed", gf.attempts))) { p =>
+        val dir = table.newDataDir(jobId, p.group)
+        cleanDir(dir) // crashed partial attempt is overwritten
+        val df = table.readFiles(p.inputs.map(_.path))
+        val t0 = System.nanoTime()
+        df.write.parquet(dir)
+        val t1 = System.nanoTime()
+        val files = table.harvest(dir)
+        val t2 = System.nanoTime()
+        Timing.record("compact", p.group, (t1 - t0) / 1e9)
+        if (sys.env.contains("GRAFT_TIMING"))
+          System.err.println(f"[timing] compact ${p.group}%-8s files=${p.inputs.size}%3d " +
+            f"bytes=${p.bytes / (1 << 20)}%5d MiB nOut=${files.size}%3d " +
+            f"write=${(t1 - t0) / 1e9}%7.2fs harvest=${(t2 - t1) / 1e9}%6.2fs")
+        val entry = LineageEntry(jobId, "compact", p.group,
+          p.inputs.map(_.path), files,
+          files.map(_.rowCount).sum, files.map(_.byteCount).sum,
+          "committed", attempt = 1)
+        ckpt.commit(entry)
+        entry
+      }
     }
 
     val rewrittenInputs = plans.flatMap(_.inputs.map(_.path)).toSet
     val untouched = table.entries(snap).filterNot(f => rewrittenInputs.contains(f.path))
     val newFiles = untouched ++ outputs.flatMap(_.outputFiles)
-    table.commit(Some(snap), "compact", newFiles, Map(
+    val committed = table.commit(Some(snap), "compact", newFiles, Map(
       "job-id" -> jobId,
       "files-rewritten" -> rewrittenInputs.size.toString,
       "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
       "groups" -> plans.size.toString))
+    ckpt.clear() // finished jobIds must not be resumable against later snapshots
+    committed
   }
 
   private def cleanDir(dir: String): Unit = {

@@ -1,19 +1,28 @@
 package graft.jobs
 
 import graft.format.QTable
-
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Snapshot expiry: retain the most recent `keepLast` snapshots, delete
   * version files, manifests, and data files reachable ONLY from expired
   * snapshots. The current version pointer is never touched, so readers of
   * retained snapshots are unaffected (snapshot isolation holds for the
   * retained window).
+  *
+  * All deletes go through the Hadoop FileSystem resolved per path — the
+  * same abstraction every rewrite job writes through — so expiry works on
+  * any FS the data files live on, not just the local one.
   */
 class ExpireSnapshotsJob(table: QTable) {
 
   final case class Result(expiredVersions: Seq[Long], deletedDataFiles: Int,
       deletedManifests: Int)
+
+  private def delete(pathStr: String): Boolean = {
+    val hp = new HPath(pathStr)
+    val fs = hp.getFileSystem(table.hadoopConf)
+    fs.exists(hp) && fs.delete(hp, false)
+  }
 
   def run(keepLast: Int): Result = {
     require(keepLast >= 1, "must retain at least the current snapshot")
@@ -33,20 +42,17 @@ class ExpireSnapshotsJob(table: QTable) {
         if (!liveManifests.contains(m.path)) {
           val entries = table.readManifest(m).files
           entries.foreach { f =>
-            if (!liveFiles.contains(f.path)) {
-              val p = Paths.get(f.path)
-              if (Files.deleteIfExists(p)) dataDeleted += 1
-            }
+            if (!liveFiles.contains(f.path) && delete(f.path)) dataDeleted += 1
           }
         }
       }
       // second pass so shared manifests keep their files until unreferenced
       s.manifests.foreach { m =>
         if (!liveManifests.contains(m.path)) {
-          if (Files.deleteIfExists(table.metadataDir.resolve(m.path))) manifestsDeleted += 1
+          if (delete(table.metadataDir.resolve(m.path).toString)) manifestsDeleted += 1
         }
       }
-      Files.deleteIfExists(table.metadataDir.resolve(s"v$v.json"))
+      delete(table.metadataDir.resolve(s"v$v.json").toString)
     }
     Result(expired, dataDeleted, manifestsDeleted)
   }

@@ -5,6 +5,22 @@ import graft.model.LineageEntry
 import java.util.concurrent.Executors
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
+
+/** One group failed after all retry attempts. */
+final case class GroupFailure(group: String, attempts: Int, error: Throwable)
+
+/** Raised AFTER every sibling group has run to completion: failed groups
+  * are isolated (the reference's `asyncio.gather(return_exceptions=True)`,
+  * `eodhd_processor.py:117`), their lineage is recorded `failed`, and the
+  * job exits non-zero WITHOUT committing a snapshot. A resume with the
+  * same jobId skips committed groups and retries only the failed ones. */
+class GroupsFailedException(val failures: Seq[GroupFailure])
+    extends RuntimeException(
+      s"${failures.size} group(s) failed: " +
+        failures.map(f => s"${f.group} (${f.attempts} attempts: ${f.error.getMessage})")
+          .mkString("; "),
+      failures.head.error)
 
 /** Runs a job's partition groups, skipping checkpoint-committed ones.
   *
@@ -15,40 +31,84 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   * semaphore-bounded fan-out the reference uses for its work lists,
   * `eodhd_processor.py:236-248`, re-expressed over Spark jobs).
   *
+  * Failure semantics (reference D2-D5, SURVEY §2.7):
+  *  - per-group retry with exponential backoff (tenacity analogue,
+  *    `base_api_client.py:25-30`);
+  *  - a group that exhausts retries does NOT kill siblings; `onFailure`
+  *    records its `failed` lineage and the job throws
+  *    [[GroupsFailedException]] at the end (swallow-log-continue,
+  *    `eodhd_processor.py:107-109`, upgraded to durable lineage).
+  *
+  * Checkpoint reuse is validated against the CURRENT plan's input files:
+  * a lineage entry written by an earlier run of the same jobId over a
+  * different snapshot (different inputs) is stale and is re-run, never
+  * silently reused.
+  *
   * `failAfterGroups` (test hook for kill/resume specs) forces sequential
-  * execution so "crash after k commits" is well-defined.
+  * execution so "crash after k commits" is well-defined; a simulated
+  * crash is a driver death, not a group failure — no retry, no isolation.
   */
 object GroupRunner {
 
   def run[P](
       plans: Seq[P],
       groupOf: P => String,
+      inputsOf: P => Seq[String],
       already: Map[String, LineageEntry],
       failAfterGroups: Int,
-      concurrency: Int)(rewrite: P => LineageEntry): Seq[LineageEntry] = {
+      concurrency: Int,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 100L,
+      onFailure: GroupFailure => Unit = _ => ())(
+      rewrite: P => LineageEntry): Seq[LineageEntry] = {
 
-    val (done, todo) = plans.partition(p => already.contains(groupOf(p)))
-    val reused = done.map(p => already(groupOf(p)))
+    def reusable(p: P): Option[LineageEntry] =
+      already.get(groupOf(p)).filter(_.inputFiles.toSet == inputsOf(p).toSet)
 
-    val fresh: Seq[LineageEntry] =
+    val (done, todo) = plans.partition(p => reusable(p).isDefined)
+    val reused = done.map(p => reusable(p).get)
+
+    def withRetry(p: P): Try[LineageEntry] = {
+      var attempt = 1
+      var last: Try[LineageEntry] = Try(rewrite(p))
+      while (last.isFailure && attempt < maxAttempts) {
+        Thread.sleep(backoffMs << (attempt - 1)) // exp backoff
+        attempt += 1
+        last = Try(rewrite(p))
+      }
+      last match {
+        case Failure(e) =>
+          val gf = GroupFailure(groupOf(p), attempt, e)
+          onFailure(gf)
+          Failure(e)
+        case ok => ok
+      }
+    }
+
+    val attempted: Seq[(String, Try[LineageEntry])] =
       if (failAfterGroups != Int.MaxValue) {
         // deterministic sequential mode for crash-injection tests
         todo.zipWithIndex.map { case (p, i) =>
           if (i >= failAfterGroups)
             throw new RuntimeException(s"[test-hook] simulated crash after $i groups")
-          rewrite(p)
+          groupOf(p) -> Try(rewrite(p))
         }
       } else if (todo.size <= 1 || concurrency <= 1) {
-        todo.map(rewrite)
+        todo.map(p => groupOf(p) -> withRetry(p))
       } else {
         val pool = Executors.newFixedThreadPool(math.min(concurrency, todo.size))
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         try {
-          val futs = todo.map(p => Future(rewrite(p)))
+          val futs = todo.map(p => Future(groupOf(p) -> withRetry(p)))
           Await.result(Future.sequence(futs), Duration.Inf)
         } finally pool.shutdown()
       }
 
-    reused ++ fresh
+    val failures = attempted.collect { case (g, Failure(e)) =>
+      GroupFailure(g, maxAttempts, e)
+    }
+    if (failures.nonEmpty) throw new GroupsFailedException(failures)
+
+    reused ++ attempted.collect { case (_, Success(e)) => e }
   }
 }

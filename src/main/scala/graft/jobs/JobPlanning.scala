@@ -1,9 +1,33 @@
 package graft.jobs
 
 import graft.model.DataFileEntry
+import org.apache.spark.sql.SparkSession
 
 /** Shared planning helpers for the maintenance jobs. */
 object JobPlanning {
+
+  /** Pin Parquet scan splits to `bytes` for the duration of `body` (and
+    * restore the session confs after): every scan task then covers
+    * ~`bytes` of input regardless of core count, which makes a plain
+    * scan-and-write produce target-sized files with task parallelism
+    * proportional to data size. openCost is floored low because inputs
+    * are many small files, and minPartitionNum is pinned to 1 so
+    * `totalBytes/defaultParallelism` can never shrink splits below the
+    * target on a big cluster (which would re-fragment the output). */
+  def withScanSplitBytes[T](spark: SparkSession, bytes: Long)(body: => T): T = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes", "spark.sql.files.minPartitionNum")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
+    conf.set("spark.sql.files.openCostInBytes", (64L << 10).toString)
+    conf.set("spark.sql.files.minPartitionNum", "1")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 
   /** Coalesce per-bucket file groups into rewrite groups that each carry
     * at least ~4x the target file size (so one group = one Spark job

@@ -12,6 +12,11 @@ import org.apache.spark.sql.DataFrame
   * deterministic-path last-writer-wins upsert, SURVEY §2.2 K5 and EP2):
   *   WHEN MATCHED THEN UPDATE SET caption = source.caption
   *   WHEN NOT MATCHED THEN INSERT (full row)
+  * A source with more than one row per image_id is rejected up front
+  * (ANSI MERGE's multi-match error): a distributed DataFrame has no row
+  * order, so "last" writer is undefined — a caller wanting last-wins
+  * resolves it first with a row_number window over an explicit sequence
+  * column (the q11 operator).
   *
   * Copy-on-write: only data files that actually contain a matched
   * image_id are rewritten; every other file is carried into the new
@@ -25,12 +30,17 @@ class MergeJob(
     concurrency: Int = 4) {
 
   def run(source0: DataFrame, failAfterGroups: Int = Int.MaxValue): Snapshot = {
-    val spark = table.spark
     val snap = table.currentSnapshot
     val all = table.entries(snap)
 
     val source = source0.cache()
     val srcCount = source.count()
+    // empty source: commit nothing, current snapshot is already correct
+    if (srcCount == 0) { source.unpersist(); return snap }
+    // ANSI MERGE multi-match check: one source row per key or error
+    val dupKeys = source.groupBy("image_id").count().where(col("count") > 1).count()
+    require(dupKeys == 0,
+      s"MERGE source has $dupKeys duplicated image_id(s); resolve last-wins upstream")
 
     // 1. prune candidate files by image_id range overlap with the source
     val srcIdBounds = source.agg(min("image_id"), max("image_id")).head()
@@ -68,7 +78,9 @@ class MergeJob(
       source.select(col("image_id"), col("caption").as("_new_caption")))
 
     val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
-      groups, _._1, already, failAfterGroups, concurrency) { case (group, files) =>
+      groups, _._1, _._2.map(_.path), already, failAfterGroups, concurrency,
+      onFailure = gf => ckpt.commit(LineageEntry(jobId, "merge", gf.group,
+        Nil, Nil, 0L, 0L, "failed", gf.attempts))) { case (group, files) =>
       val dir = table.newDataDir(jobId, group)
       cleanDir(dir)
       val df = table.readFiles(files.map(_.path))
@@ -84,7 +96,9 @@ class MergeJob(
       entry
     }
 
-    // 5. write inserts as new files in their hash buckets
+    // 5. write inserts as new files in their hash buckets; repartition by
+    //    bucket so a large insert batch spreads over the cluster (AQE
+    //    coalesces the shuffle down to a few files when the batch is tiny)
     val outputs = scala.collection.mutable.ArrayBuffer[LineageEntry](rewritten: _*)
     if (insertCount > 0) {
       val group = "inserts"
@@ -97,7 +111,8 @@ class MergeJob(
             .withColumn("pbucket",
               pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int"))
             .select(ImageRow.storedSchema.fieldNames.map(col): _*)
-            .coalesce(1).write.parquet(dir)
+            .repartition(col("pbucket"))
+            .write.parquet(dir)
           val out = table.harvest(dir)
           val entry = LineageEntry(jobId, "merge", group, Nil, out,
             out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
@@ -109,12 +124,15 @@ class MergeJob(
     val affectedPaths = affected.map(_.path).toSet
     val untouched = all.filterNot(f => affectedPaths.contains(f.path))
     source.unpersist(); inserts.unpersist()
-    table.commit(Some(snap), "merge", untouched ++ outputs.flatMap(_.outputFiles), Map(
-      "job-id" -> jobId,
-      "source-rows" -> srcCount.toString,
-      "rows-updated" -> (srcCount - insertCount).toString,
-      "rows-inserted" -> insertCount.toString,
-      "files-rewritten" -> affected.size.toString))
+    val committed = table.commit(Some(snap), "merge",
+      untouched ++ outputs.flatMap(_.outputFiles), Map(
+        "job-id" -> jobId,
+        "source-rows" -> srcCount.toString,
+        "rows-updated" -> (srcCount - insertCount).toString,
+        "rows-inserted" -> insertCount.toString,
+        "files-rewritten" -> affected.size.toString))
+    ckpt.clear()
+    committed
   }
 
   /** Data file names are UUID-unique (Spark part files), so matching on

@@ -25,6 +25,55 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Portable 60-bit hash usable as an EXACT cross-engine oracle: the
+    * first 15 hex chars of md5, parsed as an integer. Spark's native
+    * xxhash64 has no DuckDB equivalent (the round-1 reason q13/q14 had
+    * no oracle); md5 is standardized everywhere. 60 bits keeps the value
+    * positive in a signed 64-bit integer on both engines. */
+  private def mdHash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL for the same hash. */
+  private def mdHash64Sql(expr: String): String =
+    s"('0x' || substr(md5($expr),1,15))::BIGINT"
+
+  /** 3-word shingles of `text`, identically on both engines (slice
+    * clamps below 3 words the same way on both). */
+  private def shingles(c: org.apache.spark.sql.Column) = {
+    val words = split(c, " ")
+    transform(
+      sequence(lit(0), greatest(size(words) - 3, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(3))))
+  }
+
+  private val shinglesSqlCte: String =
+    """w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+      |  i -> array_to_string(ws[i:i+2],' '))) AS sh FROM w)""".stripMargin
+
+  /** MinHash signatures (8 hashes over 3-word shingles) per doc_id —
+    * shared by q13 (signatures/band keys) and q22 (candidate pairs). */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sigCols = (0 until 8).map(k =>
+      min(mdHash64(concat(lit(s"$k:"), col("sh")))).as(s"sig$k"))
+    d.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private val minhashSigsSqlCte: String = {
+    val sigs = (0 until 8).map(k =>
+      s"min(${mdHash64Sql(s"'$k:' || sh")}) AS sig$k").mkString(", ")
+    s"""$shinglesSqlCte,
+       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  private def bandKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    mdHash64(concat(a.cast("string"), lit("_"), b.cast("string")))
+
+  private def bandKeySql(a: String, b: String): String =
+    mdHash64Sql(s"$a || '_' || $b")
+
   // ---------------------------------------------------------------- q01
   /** Manifest-stats shaped aggregation (SURVEY §2.5): per-group count,
     * sums, min/max — the exact shape of per-file stats harvesting. */
@@ -145,26 +194,32 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q07
-  /** Bin-packing plan as a query: cumulative-bytes window => bin id
-    * (CompactJob's planner expressed relationally). */
+  /** Bin-packing plan as a query: PER-PARTITION cumulative-bytes window
+    * => bin id (CompactJob's planner expressed relationally). The window
+    * is partitioned by the bucket key, mirroring how the engine packs
+    * within each pbucket — an unpartitioned window would move the whole
+    * dataset to one task (the round-1 scale bug; `WindowExec: No
+    * Partition Defined` warnings). */
   def q07BinpackPlan(s: SparkSession, dir: String): DataFrame = {
-    val files = t(s, dir, "lineitem").groupBy("l_partkey")
+    val files = t(s, dir, "lineitem")
+      .groupBy(pmod(col("l_partkey"), lit(16)).cast("int").as("pbucket"),
+        col("l_partkey").as("file_id"))
       .agg(sum((col("l_quantity") * 100).cast("long")).as("bytes"))
-    val w = Window.orderBy("l_partkey")
+    val w = Window.partitionBy("pbucket").orderBy("file_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     files.select(
-      col("l_partkey").as("file_id"), col("bytes"),
+      col("pbucket"), col("file_id"), col("bytes"),
       floor((sum("bytes").over(w) - col("bytes")).cast("double") / lit(50000.0))
         .cast("long").as("bin"))
   }
 
   val q07Sql: String =
     """WITH files AS (
-      |  SELECT l_partkey AS file_id,
+      |  SELECT CAST(l_partkey % 16 AS INT) AS pbucket, l_partkey AS file_id,
       |         CAST(SUM(CAST(l_quantity*100 AS BIGINT)) AS BIGINT) AS bytes
-      |  FROM lineitem GROUP BY 1)
-      |SELECT file_id, bytes,
-      |  CAST(FLOOR(CAST(SUM(bytes) OVER (ORDER BY file_id
+      |  FROM lineitem GROUP BY 1,2)
+      |SELECT pbucket, file_id, bytes,
+      |  CAST(FLOOR(CAST(SUM(bytes) OVER (PARTITION BY pbucket ORDER BY file_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes AS DOUBLE)
       |    / 50000.0) AS BIGINT) AS bin
       |FROM files""".stripMargin
@@ -264,29 +319,33 @@ object Queries {
 
   // ---------------------------------------------------------------- q13
   /** MinHash signatures + LSH band keys per document (near-dup dedup
-    * plumbing; no SQL oracle — Spark's xxhash64 is engine-specific). */
+    * plumbing). Hashing is the portable md5-derived 60-bit hash so the
+    * whole pipeline is EXACTLY oracle-checkable in DuckDB. */
   def q13MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val shingles = transform(
-      sequence(lit(0), greatest(size(words) - 3, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(3))))
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles).as("sh"))
-    val sigCols = (0 until 8).map(k => min(xxhash64(lit(k), col("sh"))).as(s"sig$k"))
-    val sig = d.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = minhashSigs(s, dir)
     sig.select(col("doc_id"),
-      xxhash64(col("sig0"), col("sig1")).as("band0"),
-      xxhash64(col("sig2"), col("sig3")).as("band1"),
-      xxhash64(col("sig4"), col("sig5")).as("band2"),
-      xxhash64(col("sig6"), col("sig7")).as("band3"))
+      bandKey(col("sig0"), col("sig1")).as("band0"),
+      bandKey(col("sig2"), col("sig3")).as("band1"),
+      bandKey(col("sig4"), col("sig5")).as("band2"),
+      bandKey(col("sig6"), col("sig7")).as("band3"))
   }
 
+  val q13Sql: String =
+    s"""WITH $minhashSigsSqlCte
+       |SELECT doc_id,
+       |  ${bandKeySql("sig0", "sig1")} AS band0,
+       |  ${bandKeySql("sig2", "sig3")} AS band1,
+       |  ${bandKeySql("sig4", "sig5")} AS band2,
+       |  ${bandKeySql("sig6", "sig7")} AS band3
+       |FROM sig""".stripMargin
+
   // ---------------------------------------------------------------- q14
-  /** SimHash (32-bit) per document via word-hash bit majority. */
+  /** SimHash (32-bit) per document via word-hash bit majority, portable
+    * hash => exact DuckDB oracle. */
   def q14SimHash(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", mdHash64(col("word")))
     val bitSums = (0 until 32).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$b")
@@ -296,6 +355,17 @@ object Queries {
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  val q14Sql: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val simhash = (0 until 32).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, ${mdHash64Sql("word")} AS h FROM words),
+       |agg AS (SELECT doc_id, $bitSums FROM h GROUP BY 1)
+       |SELECT doc_id, CAST($simhash AS BIGINT) AS simhash FROM agg""".stripMargin
   }
 
   // ---------------------------------------------------------------- q15
@@ -321,28 +391,47 @@ object Queries {
       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- q16
-  /** IVF-style bucketed approximate kNN: coarse-quantize vectors into
-    * sign-bit cells (first 3 dims), search only the query's cell — the
-    * scale path next to q12's brute force. At 10^9+ vectors the cell
-    * column is a table partition key and the probe prunes all other
-    * cells via manifest stats. */
+  private def ivfCell(c: org.apache.spark.sql.Column) =
+    (when(element_at(c, 1) > 0f, 4).otherwise(0) +
+      when(element_at(c, 2) > 0f, 2).otherwise(0) +
+      when(element_at(c, 3) > 0f, 1).otherwise(0)).cast("int")
+
+  /** Build-once IVF index: embeddings re-laid-out partitioned by coarse
+    * cell (sign bits of the first 3 dims). At 10^9+ vectors this is the
+    * stored layout and a probe reads ~1/8 of the table. */
+  def ivfIndexDir(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_SUCCESS"))) {
+      t(s, dir, "embeddings")
+        .withColumn("cell", ivfCell(col("embedding")))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(idx)
+    }
+    idx
+  }
+
+  /** IVF-style bucketed approximate kNN over the cell-partitioned index:
+    * the probe resolves the query's cell, then scans ONLY that cell's
+    * files — Hive-style partition pruning does the manifest-level skip
+    * (PlanSpec asserts the scan reads 1/8 of the files). This is the
+    * scale path next to q12's brute force. */
   def q16KnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    def cell(c: org.apache.spark.sql.Column) =
-      (when(element_at(c, 1) > 0f, 4).otherwise(0) +
-        when(element_at(c, 2) > 0f, 2).otherwise(0) +
-        when(element_at(c, 3) > 0f, 1).otherwise(0)).cast("int")
-    val q = e.where(col("vec_id") === 0)
+    val idx = ivfIndexDir(s, dir)
+    val qRow = t(s, dir, "embeddings").where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qv"),
-        cell(col("embedding")).as("qcell"))
+        ivfCell(col("embedding")).as("qcell"))
+      .head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qcell = qRow.getInt(1)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val ed = col("embedding").cast("array<double>")
-    e.withColumn("cell", cell(col("embedding")))
-      .crossJoin(broadcast(q))
-      .where(col("vec_id") =!= 0 && col("cell") === col("qcell"))
+    val qvc = lit(qv)
+    s.read.parquet(idx)
+      .where(col("cell") === qcell && col("vec_id") =!= 0)
       .select(col("vec_id"), col("cell"),
-        round(dot(ed, col("qv")) / (sqrt(dot(ed, ed)) * sqrt(dot(col("qv"), col("qv")))), 4)
+        round(dot(ed, qvc) / (sqrt(dot(ed, ed)) * sqrt(dot(qvc, qvc))), 4)
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
@@ -371,8 +460,10 @@ object Queries {
 
   // ---------------------------------------------------------------- q17
   /** Hilbert-curve key (the Z-order alternative) over the same keys as
-    * q06 — rows-only check (the Skilling transform has no concise ANSI
-    * SQL form). */
+    * q06. The oracle is the Skilling transform unrolled into 20 chained
+    * CTEs of pure bit arithmetic (generated below from the same loop
+    * structure as [[graft.expr.ZOrder.hilbert3]]), so the custom Catalyst
+    * expression is EXACTLY hash-checked against DuckDB. */
   def q17HilbertKey(s: SparkSession, dir: String): DataFrame = {
     val m = lit(1L << 21)
     t(s, dir, "lineitem").select(
@@ -382,11 +473,241 @@ object Queries {
         pmod(col("l_orderkey"), m)).as("hkey"))
   }
 
+  val q17Sql: String = {
+    val keys = "l_orderkey, l_linenumber"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH s0 AS (SELECT $keys,
+         | (l_partkey % 2097152) AS x0_0, (l_suppkey % 2097152) AS x1_0,
+         | (l_orderkey % 2097152) AS x2_0 FROM lineitem)""".stripMargin)
+    // Skilling "inverse undo" loop, q = 2^20 .. 2, one CTE per step;
+    // within a step the i=0,1,2 sub-updates chain via lateral aliases.
+    var j = 0
+    for (k <- 20 to 1 by -1) {
+      val q = 1L << k; val p = q - 1
+      val pj = j; j += 1
+      sb.append(s""",
+        |s$j AS (SELECT $keys,
+        | CASE WHEN (x0_$pj & $q) != 0 THEN xor(x0_$pj, $p) ELSE x0_$pj END AS a_$j,
+        | CASE WHEN (x1_$pj & $q) != 0 THEN 0 ELSE (xor(a_$j, x1_$pj) & $p) END AS t1_$j,
+        | CASE WHEN (x1_$pj & $q) != 0 THEN xor(a_$j, $p) ELSE xor(a_$j, t1_$j) END AS b_$j,
+        | xor(x1_$pj, t1_$j) AS x1_$j,
+        | CASE WHEN (x2_$pj & $q) != 0 THEN 0 ELSE (xor(b_$j, x2_$pj) & $p) END AS t2_$j,
+        | CASE WHEN (x2_$pj & $q) != 0 THEN xor(b_$j, $p) ELSE xor(b_$j, t2_$j) END AS x0_$j,
+        | xor(x2_$pj, t2_$j) AS x2_$j
+        | FROM s$pj)""".stripMargin)
+    }
+    // Gray encode: X1 ^= X0; X2 ^= (new) X1
+    sb.append(s""",
+      |g AS (SELECT $keys, x0_$j AS g0, xor(x1_$j, x0_$j) AS g1,
+      | xor(x2_$j, xor(x1_$j, x0_$j)) AS g2 FROM s$j)""".stripMargin)
+    // t = xor-fold of (q-1) over set bits q=2..2^20 of g2, then X ^= t
+    val tExpr = (1 to 20).map { k =>
+      val q = 1L << k
+      s"(CASE WHEN (g2 & $q) != 0 THEN ${q - 1} ELSE 0 END)"
+    }.reduce((a, b) => s"xor($a, $b)")
+    sb.append(s""",
+      |f AS (SELECT $keys, $tExpr AS t,
+      | xor(g0, t) AS f0, xor(g1, t) AS f1, xor(g2, t) AS f2 FROM g)""".stripMargin)
+    // gather: bit b of f0 -> 3b+2, f1 -> 3b+1, f2 -> 3b
+    val gather = (0 until 21).flatMap { b =>
+      Seq(s"(((f0 >> $b) & 1) << ${3 * b + 2})",
+        s"(((f1 >> $b) & 1) << ${3 * b + 1})",
+        s"(((f2 >> $b) & 1) << ${3 * b})")
+    }.mkString(" | ")
+    sb.append(s"\nSELECT $keys, CAST($gather AS BIGINT) AS hkey FROM f")
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** JSON payload operators over the events.props JSON column — the
+    * reference's core abstraction is a JSON payload in a typed envelope
+    * (`json_objects.py:11-13`, `eodhd_models.py:15-20` to_json; SURVEY
+    * §1.1): get_json_object path extraction, from_json with a DECLARED
+    * schema (validate, never infer), and to_json re-wrapping. */
+  def q18JsonPayload(s: SparkSession, dir: String): DataFrame = {
+    val parsed = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+      parsed.getField("k").cast("long").as("k_parsed"),
+      to_json(struct(col("event_type").as("t"), col("user_id").as("u")))
+        .as("payload"))
+  }
+
+  val q18Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+      |  '{"t":"' || event_type || '","u":' || user_id || '}' AS payload
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** CSV preview source with validated header (reference S5 + P7:
+    * `base_csv_client.py:20-24` 15-row preview, ISO-8859-1, configurable
+    * delimiter; `hargreaves_lansdown_models.py:24-46` required-column
+    * superset check — validate, never infer). The CSV is materialized
+    * from the documents table (deterministic content), read back with a
+    * DECLARED schema, header checked, first 15 rows returned. */
+  val q19CsvDir = s"${System.getProperty("java.io.tmpdir")}/graft_q19_csv"
+
+  def q19CsvPreview(s: SparkSession, dir: String): DataFrame = {
+    // materialize a deterministic single-file CSV fixture (sorted rows)
+    t(s, dir, "documents").where(col("doc_id") < 40)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id").coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", ";")
+      .option("encoding", "ISO-8859-1")
+      .csv(q19CsvDir)
+    // header validation at a known offset: required columns must be a
+    // subset of the actual header (raise on miss, like the reference)
+    val header = s.read.text(q19CsvDir).limit(1)
+      .collect().head.getString(0).split(";").toSet
+    val required = Set("doc_id", "lang", "n_chars")
+    require(required.subsetOf(header),
+      s"CSV header missing required columns: ${required.diff(header)}")
+    // preview read: declared schema (never inferred), encoding+delimiter
+    // options, bounded to 15 rows
+    s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .option("header", "true").option("sep", ";")
+      .option("encoding", "ISO-8859-1")
+      .csv(q19CsvDir)
+      .limit(15)
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  val q19Sql: String =
+    s"""SELECT doc_id, lang, n_chars
+       |FROM read_csv('$q19CsvDir/*.csv', header=true, delim=';')
+       |LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Date partition transform + time-range pruned scan (reference P11:
+    * every storage path is a `strftime("%Y/%m/%d")` date partition,
+    * `eodhd_models.py:29-32`, and date-range params are its main
+    * pushdown, `eodhd_client.py:52-58`). Events are laid out partitioned
+    * by `days(ts)`; the probe's date-range filter prunes partitions
+    * (PlanSpec asserts the scan reads only in-range directories). */
+  def q20EventsByDayDir(s: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_q20_events_$key"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_SUCCESS"))) {
+      t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(idx)
+    }
+    idx
+  }
+
+  def q20DatePruned(s: SparkSession, dir: String): DataFrame = {
+    val idx = q20EventsByDayDir(s, dir)
+    s.read.parquet(idx)
+      .where(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  val q20Sql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Nested-type source operators (reference S4 Yahoo dict-of-frames +
+    * P3 nested extraction): array slice + positional explode, a MapType
+    * lookup, and nested-struct field extraction, aggregated back. */
+  def q21NestedTypes(s: SparkSession, dir: String): DataFrame = {
+    val first3 = slice(split(col("text"), " "), 1, 3)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        posexplode(first3).as(Seq("pos", "word")))
+      .select(col("word"), (col("pos") + 1).as("pos1"),
+        element_at(map(col("lang"), col("n_chars")), col("lang")).as("nc"),
+        struct(col("lang").as("l"), col("doc_id").as("d")).getField("l").as("lng"))
+      .groupBy("word", "pos1")
+      .agg(count(lit(1)).as("n"),
+        sum("nc").cast("long").as("sum_chars"),
+        countDistinct("lng").as("n_langs"))
+  }
+
+  val q21Sql: String =
+    """WITH w AS (SELECT doc_id, lang, n_chars, string_split(text,' ') AS ws FROM documents),
+      |e AS (SELECT doc_id, lang, n_chars, i AS pos1, ws[i] AS word
+      |      FROM w, LATERAL (SELECT unnest(range(1, least(len(ws),3)+1)) AS i) t),
+      |m AS (SELECT word, pos1,
+      |        map([lang],[n_chars])[lang][1] AS nc,
+      |        {'l': lang, 'd': doc_id}.l AS lng
+      |      FROM e)
+      |SELECT word, CAST(pos1 AS INT) AS pos1, COUNT(*) AS n,
+      |  CAST(SUM(nc) AS BIGINT) AS sum_chars, COUNT(DISTINCT lng) AS n_langs
+      |FROM m GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Near-duplicate detection END-TO-END: MinHash -> LSH band keys ->
+    * band-bucket SELF-JOIN for candidate pairs -> signature-similarity
+    * verdict. Never all-pairs: only docs sharing a band bucket are
+    * compared (the 100 TB-safe shape), and the verdict joins signatures
+    * for candidates only. Exact DuckDB oracle via the portable hash. */
+  def q22LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigs(s, dir).cache()
+    val bands = sig.select(col("doc_id"),
+      explode(map_from_arrays(
+        array(lit(0), lit(1), lit(2), lit(3)),
+        array(bandKey(col("sig0"), col("sig1")), bandKey(col("sig2"), col("sig3")),
+          bandKey(col("sig4"), col("sig5")), bandKey(col("sig6"), col("sig7")))))
+        .as(Seq("band", "bkey")))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+    val sa = sig.toDF(sig.columns.map(_ + "_a").toIndexedSeq: _*)
+    val sb = sig.toDF(sig.columns.map(_ + "_b").toIndexedSeq: _*)
+    val simSigs = (0 until 8).map(k =>
+      when(col(s"sig${k}_a") === col(s"sig${k}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sa, col("doc_a") === col("doc_id_a"))
+      .join(sb, col("doc_b") === col("doc_id_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_bands"),
+        simSigs.cast("int").as("sim_sigs"),
+        (simSigs >= 6).cast("int").as("is_dup"))
+  }
+
+  val q22Sql: String = {
+    val bandRows = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band, ${bandKeySql(s"sig${2 * j}", s"sig${2 * j + 1}")} AS bkey FROM sig")
+      .mkString(" UNION ALL ")
+    val simSigs = (0 until 8).map(k =>
+      s"(CASE WHEN sa.sig$k = sb.sig$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $minhashSigsSqlCte,
+       |bands AS ($bandRows),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_bands,
+       |  CAST($simSigs AS INT) AS sim_sigs,
+       |  CAST(CASE WHEN $simSigs >= 6 THEN 1 ELSE 0 END AS INT) AS is_dup
+       |FROM cand
+       |JOIN sig sa ON cand.doc_a = sa.doc_id
+       |JOIN sig sb ON cand.doc_b = sb.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
-    * the pHash fingerprint. Rows-only (operates on the engine's own
-    * synthetic table, not the shared testdata). */
+    * the pHash fingerprint. Rows-only, but GATED: only rows whose decoded
+    * dims AND recomputed pHash match their stored metadata are emitted —
+    * a broken kernel changes the row count the driver records. */
   def m2ImageFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ImageFunctions._
     val imgs = graft.synth.DataGen.generate(s, 200, 42L, 4).toDF()
@@ -401,6 +722,8 @@ object Queries {
         (col("decoded._1") === col("w") && col("decoded._2") === col("h")).cast("int"))
       .withColumn("phash_match", (col("phash2") === col("phash")).cast("int"))
       .drop("decoded")
+      .where(col("dims_match") === 1 && col("phash_match") === 1 &&
+        col("thumb_bytes") > 0)
   }
 
   // ------------------------------------------------------------ registry
@@ -418,12 +741,17 @@ object Queries {
     "q10_quality_score" -> ((q10QualityScore _, q10Sql)),
     "q11_lastwins_dedup" -> ((q11LastWins _, q11Sql)),
     "q12_knn_cosine" -> ((q12KnnCosine _, q12Sql)),
+    "q13_minhash_lsh" -> ((q13MinhashLsh _, q13Sql)),
+    "q14_simhash" -> ((q14SimHash _, q14Sql)),
     "q15_lang_heuristic" -> ((q15LangHeuristic _, q15Sql)),
-    "q16_knn_ivf" -> ((q16KnnIvf _, q16Sql)))
+    "q16_knn_ivf" -> ((q16KnnIvf _, q16Sql)),
+    "q17_hilbert_key" -> ((q17HilbertKey _, q17Sql)),
+    "q18_json_payload" -> ((q18JsonPayload _, q18Sql)),
+    "q19_csv_preview" -> ((q19CsvPreview _, q19Sql)),
+    "q20_date_pruned" -> ((q20DatePruned _, q20Sql)),
+    "q21_nested_types" -> ((q21NestedTypes _, q21Sql)),
+    "q22_lsh_pairs" -> ((q22LshPairs _, q22Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q13_minhash_lsh" -> (q13MinhashLsh _),
-    "q14_simhash" -> (q14SimHash _),
-    "q17_hilbert_key" -> (q17HilbertKey _),
     "m2_image_features" -> (m2ImageFeatures _))
 }
