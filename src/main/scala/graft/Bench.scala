@@ -15,8 +15,13 @@ import scala.collection.mutable
   * Headline metric (BASELINE.json): compaction + Z-order rewrite
   * throughput (GB/s and images/sec) on the synthetic image+caption
   * qtable, with the scaling gate evidenced by running the SAME suite on
-  * the SAME input at two parallelism levels (local[N/4] vs local[N]) —
-  * the sandbox stand-in for N vs 4N executors mandated by the driver.
+  * the SAME input at two parallelism levels — the sandbox stand-in for
+  * N vs 4N executors mandated by the driver. Two pairs are measured and
+  * reported (local[1]->local[4] primary, local[2]->local[8] secondary)
+  * so the result does not depend on pair choice; the GATE is computed on
+  * RAW wall time (per-phase minimum across rounds — the standard
+  * best-of-N benchmark estimator on a noisy shared host), with the
+  * median-of-groups steady-state estimate reported alongside.
   * Scan equivalence is verified (untimed) after the rewrites.
   *
   * Also times the analytics query pack at full parallelism on
@@ -38,7 +43,7 @@ object Bench {
       // one batch stays a few MiB — the default 4096 would make ~55 MiB
       // humongous allocations and melt the GC
       .config("spark.sql.parquet.columnarReaderBatchSize", "512")
-      // image bytes are already JPEG/PNG-compressed: lz4-ing 1.7 GB of
+      // image bytes are already JPEG/PNG-compressed: lz4-ing GBs of
       // incompressible shuffle data costs 3-4x cluster-job wall time
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
@@ -71,9 +76,16 @@ object Bench {
     }
   }
 
+  private def delDir(pth: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(pth))
+      Files.walk(pth).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
   final case class SuiteResult(cpus: Int, tCompact: Double, tCluster: Double,
       tCompactEst: Double, tClusterEst: Double,
       bytesRewritten: Long, filesBefore: Int, filesAfter: Int) {
+    /** Raw wall time — the gate metric. */
     def tRewrite: Double = tCompact + tCluster
     /** Noise-filtered (median-of-groups) steady-state suite time. */
     def tRewriteEst: Double = tCompactEst + tClusterEst
@@ -82,22 +94,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusMax = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // Scaling pair: N=1 vs 4N=4. Measured on this sandbox (see
-    // BENCH/BASELINE.md): DRAM copy bandwidth is linear to 8 procs
-    // (1.0/4.0/7.9 GB/s at 1/4/8), saturates at 16 (11.1 GB/s) and
-    // DEGRADES at 32 (8.4 GB/s); per-thread throughput on the mixed
-    // zstd+parquet+shuffle profile already halves by 8 threads (shared
-    // LLC + host co-tenancy). 1 -> 4 keeps BOTH levels below every
-    // saturation knee, so wall time measures the engine's scaling, not
-    // the memory bus. On a real cluster, bandwidth scales with nodes.
-    val cpusHigh = math.min(4, cpusMax)
-    val cpusLow = math.max(1, cpusHigh / 4)
+    // Levels 1,2,4,8: primary N->4N pair is 1->4, secondary is 2->8.
+    // Both levels of both pairs stay below this sandbox VM's measured
+    // DRAM-bandwidth knee (copy bandwidth linear to 8 procs: 1.0/4.0/7.9
+    // GB/s at 1/4/8, saturating at 16, degrading at 32), so wall time
+    // measures the engine's scaling, not the shared memory bus. On a
+    // real N->4N executor cluster, bandwidth scales with nodes.
+    val levels = Seq(1, 2, 4, 8).filter(_ <= cpusMax)
+    val (pLow, pHigh) = (1, math.min(4, cpusMax))
+    val (sLow, sHigh) = (2, math.min(8, cpusMax))
     val rows: Long =
-      if (sfDir.contains("sf0.01")) 20000L
-      else if (sfDir.contains("sf0.1")) 50000L
+      if (sfDir.contains("sf0.01")) 30000L
+      else if (sfDir.contains("sf0.1")) 100000L
       else 5000L
-    // 64-128 px images (~13 KiB avg) => bench table ~2 GiB at sf0.1: big
-    // enough that rewrite CPU dominates fixed per-job overhead
+    // 64-128 px images (~11 KiB avg) => bench table ~1.1 GiB at sf0.1:
+    // big enough that the parallel rewrite dominates fixed per-job costs
     val sizes = Array(64, 96, 128)
     val buckets = 32
     val filesPerBucket = 8
@@ -125,6 +136,7 @@ object Bench {
 
     // ---- maintenance suite at one parallelism level on a fresh copy
     def suite(cpus: Int, name: String): SuiteResult = {
+      val conc = math.max(2, cpus) // group fan-out scales with cores
       val work = base.resolve(s"work-$name")
       copyDir(pristine, work)
       withSession(cpus) { s =>
@@ -136,37 +148,32 @@ object Bench {
           .parquet(base.resolve(s"warm-$name").toString)
         Timing.drain()
         val (snapC, tC) = time(new CompactJob(t, targetMb << 20,
-          jobId = s"bench-compact-$name", concurrency = 4).run())
+          jobId = s"bench-compact-$name", concurrency = conc).run())
         val (snapZ, tZ) = time(new ClusterJob(t, targetMb << 20,
-          jobId = s"bench-cluster-$name", concurrency = 4).run())
+          jobId = s"bench-cluster-$name", concurrency = conc).run())
         val samples = Timing.drain()
-        val tCE = Timing.estimate(samples, "compact", 4)
-        val tZE = Timing.estimate(samples, "cluster", 4)
+        val tCE = Timing.estimate(samples, "compact", conc)
+        val tZE = Timing.estimate(samples, "cluster", conc)
         val bytes = snapC.summary("bytes-rewritten").toLong +
           snapZ.summary("bytes-rewritten").toLong
         SuiteResult(cpus, tC, tZ, tCE, tZE, bytes, before, t.entries(snapZ).size)
       }
     }
 
-    // Four interleaved rounds per level; per-PHASE minimum across rounds.
-    // Round 1 warms JIT/codegen; the sandbox host has multi-minute
-    // interference bursts longer than one suite run, so the only robust
-    // estimator is the min over several rounds of identical deterministic
-    // work, taken per phase (phases of different rounds can each catch a
+    // nRounds per level; per-PHASE minimum of RAW wall time across rounds
+    // (round 1 warms JIT/codegen; the sandbox host has multi-minute
+    // interference bursts, so best-of-N of identical deterministic work
+    // is the estimator — reported per phase so each phase can catch a
     // clean window).
-    val nRounds = 4
-    def delDir(pth: Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(pth))
-        Files.walk(pth).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    val nRounds = 5
     val rounds = for {
       round <- 1 to nRounds
-      cpus <- Seq(cpusLow, cpusHigh)
+      cpus <- levels
     } yield {
       val name = s"c$cpus-r$round"
       val r = suite(cpus, name)
-      if (!(cpus == cpusHigh && round == nRounds)) delDir(base.resolve(s"work-$name"))
+      // keep the primary-high table of the last round for merge/verify
+      if (!(cpus == pHigh && round == nRounds)) delDir(base.resolve(s"work-$name"))
       (cpus, r)
     }
     def phaseMin(cpus: Int): SuiteResult = {
@@ -177,13 +184,14 @@ object Bench {
         tCompactEst = rs.map(_.tCompactEst).min,
         tClusterEst = rs.map(_.tClusterEst).min)
     }
-    val low = phaseMin(cpusLow)
-    val high = phaseMin(cpusHigh)
+    val byLevel: Map[Int, SuiteResult] = levels.map(c => c -> phaseMin(c)).toMap
+    val low = byLevel(pLow)
+    val high = byLevel(pHigh)
 
-    // ---- correctness gate on the high run (untimed): scan equivalence +
-    //      a MERGE pass, mirroring the north-rule oracle
-    val (mergeSec, verifySec, verifyOk) = withSession(cpusHigh) { s =>
-      val t = QTable(base.resolve(s"work-c$cpusHigh-r" + nRounds).toString, s)
+    // ---- correctness gate on the primary-high run (untimed): scan
+    //      equivalence + a MERGE pass, mirroring the north-rule oracle
+    val (mergeSec, verifySec, verifyOk) = withSession(pHigh) { s =>
+      val t = QTable(base.resolve(s"work-c$pHigh-r" + nRounds).toString, s)
       val v0 = t.snapshotAt(1) // post-append snapshot
       val (snapM, tM) = time(new MergeJob(t, s"bench-merge").run(
         DataGen.correctionsDF(s, rows, 42L, inserts = 10)))
@@ -207,36 +215,48 @@ object Bench {
       }
     }
 
-    val gb = low.bytesRewritten.toDouble / 1e9
-    val gbpsHigh = gb / high.tRewriteEst
-    val gbpsLow = gb / low.tRewriteEst
-    val imagesPerSecHigh = 2.0 * rows / high.tRewriteEst // 2 full-table rewrites
-    val speedup = low.tRewriteEst / high.tRewriteEst
-    val efficiency = speedup / (cpusHigh.toDouble / cpusLow)
+    // ---- gate: RAW wall-time efficiency on both pairs
+    def eff(lo: Int, hi: Int): (Double, Double) = {
+      val sp = byLevel(lo).tRewrite / byLevel(hi).tRewrite
+      (sp, sp / (hi.toDouble / lo))
+    }
+    val (speedupP, efficiencyP) = eff(pLow, pHigh)
+    val (speedupS, efficiencyS) =
+      if (byLevel.contains(sHigh)) eff(sLow, sHigh) else (0.0, 0.0)
 
-    val phases = mutable.LinkedHashMap[String, Double](
-      s"compact_c$cpusLow" -> low.tCompact,
-      s"cluster_c$cpusLow" -> low.tCluster,
-      s"compact_c$cpusHigh" -> high.tCompact,
-      s"cluster_c$cpusHigh" -> high.tCluster,
-      "merge" -> mergeSec,
-      "verify_scan_equivalence" -> verifySec) ++ queryTimes
+    val gb = low.bytesRewritten.toDouble / 1e9
+    val gbpsHigh = gb / high.tRewrite
+    val gbpsLow = gb / low.tRewrite
+    val imagesPerSecHigh = 2.0 * rows / high.tRewrite // 2 full-table rewrites
+
+    val phases = mutable.LinkedHashMap[String, Double]()
+    levels.foreach { c =>
+      phases(s"compact_c$c") = byLevel(c).tCompact
+      phases(s"cluster_c$c") = byLevel(c).tCluster
+    }
+    phases("merge") = mergeSec
+    phases("verify_scan_equivalence") = verifySec
+    phases ++= queryTimes
 
     def f(d: Double): String = "%.4f".format(d)
     val qJson = phases.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"compact+zorder rewrite throughput","value":${f(high.tRewriteEst)},"unit":"sec",""" +
+      s"""{"metric":"compact+zorder rewrite throughput","value":${f(high.tRewrite)},"unit":"sec",""" +
         s""""queries":$qJson,"sf":"$sfDir","rows":$rows,"table_bytes":$tableBytes,""" +
         s""""bytes_rewritten":${low.bytesRewritten},"gbps_high":${f(gbpsHigh)},"gbps_low":${f(gbpsLow)},""" +
         s""""images_per_sec":${f(imagesPerSecHigh)},"scan_equivalent":$verifyOk,""" +
         s""""files_before":${low.filesBefore},"files_after":${low.filesAfter},""" +
-        s""""scaling":{"cpus_low":$cpusLow,"cpus_high":$cpusHigh,"t_low_sec":${f(low.tRewriteEst)},""" +
-        s""""t_high_sec":${f(high.tRewriteEst)},"t_low_raw_sec":${f(low.tRewrite)},""" +
-        s""""t_high_raw_sec":${f(high.tRewrite)},"speedup":${f(speedup)},"efficiency":${f(efficiency)}}}"""
+        s""""scaling":{"cpus_low":$pLow,"cpus_high":$pHigh,"t_low_sec":${f(low.tRewrite)},""" +
+        s""""t_high_sec":${f(high.tRewrite)},"t_low_est_sec":${f(low.tRewriteEst)},""" +
+        s""""t_high_est_sec":${f(high.tRewriteEst)},"speedup":${f(speedupP)},"efficiency":${f(efficiencyP)}},""" +
+        s""""scaling_secondary":{"cpus_low":$sLow,"cpus_high":$sHigh,""" +
+        s""""t_low_sec":${f(byLevel(sLow).tRewrite)},"t_high_sec":${f(byLevel(sHigh).tRewrite)},""" +
+        s""""speedup":${f(speedupS)},"efficiency":${f(efficiencyS)}}}"""
     println(json)
 
-    writeBenchMd(sfDir, rows, tableBytes, genSec, low, high, cpusLow, cpusHigh,
-      gbpsLow, gbpsHigh, imagesPerSecHigh, efficiency, verifyOk, mergeSec, queryTimes.toMap)
+    writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, nRounds,
+      pLow, pHigh, sLow, sHigh, efficiencyP, efficiencyS, verifyOk, mergeSec,
+      queryTimes.toMap)
 
     // free the RAM-backed working set
     try {
@@ -246,61 +266,68 @@ object Bench {
   }
 
   private def writeBenchMd(sfDir: String, rows: Long, tableBytes: Long, genSec: Double,
-      low: SuiteResult, high: SuiteResult, cpusLow: Int, cpusHigh: Int,
-      gbpsLow: Double, gbpsHigh: Double, ips: Double, eff: Double, ok: Boolean,
+      byLevel: Map[Int, SuiteResult], levels: Seq[Int], nRounds: Int,
+      pLow: Int, pHigh: Int, sLow: Int, sHigh: Int,
+      effP: Double, effS: Double, ok: Boolean,
       mergeSec: Double, qt: Map[String, Double]): Unit = {
     try {
       val repo = sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo")
       val dir = Paths.get(repo, "BENCH")
       Files.createDirectories(dir)
       def f(d: Double) = "%.3f".format(d)
+      val gb = byLevel(pLow).bytesRewritten.toDouble / 1e9
+      // stripMargin strips one leading '|' from continuation lines of the
+      // interpolated block but NOT from the line the margin already owns,
+      // so the first row gets a single pipe and the rest are doubled
+      val levelRows = levels.zipWithIndex.map { case (c, i) =>
+        val r = byLevel(c)
+        (if (i == 0) "" else "|") +
+          s"| local[$c] | ${f(r.tCompact)} | ${f(r.tCluster)} | ${f(r.tRewrite)} | ${f(r.tRewriteEst)} | ${f(gb / r.tRewrite)} | ${f(2.0 * rows / r.tRewrite)} |"
+      }.mkString("\n")
       val md =
         s"""# BENCH — compaction + Z-order rewrite throughput
            |
            |Input: synthetic image+caption qtable, $rows rows, ${tableBytes / (1 << 20)} MiB
            |data, 32 hash buckets x 8 small files (deliberate small-file debt),
            |seed 42, generated in ${f(genSec)}s (untimed synthesis).
-           |Suite: CompactJob (bin-pack to 4 MiB) + ClusterJob (Z-order zkey =
-           |interleave(norm21(phash), norm21(w*h), norm21(xxhash64(image_id))),
-           |salted repartitionByRange). Same input, two parallelism levels —
+           |Suite: CompactJob (scan-split bin-pack to 16 MiB) + ClusterJob
+           |(Z-order zkey = interleave(norm21(phash), norm21(w*h),
+           |norm21(xxhash64(image_id))), quantile-binned exact shuffle).
+           |Same input at four parallelism levels, $nRounds rounds each —
            |the sandbox evidence for the N vs 4N executor scaling gate.
+           |All times are RAW wall seconds, per-phase minimum across the
+           |$nRounds rounds (best-of-N on a noisy shared host); "est" is the
+           |supplementary median-of-groups steady-state estimate.
            |
-           || level | compact s | cluster s | total s | raw wall s | GB/s | images/s |
+           || level | compact s | cluster s | total s (raw) | est s | GB/s | images/s |
            ||---|---|---|---|---|---|---|
-           || local[$cpusLow] | ${f(low.tCompactEst)} | ${f(low.tClusterEst)} | ${f(low.tRewriteEst)} | ${f(low.tRewrite)} | ${f(gbpsLow)} | ${f(2.0 * rows / low.tRewriteEst)} |
-           || local[$cpusHigh] | ${f(high.tCompactEst)} | ${f(high.tClusterEst)} | ${f(high.tRewriteEst)} | ${f(high.tRewrite)} | ${f(gbpsHigh)} | ${f(ips)} |
+           |$levelRows
            |
-           |**Scaling efficiency (local[$cpusLow] -> local[$cpusHigh], ${cpusHigh / cpusLow}x cores): ${f(eff)}**
-           |(gate: >= 0.8). Speedup ${f(low.tRewriteEst / high.tRewriteEst)}x. "compact/cluster/total s" are
-           |noise-filtered steady-state estimates (median group time x wave
-           |count; groups are homogeneous ~100 MiB rewrites): this sandbox
-           |host shows multi-minute interference bursts during which an
-           |identical 100 MiB group rewrite measures 5-10x slower, so a raw
-           |single wall-clock sample measures the neighbor, not the engine.
-           |Raw wall times are reported alongside.
+           |**Scaling efficiency (RAW wall): local[$pLow] -> local[$pHigh] = ${f(effP)},
+           |local[$sLow] -> local[$sHigh] = ${f(effS)}** (gate: >= 0.8 on an N -> 4N pair;
+           |two pairs reported so the result does not depend on pair choice).
            |
-           |Why N=$cpusLow -> 4N=$cpusHigh (and not 8 -> 32): this sandbox VM's
-           |DRAM copy bandwidth, measured with a multiprocess memcpy probe, is
+           |Why levels 1-8 (and not 8 -> 32): this sandbox VM's DRAM copy
+           |bandwidth, measured with a multiprocess memcpy probe, is
            |1.0 / 4.0 / 7.9 / 11.1 / 8.4 GB/s at 1/4/8/16/32 processes — linear
            |to 8, saturated at 16, DEGRADED at 32. An image-byte rewrite is
            |memcpy-bound, so beyond the 8-thread knee wall time measures the
-           |single shared memory bus, not the engine (local[32] is reproducibly
-           |SLOWER than local[8] on the shuffle phase). On a real N -> 4N
+           |single shared memory bus, not the engine. On a real N -> 4N
            |executor cluster, memory/disk/network bandwidth scales with nodes.
-           |Each level is run twice interleaved (round 1 warms JIT/codegen);
-           |the per-level minimum is reported. Working set on tmpfs for the
-           |same reason (single virtio disk = fixed shared bottleneck).
+           |Working set on tmpfs for the same reason (single virtio disk =
+           |fixed shared bottleneck).
            |
            |Post-maintenance scan equivalence (PSNR>=40dB lossy / bit-exact
            |lossless + caption equality, incl. a MERGE pass in ${f(mergeSec)}s): **${if (ok) "PASS" else "FAIL"}**.
            |
-           |Files: ${low.filesBefore} -> ${low.filesAfter}.
+           |Files: ${byLevel(pLow).filesBefore} -> ${byLevel(pLow).filesAfter}.
            |
-           |## Analytics query pack (local[$cpusHigh], $sfDir)
+           |## Analytics query pack (local[32], $sfDir)
            |
            || query | sec |
            ||---|---|
-           |${qt.toSeq.sortBy(_._1).map { case (k, v) => s"| $k | ${f(v)} |" }.mkString("\n")}
+           |${qt.toSeq.sortBy(_._1).zipWithIndex.map { case ((k, v), i) =>
+             (if (i == 0) "" else "|") + s"| $k | ${f(v)} |" }.mkString("\n")}
            |""".stripMargin
       Files.writeString(dir.resolve("BASELINE.md"), md)
     } catch { case e: Throwable => System.err.println(s"[bench] md write failed: $e") }

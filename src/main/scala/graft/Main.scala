@@ -42,6 +42,10 @@ object Main {
     def table = QTable(req(opts, "table"), spark)
     def targetBytes = opts.get("target-mb").map(_.toLong << 20).getOrElse(128L << 20)
     def jobId = opts.getOrElse("job-id", java.util.UUID.randomUUID().toString)
+    // group fan-out: defaults to the session's core count (the reference's
+    // semaphore caps, SURVEY 2.7 D1, re-expressed over Spark jobs)
+    def concurrency = opts.get("concurrency").map(_.toInt)
+      .getOrElse(math.max(2, spark.sparkContext.defaultParallelism))
 
     try cmd match {
       case "synth" =>
@@ -58,12 +62,14 @@ object Main {
         report("synth", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "compact" =>
-        val snap = new CompactJob(table, targetBytes, jobId = jobId).run()
+        val snap = new CompactJob(table, targetBytes, jobId = jobId,
+          concurrency = concurrency).run()
         report("compact", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "cluster" =>
         val snap = new ClusterJob(table, targetBytes,
-          hilbert = opts.contains("hilbert"), jobId = jobId).run()
+          hilbert = opts.contains("hilbert"), jobId = jobId,
+          concurrency = concurrency).run()
         report("cluster", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "merge" =>
@@ -71,7 +77,7 @@ object Main {
         val inserts = opts.getOrElse("inserts", "5").toInt
         val corr = DataGen.correctionsDF(spark, rows,
           opts.getOrElse("seed", "42").toLong, inserts)
-        val snap = new MergeJob(table, jobId).run(corr)
+        val snap = new MergeJob(table, jobId, concurrency = concurrency).run(corr)
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "expire" =>
