@@ -165,13 +165,14 @@ object Bench {
     // interference bursts, so best-of-N of identical deterministic work
     // is the estimator — reported per phase so each phase can catch a
     // clean window).
-    val nRounds = 5
+    val nRounds = 8
     val rounds = for {
       round <- 1 to nRounds
       cpus <- levels
     } yield {
       val name = s"c$cpus-r$round"
       val r = suite(cpus, name)
+      System.err.println(f"[bench] $name%-8s compact=${r.tCompact}%7.2fs cluster=${r.tCluster}%7.2fs total=${r.tRewrite}%7.2fs")
       // keep the primary-high table of the last round for merge/verify
       if (!(cpus == pHigh && round == nRounds)) delDir(base.resolve(s"work-$name"))
       (cpus, r)
@@ -193,11 +194,15 @@ object Bench {
     val (mergeSec, verifySec, verifyOk) = withSession(pHigh) { s =>
       val t = QTable(base.resolve(s"work-c$pHigh-r" + nRounds).toString, s)
       val v0 = t.snapshotAt(1) // post-append snapshot
-      val (snapM, tM) = time(new MergeJob(t, s"bench-merge").run(
-        DataGen.correctionsDF(s, rows, 42L, inserts = 10)))
-      val corr = DataGen.correctionsDF(s, rows, 42L, inserts = 10)
+      // materialize the corrections fixture UNTIMED (synthesis, not merge
+      // cost — the round-1 number overstated merge by timing image
+      // re-encodes of the fixture generator)
+      val corr = DataGen.correctionsDF(s, rows, 42L, inserts = 10).cache()
+      corr.count()
+      val (snapM, tM) = time(new MergeJob(t, s"bench-merge").run(corr))
       val ((ok, bad), tV) = time(
         ScanEquivalence.checkMerged(t.read(v0), t.read(snapM), corr))
+      corr.unpersist()
       (tM, tV, ok && bad == 0)
     }
 

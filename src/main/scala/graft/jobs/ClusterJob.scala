@@ -55,13 +55,17 @@ class ClusterJob(
     * bins are read off the grid, so one pass serves every group). */
   private val QuantileGrid = 128
 
-  /** ONE column-pruned pass over the whole snapshot computes a per-group
-    * zkey quantile grid: scan only (pbucket, phash, w, h, image_id) —
-    * never the fat `bytes` column — and aggregate percentile sketches
-    * grouped by rewrite group. Per-group boundary jobs would cost one
-    * extra Spark job per group; this is O(1) jobs regardless of group
-    * count, the kind of constant that matters with 10^5 groups at
-    * 100 TB. */
+  /** ONE column-pruned pass over a FILE SAMPLE of the snapshot computes a
+    * per-group zkey quantile grid: scan only (pbucket, phash, w, h,
+    * image_id) — never the fat `bytes` column — and aggregate percentile
+    * sketches grouped by rewrite group. Per-group boundary jobs would
+    * cost one extra Spark job per group; this is O(1) jobs regardless of
+    * group count, the kind of constant that matters with 10^5 groups at
+    * 100 TB. Sampling every 2nd file per group is sound because
+    * pre-cluster files are id-range slices whose (phash, w*h, id-hash)
+    * key components are independent of the slicing key — each file is a
+    * near-uniform sample of its group's key distribution; boundary error
+    * only skews output file sizes a few percent, never correctness. */
   private def boundsByGroup(plans: Seq[Plan]): Map[String, Array[Long]] = {
     import org.apache.spark.sql.functions.{percentile_approx => pctApprox}
     val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
@@ -72,8 +76,10 @@ class ClusterJob(
       val hi = p.inputs.map(_.pbucketMax).max
       when(col("pbucket").between(lo, hi), lit(p.group)).otherwise(acc)
     }
+    val sampled = plans.flatMap(_.inputs.sortBy(_.path).zipWithIndex
+      .collect { case (f, i) if i % 2 == 0 => f.path })
     val grid = (1 until QuantileGrid).map(_.toDouble / QuantileGrid).toArray
-    val rows = table.readFiles(plans.flatMap(_.inputs.map(_.path)))
+    val rows = table.readFiles(sampled)
       .select(groupExpr.as("g"), zkeyCol.as("zkey"))
       .groupBy("g")
       .agg(pctApprox(col("zkey"), lit(grid), lit(10000)).as("q"))

@@ -100,7 +100,13 @@ object GroupRunner {
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         try {
           val futs = todo.map(p => Future(groupOf(p) -> withRetry(p)))
-          Await.result(Future.sequence(futs), Duration.Inf)
+          // bounded await: a hung group must not hang the driver forever
+          // (committed groups' lineage survives, so a timed-out job is
+          // resumable like a killed one)
+          val timeout = sys.env.get("GRAFT_GROUP_TIMEOUT_SEC")
+            .map(s => scala.concurrent.duration.Duration(s.toLong, "s"))
+            .getOrElse(Duration.Inf)
+          Await.result(Future.sequence(futs), timeout)
         } finally pool.shutdown()
       }
 

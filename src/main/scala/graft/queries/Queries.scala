@@ -702,6 +702,62 @@ object Queries {
        |JOIN sig sb ON cand.doc_b = sb.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q23
+  /** Embedding-cosine near-duplicate pairs, BUCKETED: vectors are blocked
+    * by coarse sign-bit cell and only within-cell pairs are scored — the
+    * blocked-similarity shape that replaces a quadratic all-pairs join at
+    * scale (cells come from the same quantization the IVF index stores).
+    * Float math is evaluated in identical left-fold order on both
+    * engines, so the threshold compare is exact. */
+  def q23EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        ivfCell(col("embedding")).as("cell"))
+    val a = e.toDF("va", "v_a", "cell_a")
+    val b = e.toDF("vb", "v_b", "cell_b")
+    a.join(b, col("cell_a") === col("cell_b") && col("va") < col("vb"))
+      .withColumn("cos",
+        dot(col("v_a"), col("v_b")) /
+          (sqrt(dot(col("v_a"), col("v_a"))) * sqrt(dot(col("v_b"), col("v_b")))))
+      .where(col("cos") >= 0.42)
+      .select(col("va"), col("vb"), col("cell_a").as("cell"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  val q23Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell FROM embeddings),
+      |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell,
+      |  list_inner_product(a.v, b.v) /
+      |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+      |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT va, vb, CAST(cell AS INT) AS cell, ROUND(cos, 4) AS cosine
+      |FROM p WHERE cos >= 0.42""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Regex ("BPE-ish") tokenization stats next to q09's whitespace
+    * tokens: letter-runs and digit-runs as separate tokens, per-doc
+    * counts + per-language aggregate. */
+  def q24RegexTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks.as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("sum_tokens"),
+        max("n_tok").cast("long").as("max_tokens"))
+  }
+
+  val q24Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS sum_tokens,
+      |  CAST(MAX(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS max_tokens
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -750,7 +806,9 @@ object Queries {
     "q19_csv_preview" -> ((q19CsvPreview _, q19Sql)),
     "q20_date_pruned" -> ((q20DatePruned _, q20Sql)),
     "q21_nested_types" -> ((q21NestedTypes _, q21Sql)),
-    "q22_lsh_pairs" -> ((q22LshPairs _, q22Sql)))
+    "q22_lsh_pairs" -> ((q22LshPairs _, q22Sql)),
+    "q23_embed_neardup" -> ((q23EmbedNearDup _, q23Sql)),
+    "q24_regex_tokens" -> ((q24RegexTokens _, q24Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
