@@ -61,6 +61,22 @@ class MergeJobSpec extends AnyFunSuite {
     assert(snap.summary("rows-updated") == "0")
   }
 
+  test("empty source is a no-op: same snapshot, no new version") {
+    val t = freshTable(100, buckets = 2)
+    val pre = t.currentSnapshot
+    val empty = DataGen.generate(spark, 1, 1L, 1).toDF().limit(0)
+    val snap = new MergeJob(t).run(empty)
+    assert(snap.version == pre.version, "empty merge must not commit")
+  }
+
+  test("duplicate source image_ids are rejected (ANSI multi-match)") {
+    val t = freshTable(100, buckets = 2)
+    val one = DataGen.generate(spark, 1, 42L, 1).toDF()
+    val dup = one.union(one)
+    val ex = intercept[IllegalArgumentException] { new MergeJob(t).run(dup) }
+    assert(ex.getMessage.contains("duplicated image_id"))
+  }
+
   test("merge is resumable per group") {
     val n = 800L
     val t = freshTable(n)
