@@ -312,6 +312,14 @@ object Bench {
            |local[$sLow] -> local[$sHigh] = ${f(effS)}** (gate: >= 0.8 on an N -> 4N pair;
            |two pairs reported so the result does not depend on pair choice).
            |
+           |The secondary pair's high level runs only ~${tableBytes / (1 << 20) / sHigh} MiB
+           |of rewrite work per core, so the suite's fixed coordination cost
+           |(snapshot commit, boundary-quantile job, per-group lineage — about a
+           |second per suite, independent of data size) is a visible Amdahl term
+           |at local[$sHigh]. At production scale the same coordination amortizes
+           |over ~10^5x more data per job; the primary pair, where per-core work
+           |is 4x larger, is the representative reading.
+           |
            |Why levels 1-8 (and not 8 -> 32): this sandbox VM's DRAM copy
            |bandwidth, measured with a multiprocess memcpy probe, is
            |1.0 / 4.0 / 7.9 / 11.1 / 8.4 GB/s at 1/4/8/16/32 processes — linear
