@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J]
   *   spark-submit --class graft.Main <jar> merge   --table T --rows N [--inserts K] [--job-id J]
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
+  *   spark-submit --class graft.Main <jar> rollback --table T --to V
+  *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V]
   *   spark-submit --class graft.Main <jar> describe --table T
@@ -87,6 +89,16 @@ object Main {
           "deleted-data-files" -> res.deletedDataFiles.toString,
           "deleted-manifests" -> res.deletedManifests.toString))
 
+      case "rollback" =>
+        val snap = new RollbackJob(table).run(req(opts, "to").toLong)
+        report("rollback", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "remove-orphans" =>
+        val res = new RemoveOrphanFilesJob(table).run(opts.contains("dry-run"))
+        report("remove-orphans", Map(
+          "deleted" -> res.deleted.toString, "kept" -> res.kept.toString,
+          "dry-run" -> opts.contains("dry-run").toString))
+
       case "rewrite-manifests" =>
         val snap = new RewriteManifestsJob(table).run(
           opts.getOrElse("entries-per-manifest", "512").toInt)
@@ -151,5 +163,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rewrite-manifests|verify|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rollback|remove-orphans|rewrite-manifests|verify|describe> --table PATH [options]"""
 }

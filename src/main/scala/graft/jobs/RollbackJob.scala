@@ -1,0 +1,80 @@
+package graft.jobs
+
+import graft.format.QTable
+import graft.model.Snapshot
+
+/** Roll the table back to an earlier retained snapshot.
+  *
+  * Implemented as a NEW commit that re-points at the target version's
+  * manifest list (never by rewinding the version counter): history stays
+  * linear and auditable, concurrent readers are unaffected, and the bad
+  * snapshots remain inspectable until ExpireSnapshotsJob collects them —
+  * the same forward-rollback Iceberg exposes as
+  * `rollback_to_snapshot`. Metadata-only: no data file is touched.
+  */
+class RollbackJob(table: QTable) {
+
+  def run(toVersion: Long): Snapshot = {
+    val cur = table.currentSnapshot
+    require(toVersion != cur.version, s"already at v$toVersion")
+    require(table.listVersions.contains(toVersion),
+      s"v$toVersion is not a retained snapshot (have: ${table.listVersions.mkString(",")})")
+    val target = table.snapshotAt(toVersion)
+    table.commit(Some(cur), "rollback", Nil,
+      Map("rolled-back-to" -> toVersion.toString,
+        "rolled-back-from" -> cur.version.toString),
+      reuseManifests = target.manifests)
+  }
+}
+
+/** Delete data files under the table root that no retained snapshot and
+  * no live checkpoint references — the leftovers of crashed or abandoned
+  * job attempts (a killed driver's half-written group output that was
+  * never resumed). At 10^12-image scale leaked files are real money;
+  * every lakehouse ships this (Iceberg `remove_orphan_files`).
+  *
+  * Safety: only files under `<root>/data` are candidates; anything
+  * referenced by ANY retained snapshot version or recorded as output in
+  * a live checkpoint lineage entry survives. Like its Iceberg namesake
+  * this must not run concurrently with an in-flight write job unless the
+  * job checkpoints each group before its files become orphan-candidates
+  * (ours do: lineage is committed in the same group step that writes).
+  */
+class RemoveOrphanFilesJob(table: QTable) {
+
+  final case class Result(deleted: Int, kept: Int)
+
+  def run(dryRun: Boolean = false): Result = {
+    val conf = table.hadoopConf
+    val onDisk = graft.format.ParquetStats.listParquet(table.dataDir.toString, conf)
+
+    val referenced: Set[String] =
+      table.listVersions.flatMap(v => table.entries(table.snapshotAt(v)))
+        .map(_.path).toSet
+    // outputs recorded by live (unfinished) job checkpoints
+    val ckptRoot = table.metadataDir.resolve("checkpoints")
+    val inFlight: Set[String] =
+      if (!java.nio.file.Files.isDirectory(ckptRoot)) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(ckptRoot).iterator().asScala
+          .filter(java.nio.file.Files.isDirectory(_))
+          .flatMap(d => new Checkpoint(table, d.getFileName.toString).all)
+          .flatMap(_.outputFiles.map(_.path))
+          .toSet
+      }
+
+    val keep = referenced ++ inFlight
+    var deleted = 0
+    onDisk.foreach { p =>
+      if (!keep.contains(p)) {
+        if (!dryRun) {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(conf)
+          if (fs.delete(hp, false)) deleted += 1
+        } else deleted += 1
+      }
+    }
+    Result(deleted, onDisk.size - deleted)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.jobs
+
+import graft.TestSpark
+import graft.format.QTable
+import graft.synth.DataGen
+import graft.verify.ScanEquivalence
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+class RollbackOrphanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("rollback re-points at an earlier snapshot as a NEW commit") {
+    val t = QTable.create(TestSpark.tmpDir("rb"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 200, 42L, 4).toDF(), 2) // v1
+    val v1 = t.currentSnapshot
+    val v1Df = t.read(v1)
+    // a merge "gone wrong" commits v2
+    val corr = DataGen.correctionsDF(spark, 200, 42L, inserts = 3)
+    new MergeJob(t).run(corr) // v2
+    assert(t.read().count() == 203)
+
+    val snap = new RollbackJob(t).run(v1.version)
+    assert(snap.operation == "rollback")
+    assert(snap.version == 3L, "rollback must be a forward commit, not a rewind")
+    assert(t.read().count() == 200)
+    val (ok, bad) = ScanEquivalence.check(v1Df, t.read())
+    assert(ok, s"$bad violations vs the rolled-back-to snapshot")
+    // the bad snapshot remains inspectable until expiry
+    assert(t.listVersions.contains(2L))
+    intercept[IllegalArgumentException] { new RollbackJob(t).run(99L) }
+  }
+
+  test("remove-orphans deletes only unreferenced leftovers") {
+    val t = QTable.create(TestSpark.tmpDir("orph"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 200, 42L, 4).toDF(), 2) // v1
+    val live = t.entries(t.currentSnapshot).map(_.path)
+
+    // a crashed job attempt: data written under the table but never
+    // committed to any snapshot and never checkpointed
+    val orphanDir = t.newDataDir("crashed-job", "b0")
+    DataGen.generate(spark, 20, 7L, 1).toDF()
+      .write.parquet(orphanDir)
+    val orphans = graft.format.ParquetStats.listParquet(orphanDir, t.hadoopConf)
+    assert(orphans.nonEmpty)
+
+    // a crashed-but-CHECKPOINTED group: its outputs must survive (a
+    // resume will reuse them)
+    val ckptDir = t.newDataDir("resumable-job", "b1")
+    DataGen.generate(spark, 10, 8L, 1).toDF().write.parquet(ckptDir)
+    val ckptFiles = t.harvest(ckptDir)
+    val ckpt = new Checkpoint(t, "resumable-job")
+    ckpt.commit(graft.model.LineageEntry("resumable-job", "compact", "b1",
+      Seq("in"), ckptFiles, 10L, ckptFiles.map(_.byteCount).sum, "committed", 1))
+
+    val dry = new RemoveOrphanFilesJob(t).run(dryRun = true)
+    assert(dry.deleted == orphans.size)
+    orphans.foreach(p => assert(Files.exists(Paths.get(p)), "dry run must not delete"))
+
+    val res = new RemoveOrphanFilesJob(t).run()
+    assert(res.deleted == orphans.size)
+    orphans.foreach(p => assert(!Files.exists(Paths.get(p)), s"$p should be gone"))
+    live.foreach(p => assert(Files.exists(Paths.get(p)), s"$p must survive"))
+    ckptFiles.foreach(f => assert(Files.exists(Paths.get(f.path)),
+      "checkpointed group outputs must survive for resume"))
+    assert(t.read().count() == 200)
+  }
+}
