@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J]
   *   spark-submit --class graft.Main <jar> merge   --table T --rows N [--inserts K] [--job-id J]
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
+  *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
@@ -60,18 +61,19 @@ object Main {
           java.nio.file.Paths.get(root, "metadata", "version-hint.text")))
           QTable(root, spark)
         else QTable.create(root, spark, buckets)
-        val snap = AppendJob.append(t, DataGen.generate(spark, rows, seed).toDF(), fpb)
+        val snap = CommitRetry.withCommitRetry()(
+          AppendJob.append(t, DataGen.generate(spark, rows, seed).toDF(), fpb))
         report("synth", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "compact" =>
-        val snap = new CompactJob(table, targetBytes, jobId = jobId,
-          concurrency = concurrency).run()
+        val snap = CommitRetry.withCommitRetry()(new CompactJob(table, targetBytes,
+          jobId = jobId, concurrency = concurrency).run())
         report("compact", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "cluster" =>
-        val snap = new ClusterJob(table, targetBytes,
+        val snap = CommitRetry.withCommitRetry()(new ClusterJob(table, targetBytes,
           hilbert = opts.contains("hilbert"), jobId = jobId,
-          concurrency = concurrency).run()
+          concurrency = concurrency).run())
         report("cluster", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "merge" =>
@@ -79,7 +81,8 @@ object Main {
         val inserts = opts.getOrElse("inserts", "5").toInt
         val corr = DataGen.correctionsDF(spark, rows,
           opts.getOrElse("seed", "42").toLong, inserts)
-        val snap = new MergeJob(table, jobId, concurrency = concurrency).run(corr)
+        val snap = CommitRetry.withCommitRetry()(
+          new MergeJob(table, jobId, concurrency = concurrency).run(corr))
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "expire" =>
@@ -88,6 +91,12 @@ object Main {
           "expired-versions" -> res.expiredVersions.mkString(","),
           "deleted-data-files" -> res.deletedDataFiles.toString,
           "deleted-manifests" -> res.deletedManifests.toString))
+
+      case "rebucket" =>
+        val snap = CommitRetry.withCommitRetry()(new RebucketJob(table,
+          req(opts, "buckets").toInt, targetBytes, jobId).run())
+        report("rebucket", snap.summary ++ Map("version" -> snap.version.toString,
+          "buckets" -> snap.buckets.toString))
 
       case "rollback" =>
         val snap = new RollbackJob(table).run(req(opts, "to").toLong)
@@ -163,5 +172,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rollback|remove-orphans|rewrite-manifests|verify|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|rollback|remove-orphans|rewrite-manifests|verify|describe> --table PATH [options]"""
 }

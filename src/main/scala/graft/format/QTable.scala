@@ -102,7 +102,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def commit(parent: Option[Snapshot], operation: String,
       files: Seq[DataFileEntry], extraSummary: Map[String, String] = Map.empty,
       entriesPerManifest: Int = 512,
-      reuseManifests: Seq[ManifestMeta] = Nil): Snapshot = {
+      reuseManifests: Seq[ManifestMeta] = Nil,
+      bucketsOverride: Option[Int] = None): Snapshot = {
     val sorted = files.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
     val newManifests = sorted.grouped(math.max(1, entriesPerManifest)).map { group =>
       val name = s"manifest-${java.util.UUID.randomUUID()}.json"
@@ -124,7 +125,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       "total-files" -> manifests.map(_.fileCount).sum.toString,
       "total-rows" -> manifests.map(_.rowCount).sum.toString,
       "total-bytes" -> manifests.map(_.byteCount).sum.toString) ++ extraSummary
-    val buckets = parent.map(_.buckets).getOrElse(QTable.DefaultBuckets)
+    val buckets = bucketsOverride
+      .orElse(parent.map(_.buckets)).getOrElse(QTable.DefaultBuckets)
     commitSnapshot(parentV, operation, manifests, summary, buckets)
   }
 
