@@ -38,14 +38,30 @@ object SparkEntry {
     // pinned reader isolation: v1 still reads identically post-commits
     val pinnedOk = t.read(v1).count() == rows
 
+    // rollback to the pre-merge snapshot restores it exactly, then roll
+    // forward again so the final state keeps the merge
+    val rb = new RollbackJob(t).run(z.version)
+    val (okR, badR) = ScanEquivalence.check(preDf, t.read(rb))
+    new RollbackJob(t).run(m.version)
+
+    // orphan cleanup: a crashed uncommitted attempt's files are removed,
+    // live data untouched
+    DataGen.generate(spark, 10, 7L, 1).toDF()
+      .write.parquet(t.newDataDir("crashed-demo", "b0"))
+    val orph = new RemoveOrphanFilesJob(t).run()
+    val orphOk = orph.deleted > 0 && t.read().count() == rows + 3
+
     // ROW-COUNT-GATED: only passing checks are emitted, so any failure
-    // changes the row count the driver records (4 = all green, 0 = the
+    // changes the row count the driver records (6 = all green, 0 = the
     // suite is broken — rows>0 smoke then fails too).
     val checks = Seq(
       ("compact_scan_equivalent", okC, badC, filesBefore.toLong, t.entries(c).size.toLong),
       ("cluster_scan_equivalent", okZ, badZ, t.entries(c).size.toLong, t.entries(z).size.toLong),
       ("merge_scan_equivalent", okM, badM, t.entries(z).size.toLong, t.entries(m).size.toLong),
-      ("snapshot_isolation_pinned_reader", pinnedOk, if (pinnedOk) 0L else 1L, rows, rows))
+      ("snapshot_isolation_pinned_reader", pinnedOk, if (pinnedOk) 0L else 1L, rows, rows),
+      ("rollback_restores_pre_merge", okR, badR, m.version, rb.version),
+      ("orphan_files_removed", orphOk, if (orphOk) 0L else 1L,
+        orph.deleted.toLong, orph.kept.toLong))
     val gated = if (checks.forall(_._2)) checks else Seq.empty
     gated.toDF("check", "passed", "violations", "before", "after")
   }
