@@ -548,15 +548,17 @@ object Queries {
     * `base_csv_client.py:20-24` 15-row preview, ISO-8859-1, configurable
     * delimiter; `hargreaves_lansdown_models.py:24-46` required-column
     * superset check — validate, never infer). The CSV is materialized
-    * from the documents table (deterministic content), read back with a
-    * DECLARED schema, header checked, first 15 rows returned. */
+    * from the nation table — its content is IDENTICAL at every scale
+    * factor, so the fixed oracle path stays consistent no matter which
+    * sf last wrote it — read back with a DECLARED schema, header
+    * checked, first 15 rows returned. */
   val q19CsvDir = s"${System.getProperty("java.io.tmpdir")}/graft_q19_csv"
 
   def q19CsvPreview(s: SparkSession, dir: String): DataFrame = {
     // materialize a deterministic single-file CSV fixture (sorted rows)
-    t(s, dir, "documents").where(col("doc_id") < 40)
-      .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id").coalesce(1)
+    t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").coalesce(1)
       .write.mode("overwrite")
       .option("header", "true").option("sep", ";")
       .option("encoding", "ISO-8859-1")
@@ -565,22 +567,22 @@ object Queries {
     // subset of the actual header (raise on miss, like the reference)
     val header = s.read.text(q19CsvDir).limit(1)
       .collect().head.getString(0).split(";").toSet
-    val required = Set("doc_id", "lang", "n_chars")
+    val required = Set("n_nationkey", "n_name")
     require(required.subsetOf(header),
       s"CSV header missing required columns: ${required.diff(header)}")
     // preview read: declared schema (never inferred), encoding+delimiter
     // options, bounded to 15 rows
     s.read
-      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
       .option("header", "true").option("sep", ";")
       .option("encoding", "ISO-8859-1")
       .csv(q19CsvDir)
       .limit(15)
-      .select("doc_id", "lang", "n_chars")
+      .select("n_nationkey", "n_name", "n_regionkey")
   }
 
   val q19Sql: String =
-    s"""SELECT doc_id, lang, n_chars
+    s"""SELECT n_nationkey, n_name, n_regionkey
        |FROM read_csv('$q19CsvDir/*.csv', header=true, delim=';')
        |LIMIT 15""".stripMargin
 
