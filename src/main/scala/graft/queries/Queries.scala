@@ -760,6 +760,41 @@ object Queries {
       |  CAST(MAX(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS max_tokens
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS scheme): rolling 8-char k-gram hashes, then
+    * the minimum of each 4-hash sliding window; the distinct window
+    * minima are the document's fingerprints. Portable hash => exact
+    * DuckDB oracle. All per-row array work, no shuffle beyond the
+    * final projection — trivially scale-safe. */
+  def q25Winnow(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 4
+    val grams = transform(
+      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+      i => mdHash64(col("text").substr(i, lit(k))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), grams.as("hs"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(w)))).as("mins"))
+      .select(col("doc_id"),
+        size(array_distinct(col("mins"))).as("n_fp"),
+        array_min(col("mins")).as("min_fp"))
+  }
+
+  val q25Sql: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(length(text)-7,1)+1),
+       |    i -> ${mdHash64Sql("substr(text, CAST(i AS INT), 8)")}) AS hs
+       |  FROM documents),
+       |w AS (SELECT doc_id,
+       |  list_transform(range(1, greatest(len(hs)-3,1)+1),
+       |    j -> list_aggregate(hs[j:j+3], 'min')) AS mins
+       |  FROM h)
+       |SELECT doc_id, CAST(len(list_distinct(mins)) AS INT) AS n_fp,
+       |  list_aggregate(mins, 'min') AS min_fp
+       |FROM w""".stripMargin
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -810,7 +845,8 @@ object Queries {
     "q21_nested_types" -> ((q21NestedTypes _, q21Sql)),
     "q22_lsh_pairs" -> ((q22LshPairs _, q22Sql)),
     "q23_embed_neardup" -> ((q23EmbedNearDup _, q23Sql)),
-    "q24_regex_tokens" -> ((q24RegexTokens _, q24Sql)))
+    "q24_regex_tokens" -> ((q24RegexTokens _, q24Sql)),
+    "q25_winnow_fingerprint" -> ((q25Winnow _, q25Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
