@@ -676,12 +676,24 @@ object Queries {
     val simSigs = (0 until 8).map(k =>
       when(col(s"sig${k}_a") === col(s"sig${k}_b"), 1).otherwise(0))
       .reduce(_ + _)
+    // EXACT n-gram Jaccard verdict for the (few) candidate pairs: the
+    // expensive set compare runs only on LSH survivors, never all-pairs
+    val sets = t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .groupBy("doc_id").agg(collect_set("sh").as("ss"))
+    val setsA = sets.toDF("sd_a", "ss_a")
+    val setsB = sets.toDF("sd_b", "ss_b")
+    val inter = size(array_intersect(col("ss_a"), col("ss_b")))
+    val jac100 = inter * 100 / (size(col("ss_a")) + size(col("ss_b")) - inter)
     cand
       .join(sa, col("doc_a") === col("doc_id_a"))
       .join(sb, col("doc_b") === col("doc_id_b"))
+      .join(setsA, col("doc_a") === col("sd_a"))
+      .join(setsB, col("doc_b") === col("sd_b"))
       .select(col("doc_a"), col("doc_b"), col("n_bands"),
         simSigs.cast("int").as("sim_sigs"),
-        (simSigs >= 6).cast("int").as("is_dup"))
+        jac100.cast("int").as("jaccard100"),
+        (jac100 >= 50).cast("int").as("is_dup"))
   }
 
   val q22Sql: String = {
@@ -695,13 +707,21 @@ object Queries {
        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2),
+       |sets AS (SELECT doc_id, list_distinct(list(sh)) AS ss FROM sh GROUP BY 1)
        |SELECT doc_a, doc_b, n_bands,
        |  CAST($simSigs AS INT) AS sim_sigs,
-       |  CAST(CASE WHEN $simSigs >= 6 THEN 1 ELSE 0 END AS INT) AS is_dup
+       |  CAST(len(list_intersect(pa.ss, pb.ss)) * 100 //
+       |    (len(pa.ss) + len(pb.ss) - len(list_intersect(pa.ss, pb.ss))) AS INT)
+       |    AS jaccard100,
+       |  CAST(CASE WHEN len(list_intersect(pa.ss, pb.ss)) * 100 //
+       |    (len(pa.ss) + len(pb.ss) - len(list_intersect(pa.ss, pb.ss))) >= 50
+       |    THEN 1 ELSE 0 END AS INT) AS is_dup
        |FROM cand
        |JOIN sig sa ON cand.doc_a = sa.doc_id
-       |JOIN sig sb ON cand.doc_b = sb.doc_id""".stripMargin
+       |JOIN sig sb ON cand.doc_b = sb.doc_id
+       |JOIN sets pa ON cand.doc_a = pa.doc_id
+       |JOIN sets pb ON cand.doc_b = pb.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q23
