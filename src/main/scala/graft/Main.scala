@@ -29,7 +29,7 @@ object Main {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val cmd = args.head
     val opts = parseOpts(args.tail)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(s"graft-$cmd")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
@@ -39,7 +39,10 @@ object Main {
       .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
-      .getOrCreate()
+    // spark-submit injects spark.master; fall back to local[*] when the
+    // CLI is launched directly (e.g. sbt runMain)
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def table = QTable(req(opts, "table"), spark)
