@@ -5,16 +5,23 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver-checked query pack: each entry has a Spark implementation and
-  * (where SQL-expressible) a DuckDB oracle over the same parquet tables.
+/** Driver-checked query pack: every entry has a Spark implementation and
+  * a DuckDB oracle over the same parquet tables (engine-specific hashes
+  * were replaced by a portable md5-derived hash so even the
+  * MinHash/SimHash/LSH family is EXACTLY checkable).
   *
   * These exercise, on the generic testdata, the same operator classes the
   * maintenance engine uses internally — manifest-stats aggregation,
   * pruned scans, semi/anti joins (expired-file computation), the
-  * MERGE-shaped full-outer upsert, the Z-order key expression, bin-pack
-  * planning, last-writer-wins dedup — plus training-data-pipeline ops
-  * (exact dedup, token/quality stats, language heuristics, MinHash,
-  * SimHash, brute-force cosine kNN).
+  * MERGE-shaped full-outer upsert, the Z-order/Hilbert key expressions,
+  * bin-pack planning, last-writer-wins dedup — plus the
+  * training-data-pipeline operator families: exact/near-duplicate
+  * detection (content hash, MinHash+LSH candidate pairs with exact
+  * n-gram Jaccard verdicts, SimHash, winnowing fingerprints,
+  * embedding-cosine blocking), similarity search (brute-force and
+  * IVF-pruned kNN), text analysis (token/quality/language/regex stats),
+  * JSON payload ops, validated CSV preview, date-partition pruning, and
+  * nested struct/array/map sources.
   *
   * Column names/types are aligned with the oracle SQL exactly (the driver
   * hash-compares by sorted column name). Floating aggregates are rounded
