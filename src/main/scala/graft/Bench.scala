@@ -101,8 +101,10 @@ object Bench {
     // measures the engine's scaling, not the shared memory bus. On a
     // real N->4N executor cluster, bandwidth scales with nodes.
     val levels = Seq(1, 2, 4, 8).filter(_ <= cpusMax)
-    val (pLow, pHigh) = (1, math.min(4, cpusMax))
-    val (sLow, sHigh) = (2, math.min(8, cpusMax))
+    // pairs only over levels actually measured (a small or odd cpusMax
+    // must degrade to fewer pairs, never crash after the measurement)
+    val (pLow, pHigh) = (1, if (levels.contains(4)) 4 else levels.max)
+    val (sLow, sHigh) = (2, 8)
     val rows: Long =
       if (sfDir.contains("sf0.01")) 30000L
       else if (sfDir.contains("sf0.1")) 100000L
@@ -217,6 +219,7 @@ object Bench {
           catch { case _: Throwable => fn(s, sfDir).count() }
         }
         queryTimes(name) = sec
+        s.catalog.clearCache() // a query's cached inputs must not skew the next
       }
     }
 
@@ -227,7 +230,8 @@ object Bench {
     }
     val (speedupP, efficiencyP) = eff(pLow, pHigh)
     val (speedupS, efficiencyS) =
-      if (byLevel.contains(sHigh)) eff(sLow, sHigh) else (0.0, 0.0)
+      if (byLevel.contains(sLow) && byLevel.contains(sHigh)) eff(sLow, sHigh)
+      else (0.0, 0.0)
 
     val gb = low.bytesRewritten.toDouble / 1e9
     val gbpsHigh = gb / high.tRewrite
@@ -255,13 +259,14 @@ object Bench {
         s""""t_high_sec":${f(high.tRewrite)},"t_low_est_sec":${f(low.tRewriteEst)},""" +
         s""""t_high_est_sec":${f(high.tRewriteEst)},"speedup":${f(speedupP)},"efficiency":${f(efficiencyP)}},""" +
         s""""scaling_secondary":{"cpus_low":$sLow,"cpus_high":$sHigh,""" +
-        s""""t_low_sec":${f(byLevel(sLow).tRewrite)},"t_high_sec":${f(byLevel(sHigh).tRewrite)},""" +
+        s""""t_low_sec":${f(byLevel.get(sLow).map(_.tRewrite).getOrElse(0.0))},""" +
+        s""""t_high_sec":${f(byLevel.get(sHigh).map(_.tRewrite).getOrElse(0.0))},""" +
         s""""speedup":${f(speedupS)},"efficiency":${f(efficiencyS)}}}"""
     println(json)
 
     writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, nRounds,
       pLow, pHigh, sLow, sHigh, efficiencyP, efficiencyS, verifyOk, mergeSec,
-      queryTimes.toMap)
+      queryTimes.toMap, cpusMax)
 
     // free the RAM-backed working set
     try {
@@ -274,7 +279,7 @@ object Bench {
       byLevel: Map[Int, SuiteResult], levels: Seq[Int], nRounds: Int,
       pLow: Int, pHigh: Int, sLow: Int, sHigh: Int,
       effP: Double, effS: Double, ok: Boolean,
-      mergeSec: Double, qt: Map[String, Double]): Unit = {
+      mergeSec: Double, qt: Map[String, Double], cpusMax: Int): Unit = {
     try {
       val repo = sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo")
       val dir = Paths.get(repo, "BENCH")
@@ -335,7 +340,7 @@ object Bench {
            |
            |Files: ${byLevel(pLow).filesBefore} -> ${byLevel(pLow).filesAfter}.
            |
-           |## Analytics query pack (local[32], $sfDir)
+           |## Analytics query pack (local[$cpusMax], $sfDir)
            |
            || query | sec |
            ||---|---|

@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
-  *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run]
+  *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V]
   *   spark-submit --class graft.Main <jar> describe --table T
@@ -106,9 +106,11 @@ object Main {
         report("rollback", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "remove-orphans" =>
-        val res = new RemoveOrphanFilesJob(table).run(opts.contains("dry-run"))
+        val graceMs = opts.getOrElse("grace-hours", "24").toLong * 3600L * 1000L
+        val res = new RemoveOrphanFilesJob(table, graceMs).run(opts.contains("dry-run"))
         report("remove-orphans", Map(
           "deleted" -> res.deleted.toString, "kept" -> res.kept.toString,
+          "grace-hours" -> opts.getOrElse("grace-hours", "24"),
           "dry-run" -> opts.contains("dry-run").toString))
 
       case "rewrite-manifests" =>

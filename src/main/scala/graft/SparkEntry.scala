@@ -48,7 +48,7 @@ object SparkEntry {
     // live data untouched
     DataGen.generate(spark, 10, 7L, 1).toDF()
       .write.parquet(t.newDataDir("crashed-demo", "b0"))
-    val orph = new RemoveOrphanFilesJob(t).run()
+    val orph = new RemoveOrphanFilesJob(t, graceMs = 0L).run()
     val orphOk = orph.deleted > 0 && t.read().count() == rows + 3
 
     // ROW-COUNT-GATED: only passing checks are emitted, so any failure

@@ -116,9 +116,13 @@ class ClusterJob(
         else {
           // boundaries for nOut bins read off the precomputed grid (or a
           // direct per-group quantile job for the rare nOut > grid case)
+          // a group absent from the grid (no rows in its sampled files —
+          // only possible for a degenerate near-empty group) degrades to
+          // a single bin, which is the correct layout for it anyway
+          val grid = grids.getOrElse(p.group, Array.fill(QuantileGrid - 1)(Long.MaxValue))
           val bounds: Seq[Long] =
             if (nOut <= QuantileGrid)
-              (1 until nOut).map(i => grids(p.group)(i * QuantileGrid / nOut - 1))
+              (1 until nOut).map(i => grid(i * QuantileGrid / nOut - 1))
             else table.readFiles(p.inputs.map(_.path))
               .select(zkeyCol.as("zkey"))
               .stat.approxQuantile("zkey", (1 until nOut).map(_.toDouble / nOut).toArray, 0.001)

@@ -58,14 +58,18 @@ class CompactJob(
     if (plans.isEmpty) return snap
 
     val ckpt = new Checkpoint(table, jobId)
-    val outputs = JobPlanning.withScanSplitBytes(table.spark, targetFileBytes) {
+    // isolated session: split-size confs are session-scoped, so pinning
+    // them here can never race another job planning scans on the shared
+    // session (e.g. a concurrent MERGE under CommitRetry)
+    val jobTable = new graft.format.QTable(table.root, table.spark.newSession())
+    val outputs = JobPlanning.withScanSplitBytes(jobTable.spark, targetFileBytes) {
       GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path), ckpt.committed,
         failAfterGroups, concurrency,
         onFailure = gf => ckpt.commit(LineageEntry(jobId, "compact", gf.group,
           Nil, Nil, 0L, 0L, "failed", gf.attempts))) { p =>
         val dir = table.newDataDir(jobId, p.group)
         cleanDir(dir) // crashed partial attempt is overwritten
-        val df = table.readFiles(p.inputs.map(_.path))
+        val df = jobTable.readFiles(p.inputs.map(_.path))
         val t0 = System.nanoTime()
         df.write.parquet(dir)
         val t1 = System.nanoTime()

@@ -35,18 +35,24 @@ class RollbackJob(table: QTable) {
   *
   * Safety: only files under `<root>/data` are candidates; anything
   * referenced by ANY retained snapshot version or recorded as output in
-  * a live checkpoint lineage entry survives. Like its Iceberg namesake
-  * this must not run concurrently with an in-flight write job unless the
-  * job checkpoints each group before its files become orphan-candidates
-  * (ours do: lineage is committed in the same group step that writes).
+  * a live checkpoint lineage entry survives, and — like Iceberg's
+  * `older_than` guard — files younger than `graceMs` are never touched:
+  * an in-flight group writes its part files BEFORE its lineage entry
+  * exists, so a zero-grace sweep racing that group would delete data
+  * mid-write. Default grace is 24h; tests pass 0 on quiesced tables.
   */
-class RemoveOrphanFilesJob(table: QTable) {
+class RemoveOrphanFilesJob(table: QTable, graceMs: Long = 24L * 3600 * 1000) {
 
   final case class Result(deleted: Int, kept: Int)
 
   def run(dryRun: Boolean = false): Result = {
     val conf = table.hadoopConf
+    val cutoff = System.currentTimeMillis() - graceMs
     val onDisk = graft.format.ParquetStats.listParquet(table.dataDir.toString, conf)
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).getFileStatus(hp).getModificationTime <= cutoff
+      }
 
     val referenced: Set[String] =
       table.listVersions.flatMap(v => table.entries(table.snapshotAt(v)))

@@ -397,6 +397,19 @@ object Queries {
       |CAST((length(text) - length(replace(text,'query',''))) / 5 AS BIGINT) AS n_query
       |FROM documents""".stripMargin
 
+  /** Cache key for a derived layout: source dir + the source table's
+    * last-modified time, so regenerated testdata can never be served a
+    * stale index (the _SUCCESS marker alone proves only that SOME build
+    * finished, not that it matches the current source). */
+  private def fixtureKey(dir: String, tableName: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/$tableName.parquet")
+    val mtime =
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      else 0L
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + mtime
+  }
+
   // ---------------------------------------------------------------- q16
   private def ivfCell(c: org.apache.spark.sql.Column) =
     (when(element_at(c, 1) > 0f, 4).otherwise(0) +
@@ -407,7 +420,7 @@ object Queries {
     * cell (sign bits of the first 3 dims). At 10^9+ vectors this is the
     * stored layout and a probe reads ~1/8 of the table. */
   def ivfIndexDir(s: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val key = fixtureKey(dir, "embeddings")
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$key"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_SUCCESS"))) {
       t(s, dir, "embeddings")
@@ -601,7 +614,7 @@ object Queries {
     * by `days(ts)`; the probe's date-range filter prunes partitions
     * (PlanSpec asserts the scan reads only in-range directories). */
   def q20EventsByDayDir(s: SparkSession, dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val key = fixtureKey(dir, "events")
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_q20_events_$key"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "_SUCCESS"))) {
       t(s, dir, "events")

@@ -20,7 +20,7 @@ class GroupRunnerSpec extends AnyFunSuite {
     val ex = intercept[GroupsFailedException] {
       GroupRunner.run[String](plans, identity, g => Seq(s"in-$g"), Map.empty,
         Int.MaxValue, concurrency = 2, maxAttempts = 3, backoffMs = 1L,
-        onFailure = failures.synchronized { f => failures += f }) { g =>
+        onFailure = f => failures.synchronized { failures += f }) { g =>
         if (g == "g2") { attempts.incrementAndGet(); sys.error("poisoned") }
         done.updateWith(g) { c => Some(c.getOrElse(0) + 1) }
         entry(g)

@@ -54,16 +54,26 @@ class RollbackOrphanSpec extends AnyFunSuite {
     ckpt.commit(graft.model.LineageEntry("resumable-job", "compact", "b1",
       Seq("in"), ckptFiles, 10L, ckptFiles.map(_.byteCount).sum, "committed", 1))
 
-    val dry = new RemoveOrphanFilesJob(t).run(dryRun = true)
+    val dry = new RemoveOrphanFilesJob(t, graceMs = 0L).run(dryRun = true)
     assert(dry.deleted == orphans.size)
     orphans.foreach(p => assert(Files.exists(Paths.get(p)), "dry run must not delete"))
 
-    val res = new RemoveOrphanFilesJob(t).run()
+    val res = new RemoveOrphanFilesJob(t, graceMs = 0L).run()
     assert(res.deleted == orphans.size)
     orphans.foreach(p => assert(!Files.exists(Paths.get(p)), s"$p should be gone"))
     live.foreach(p => assert(Files.exists(Paths.get(p)), s"$p must survive"))
     ckptFiles.foreach(f => assert(Files.exists(Paths.get(f.path)),
       "checkpointed group outputs must survive for resume"))
     assert(t.read().count() == 200)
+  }
+
+  test("grace window: freshly written files are never orphan candidates") {
+    val t = QTable.create(TestSpark.tmpDir("orph2"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 50, 42L, 2).toDF(), 1)
+    DataGen.generate(spark, 5, 9L, 1).toDF()
+      .write.parquet(t.newDataDir("in-flight-job", "b0"))
+    // default grace (24h): the just-written in-flight files survive
+    val res = new RemoveOrphanFilesJob(t).run()
+    assert(res.deleted == 0, "grace window must protect in-flight writes")
   }
 }
