@@ -21,6 +21,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V]
+  *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> describe --table T
   */
 object Main {
@@ -113,6 +114,30 @@ object Main {
           "grace-hours" -> opts.getOrElse("grace-hours", "24"),
           "dry-run" -> opts.contains("dry-run").toString))
 
+      case "lookup" =>
+        // point lookup THROUGH the stats-skipping FileIndex: the filter is
+        // pushed into the scan and manifest ranges prune the files read
+        val id = req(opts, "id")
+        val (df, index) = table.readIndexed()
+        val rows = df.where(org.apache.spark.sql.functions.col("image_id") === id)
+          .selectExpr("image_id", "w", "h", "fmt", "phash", "pbucket",
+            "length(bytes) AS n_bytes")
+          .collect()
+        val (sel, all) = index.lastSelection
+        rows.foreach { r =>
+          report("lookup", Map(
+            "image_id" -> r.getString(0), "w" -> r.getInt(1).toString,
+            "h" -> r.getInt(2).toString, "fmt" -> r.getString(3),
+            "phash" -> r.getLong(4).toString, "pbucket" -> r.getInt(5).toString,
+            "n_bytes" -> r.getInt(6).toString,
+            "files-scanned" -> sel.toString, "files-total" -> all.toString))
+        }
+        if (rows.isEmpty) {
+          report("lookup", Map("image_id" -> id, "found" -> "false",
+            "files-scanned" -> sel.toString, "files-total" -> all.toString))
+          sys.exit(1)
+        }
+
       case "rewrite-manifests" =>
         val snap = new RewriteManifestsJob(table).run(
           opts.getOrElse("entries-per-manifest", "512").toInt)
@@ -177,5 +202,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|rollback|remove-orphans|rewrite-manifests|verify|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|rollback|remove-orphans|rewrite-manifests|verify|lookup|describe> --table PATH [options]"""
 }

@@ -85,6 +85,28 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * schema — schema is declared, never inferred, so no footer merge. */
   def read(s: Snapshot): DataFrame = readFiles(entries(s).map(_.path))
 
+  /** Read a snapshot through the Catalyst-integrated stats-skipping
+    * [[QTableFileIndex]]: pushed filters on phash/pbucket/image_id prune
+    * data files from manifest min/max ranges INSIDE the scan node — the
+    * declarative equivalent of [[planFiles]], composing with column
+    * pruning/joins/AQE, and listing never touches the filesystem.
+    * Returns the DataFrame and the index (whose `lastSelection` exposes
+    * the skip ratio for tests/metrics). */
+  def readIndexed(s: Snapshot): (DataFrame, QTableFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val index = new QTableFileIndex(entries(s))
+    val rel = HadoopFsRelation(
+      location = index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = ImageRow.storedSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      options = Map.empty)(spark)
+    (org.apache.spark.sql.GraftBridge.ofRows(spark, LogicalRelation(rel)), index)
+  }
+
+  def readIndexed(): (DataFrame, QTableFileIndex) = readIndexed(currentSnapshot)
+
   def read(): DataFrame = read(currentSnapshot)
 
   def readFiles(paths: Seq[String]): DataFrame = {

@@ -1,0 +1,105 @@
+package graft.format
+
+import graft.model.DataFileEntry
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-integrated data skipping for qtable scans — the custom
+  * `FileIndex` integration pattern Delta/Iceberg use: Spark's
+  * `FileSourceStrategy` hands every scan's pushed data filters to
+  * `listFiles`, and this index answers with only the data files whose
+  * manifest min/max ranges can satisfy them. A user writing plain
+  * declarative `table.readIndexed().where($"phash".between(a, b))` gets
+  * the same file skipping the driver-side `QTable.planFiles` does by
+  * hand — no manual planning call, and the skipping composes with every
+  * other Catalyst feature (column pruning, AQE, joins).
+  *
+  * FileStatus objects are synthesized from manifest metadata (size is
+  * recorded at commit time), so the index NEVER touches the filesystem —
+  * listing a 10^12-image table's scan is pure in-memory metadata work.
+  */
+class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
+
+  /** (selected, total) of the last listFiles call — test/metrics hook. */
+  @volatile var lastSelection: (Int, Int) = (entries.size, entries.size)
+
+  override def rootPaths: Seq[HPath] =
+    entries.map(e => new HPath(e.path)).take(1).toSeq
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = entries.map(_.byteCount).sum
+
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val selected = entries.filter(e => dataFilters.forall(f => mayMatch(f, e)))
+    lastSelection = (selected.size, entries.size)
+    val statuses = selected.map { e =>
+      new FileStatus(e.byteCount, false, 1, 128L << 20, 0L, new HPath(e.path))
+    }.toArray
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+
+  // ---- conservative range evaluation against manifest min/max stats ----
+  // Unknown predicate shapes return true (file kept): skipping must never
+  // be unsound. Supported: And/Or/Not-free comparisons on the stats
+  // columns (phash: long, pbucket: int, image_id: string), literal on
+  // either side, plus IsNotNull (columns are non-null by schema).
+
+  private def mayMatch(f: Expression, e: DataFileEntry): Boolean = f match {
+    case And(l, r) => mayMatch(l, e) && mayMatch(r, e)
+    case Or(l, r) => mayMatch(l, e) || mayMatch(r, e)
+    case IsNotNull(_) => true
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => geMax(a.name, v, e)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => gtMax(a.name, v, e)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => leMin(a.name, v, e)
+    case LessThan(a: AttributeReference, Literal(v, _)) => ltMin(a.name, v, e)
+    case EqualTo(a: AttributeReference, Literal(v, _)) =>
+      geMax(a.name, v, e) && leMin(a.name, v, e)
+    // literal-on-left mirrors
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => leMin(a.name, v, e)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => ltMin(a.name, v, e)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => geMax(a.name, v, e)
+    case LessThan(Literal(v, _), a: AttributeReference) => gtMax(a.name, v, e)
+    case EqualTo(Literal(v, _), a: AttributeReference) =>
+      geMax(a.name, v, e) && leMin(a.name, v, e)
+    case _ => true
+  }
+
+  /** stats range of column `name` in file `e`, as (min, max) if tracked */
+  private def range(name: String, e: DataFileEntry): Option[(Any, Any)] = name match {
+    case "phash" => Some((e.phashMin, e.phashMax))
+    case "pbucket" => Some((e.pbucketMin, e.pbucketMax))
+    case "image_id" => Some((e.imageIdMin, e.imageIdMax))
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Long) => java.lang.Long.compare(x.toLong, y)
+    case (x: Long, y: Int) => java.lang.Long.compare(x, y.toLong)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: String, y: UTF8String) => x.compareTo(y.toString)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
+  }
+
+  // file may contain a row with col >= v  <=>  max >= v
+  private def geMax(name: String, v: Any, e: DataFileEntry): Boolean =
+    range(name, e).forall { case (_, mx) => cmp(mx, v) >= 0 }
+  private def gtMax(name: String, v: Any, e: DataFileEntry): Boolean =
+    range(name, e).forall { case (_, mx) => cmp(mx, v) > 0 }
+  // file may contain a row with col <= v  <=>  min <= v
+  private def leMin(name: String, v: Any, e: DataFileEntry): Boolean =
+    range(name, e).forall { case (mn, _) => cmp(mn, v) <= 0 }
+  private def ltMin(name: String, v: Any, e: DataFileEntry): Boolean =
+    range(name, e).forall { case (mn, _) => cmp(mn, v) < 0 }
+}

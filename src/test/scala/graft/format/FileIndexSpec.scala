@@ -1,0 +1,71 @@
+package graft.format
+
+import graft.TestSpark
+import graft.jobs.{AppendJob, ClusterJob, CompactJob}
+import graft.synth.DataGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Catalyst-integrated data-skipping path: filters pushed into the
+  * scan prune files via manifest min/max stats, with NO manual planFiles
+  * call — and the answers match the plain full-scan read exactly. */
+class FileIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def clusteredTable(n: Long): QTable = {
+    val t = QTable.create(TestSpark.tmpDir("qfi"), spark, buckets = 4)
+    AppendJob.append(t, DataGen.generate(spark, n, 42L, 8).toDF(), filesPerBucket = 4)
+    new CompactJob(t, targetFileBytes = 256L << 10).run()
+    // cluster so per-file phash ranges are narrow => skipping has teeth
+    new ClusterJob(t, targetFileBytes = 120L << 10, minGroupBytes = 1L).run()
+    t
+  }
+
+  test("phash range filter skips files inside the scan") {
+    val t = clusteredTable(1500)
+    val (df, index) = t.readIndexed()
+    val total = t.entries(t.currentSnapshot).size
+    assert(total >= 8, s"need several files for a meaningful test, got $total")
+
+    // pick a range that covers ~1/4 of the phash space
+    val lo = Long.MinValue / 2
+    val hi = 0L
+    val expected = t.read().where(col("phash").between(lo, hi))
+      .select("image_id").collect().map(_.getString(0)).sorted
+    val got = df.where(col("phash").between(lo, hi))
+      .select("image_id").collect().map(_.getString(0)).sorted
+    assert(got.sameElements(expected), "indexed read must match plain read")
+
+    val (selected, all) = index.lastSelection
+    assert(all == total)
+    assert(selected < all,
+      s"scan read $selected/$all files — stats skipping did nothing")
+  }
+
+  test("pbucket equality prunes to one bucket's files") {
+    val t = clusteredTable(1000)
+    val (df, index) = t.readIndexed()
+    val n = df.where(col("pbucket") === 2).count()
+    assert(n == t.read().where(col("pbucket") === 2).count())
+    val (selected, all) = index.lastSelection
+    assert(selected < all, s"bucket filter not skipping: $selected/$all")
+  }
+
+  test("image_id point lookup touches a small file subset") {
+    val t = clusteredTable(1000)
+    val (df, index) = t.readIndexed()
+    val got = df.where(col("image_id") === "img000000000042").count()
+    assert(got == 1L)
+    val (selected, all) = index.lastSelection
+    assert(selected < all)
+  }
+
+  test("unsupported predicates fall back to keeping every file (sound)") {
+    val t = clusteredTable(600)
+    val (df, index) = t.readIndexed()
+    val n = df.where(length(col("caption")) > 20).count()
+    assert(n == t.read().where(length(col("caption")) > 20).count())
+    val (selected, all) = index.lastSelection
+    assert(selected == all, "unknown predicate shapes must never skip")
+  }
+}
