@@ -48,7 +48,10 @@ object Main {
 
     def table = QTable(req(opts, "table"), spark)
     def targetBytes = opts.get("target-mb").map(_.toLong << 20).getOrElse(128L << 20)
-    def jobId = opts.getOrElse("job-id", java.util.UUID.randomUUID().toString)
+    // val, not def: CommitRetry re-enters the job body on conflict, and a
+    // fresh UUID per attempt would orphan the losing attempt's checkpoint
+    // (the retry is supposed to RESUME it, skipping committed groups)
+    val jobId = opts.getOrElse("job-id", java.util.UUID.randomUUID().toString)
     // group fan-out: defaults to the session's core count (the reference's
     // semaphore caps, SURVEY 2.7 D1, re-expressed over Spark jobs)
     def concurrency = opts.get("concurrency").map(_.toInt)

@@ -82,24 +82,29 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
     case _ => None
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Int, y: Long) => java.lang.Long.compare(x.toLong, y)
-    case (x: Long, y: Int) => java.lang.Long.compare(x, y.toLong)
-    case (x: Int, y: Int) => Integer.compare(x, y)
-    case (x: String, y: UTF8String) => x.compareTo(y.toString)
-    case (x: String, y: String) => x.compareTo(y)
-    case _ => 0
+  /** None for a type pair we cannot order — every may-match helper below
+    * must then KEEP the file. A `=> 0` fallback would make the strict
+    * comparators (gtMax/ltMin) return false and PRUNE on unknown types:
+    * the unsound direction for a stats filter. */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Int, y: Long) => Some(java.lang.Long.compare(x.toLong, y))
+    case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
+    case (x: Int, y: Int) => Some(Integer.compare(x, y))
+    case (x: String, y: UTF8String) => Some(x.compareTo(y.toString))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
   }
 
   // file may contain a row with col >= v  <=>  max >= v
+  // (Option.forall: an incomparable type pair keeps the file — sound)
   private def geMax(name: String, v: Any, e: DataFileEntry): Boolean =
-    range(name, e).forall { case (_, mx) => cmp(mx, v) >= 0 }
+    range(name, e).forall { case (_, mx) => cmp(mx, v).forall(_ >= 0) }
   private def gtMax(name: String, v: Any, e: DataFileEntry): Boolean =
-    range(name, e).forall { case (_, mx) => cmp(mx, v) > 0 }
+    range(name, e).forall { case (_, mx) => cmp(mx, v).forall(_ > 0) }
   // file may contain a row with col <= v  <=>  min <= v
   private def leMin(name: String, v: Any, e: DataFileEntry): Boolean =
-    range(name, e).forall { case (mn, _) => cmp(mn, v) <= 0 }
+    range(name, e).forall { case (mn, _) => cmp(mn, v).forall(_ <= 0) }
   private def ltMin(name: String, v: Any, e: DataFileEntry): Boolean =
-    range(name, e).forall { case (mn, _) => cmp(mn, v) < 0 }
+    range(name, e).forall { case (mn, _) => cmp(mn, v).forall(_ < 0) }
 }

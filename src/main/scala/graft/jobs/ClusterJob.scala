@@ -67,25 +67,14 @@ class ClusterJob(
     * near-uniform sample of its group's key distribution; boundary error
     * only skews output file sizes a few percent, never correctness. */
   private def boundsByGroup(plans: Seq[Plan]): Map[String, Array[Long]] = {
-    import org.apache.spark.sql.functions.{percentile_approx => pctApprox}
     val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
-    // pbucket -> group name (groups are contiguous bucket ranges)
-    val groupOfBucket = lit(null).cast("string")
-    val groupExpr = plans.foldLeft(groupOfBucket) { (acc, p) =>
-      val lo = p.inputs.map(_.pbucketMin).min
-      val hi = p.inputs.map(_.pbucketMax).max
-      when(col("pbucket").between(lo, hi), lit(p.group)).otherwise(acc)
-    }
     val sampled = plans.flatMap(_.inputs.sortBy(_.path).zipWithIndex
       .collect { case (f, i) if i % 2 == 0 => f.path })
     val grid = (1 until QuantileGrid).map(_.toDouble / QuantileGrid).toArray
     val rows = table.readFiles(sampled)
-      .select(groupExpr.as("g"), zkeyCol.as("zkey"))
-      .groupBy("g")
-      .agg(pctApprox(col("zkey"), lit(grid), lit(10000)).as("q"))
-      .collect()
-    rows.map(r => r.getString(0) ->
-      r.getSeq[Long](1).toArray).toMap
+      .select(col("pbucket"), zkeyCol.as("zkey"))
+    ClusterJob.groupQuantiles(rows, ClusterJob.bucketGroupLookup(plans.map(p =>
+      (p.group, p.inputs.map(_.pbucketMin).min, p.inputs.map(_.pbucketMax).max))), grid)
   }
 
   def run(failAfterGroups: Int = Int.MaxValue): Snapshot = {
@@ -164,5 +153,40 @@ class ClusterJob(
     val hp = new HPath(dir)
     val fs = hp.getFileSystem(table.hadoopConf)
     if (fs.exists(hp)) fs.delete(hp, true)
+  }
+}
+
+object ClusterJob {
+
+  /** (pbucket -> group) rows for a broadcast lookup join. Groups are
+    * disjoint contiguous bucket ranges, so the expansion is exactly one
+    * row per bucket — small data (a 10^5-bucket table is ~10^5 rows of
+    * (int, short string), a few MB broadcast). A `when`-chain expression
+    * over the same mapping would be one nested CASE per group: at the
+    * 10^5-group scale the 100 TB estimate implies, a 10^5-deep Catalyst
+    * expression tree blows analysis/codegen stack limits long before data
+    * volume matters — the join keeps the PLAN O(1) in group count. */
+  private[jobs] def bucketGroupLookup(
+      groups: Seq[(String, Int, Int)]): Seq[(Int, String)] =
+    groups.flatMap { case (g, lo, hi) => (lo to hi).map(b => (b, g)) }
+
+  /** Per-group zkey quantile grids via ONE aggregation: join the (pbucket,
+    * zkey) rows against the small broadcast bucket->group lookup, then
+    * percentile sketches grouped by group name. Plan size is independent
+    * of group count. */
+  private[jobs] def groupQuantiles(
+      rows: org.apache.spark.sql.DataFrame,
+      lookup: Seq[(Int, String)],
+      grid: Array[Double]): Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions.{percentile_approx => pctApprox}
+    val spark = rows.sparkSession
+    val lookupDf = broadcast(
+      spark.createDataFrame(lookup).toDF("pbucket", "g"))
+    rows.join(lookupDf, Seq("pbucket"))
+      .groupBy("g")
+      .agg(pctApprox(col("zkey"), lit(grid), lit(10000)).as("q"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
   }
 }

@@ -50,6 +50,16 @@ class GroupsFailedException(val failures: Seq[GroupFailure])
   */
 object GroupRunner {
 
+  /** Default await bound: large but FINITE — a hung group must not hang
+    * the driver forever in the default config. Committed groups' lineage
+    * survives a timeout, so a timed-out job resumes like a killed one. */
+  val DefaultAwait: Duration = Duration(24, "h")
+
+  def defaultTimeout: Duration =
+    sys.env.get("GRAFT_GROUP_TIMEOUT_SEC")
+      .map(s => Duration(s.toLong, "s"))
+      .getOrElse(DefaultAwait)
+
   def run[P](
       plans: Seq[P],
       groupOf: P => String,
@@ -59,7 +69,8 @@ object GroupRunner {
       concurrency: Int,
       maxAttempts: Int = 3,
       backoffMs: Long = 100L,
-      onFailure: GroupFailure => Unit = _ => ())(
+      onFailure: GroupFailure => Unit = _ => (),
+      awaitTimeout: Duration = null)(
       rewrite: P => LineageEntry): Seq[LineageEntry] = {
 
     def reusable(p: P): Option[LineageEntry] =
@@ -68,7 +79,7 @@ object GroupRunner {
     val (done, todo) = plans.partition(p => reusable(p).isDefined)
     val reused = done.map(p => reusable(p).get)
 
-    def withRetry(p: P): Try[LineageEntry] = {
+    def withRetry(p: P): Either[GroupFailure, LineageEntry] = {
       var attempt = 1
       var last: Try[LineageEntry] = Try(rewrite(p))
       while (last.isFailure && attempt < maxAttempts) {
@@ -80,41 +91,40 @@ object GroupRunner {
         case Failure(e) =>
           val gf = GroupFailure(groupOf(p), attempt, e)
           onFailure(gf)
-          Failure(e)
-        case ok => ok
+          Left(gf)
+        case Success(v) => Right(v)
       }
     }
 
-    val attempted: Seq[(String, Try[LineageEntry])] =
+    val attempted: Seq[Either[GroupFailure, LineageEntry]] =
       if (failAfterGroups != Int.MaxValue) {
-        // deterministic sequential mode for crash-injection tests
+        // deterministic sequential mode for crash-injection tests; the
+        // simulated crash is a driver death (thrown OUTSIDE withRetry),
+        // but real rewrite failures before the crash point still get the
+        // full retry/backoff/failed-lineage treatment
         todo.zipWithIndex.map { case (p, i) =>
           if (i >= failAfterGroups)
             throw new RuntimeException(s"[test-hook] simulated crash after $i groups")
-          groupOf(p) -> Try(rewrite(p))
+          withRetry(p)
         }
       } else if (todo.size <= 1 || concurrency <= 1) {
-        todo.map(p => groupOf(p) -> withRetry(p))
+        todo.map(withRetry)
       } else {
-        val pool = Executors.newFixedThreadPool(math.min(concurrency, todo.size))
+        // daemon threads: a group hung past the await bound must not keep
+        // the JVM alive after the driver gives up on the job
+        val pool = Executors.newFixedThreadPool(math.min(concurrency, todo.size),
+          (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         try {
-          val futs = todo.map(p => Future(groupOf(p) -> withRetry(p)))
-          // bounded await: a hung group must not hang the driver forever
-          // (committed groups' lineage survives, so a timed-out job is
-          // resumable like a killed one)
-          val timeout = sys.env.get("GRAFT_GROUP_TIMEOUT_SEC")
-            .map(s => scala.concurrent.duration.Duration(s.toLong, "s"))
-            .getOrElse(Duration.Inf)
+          val futs = todo.map(p => Future(withRetry(p)))
+          val timeout = Option(awaitTimeout).getOrElse(defaultTimeout)
           Await.result(Future.sequence(futs), timeout)
         } finally pool.shutdown()
       }
 
-    val failures = attempted.collect { case (g, Failure(e)) =>
-      GroupFailure(g, maxAttempts, e)
-    }
+    val failures = attempted.collect { case Left(gf) => gf }
     if (failures.nonEmpty) throw new GroupsFailedException(failures)
 
-    reused ++ attempted.collect { case (_, Success(e)) => e }
+    reused ++ attempted.collect { case Right(e) => e }
   }
 }

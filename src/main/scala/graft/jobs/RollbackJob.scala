@@ -20,10 +20,15 @@ class RollbackJob(table: QTable) {
     require(table.listVersions.contains(toVersion),
       s"v$toVersion is not a retained snapshot (have: ${table.listVersions.mkString(",")})")
     val target = table.snapshotAt(toVersion)
+    // bucket count must travel WITH the manifests being restored: rolling
+    // back across a RebucketJob commit would otherwise pair old-layout
+    // manifests with the new bucket count, and every later append/merge
+    // would assign pbucket with the wrong modulus
     table.commit(Some(cur), "rollback", Nil,
       Map("rolled-back-to" -> toVersion.toString,
         "rolled-back-from" -> cur.version.toString),
-      reuseManifests = target.manifests)
+      reuseManifests = target.manifests,
+      bucketsOverride = Some(target.buckets))
   }
 }
 

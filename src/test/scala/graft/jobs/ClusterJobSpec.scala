@@ -92,6 +92,27 @@ class ClusterJobSpec extends AnyFunSuite {
     assert(t.entries(snap).map(_.rowCount).sum == 600)
   }
 
+  test("boundary planning at 5000 groups: broadcast lookup join, no plan blowup") {
+    import org.apache.spark.sql.functions._
+    // 5000 contiguous single-bucket groups — the 100 TB group-count shape.
+    // The old when-chain built a 5000-deep nested CASE here and died in
+    // analysis; the lookup join keeps plan size O(1) in group count.
+    val nGroups = 5000
+    val lookup = ClusterJob.bucketGroupLookup(
+      (0 until nGroups).map(g => (s"b$g", g, g)))
+    assert(lookup.size == nGroups)
+    val rows = spark.range(0, 50000)
+      .select((col("id") % nGroups).cast("int").as("pbucket"),
+        (col("id") * 2654435761L).as("zkey"))
+    val grid = Array(0.25, 0.5, 0.75)
+    val q = ClusterJob.groupQuantiles(rows, lookup, grid)
+    assert(q.size == nGroups)
+    assert(q.values.forall(_.length == grid.length))
+    // spot-check one group's quantiles are within that group's domain
+    val g0 = rows.where(col("pbucket") === 0).agg(min("zkey"), max("zkey")).head()
+    assert(q("b0").forall(v => v >= g0.getLong(0) && v <= g0.getLong(1)))
+  }
+
   test("skew: heavy near-dup phash cluster does not hotspot one output file") {
     val t = freshTable(2000)
     val snap = new ClusterJob(t, targetFileBytes = 40L << 10).run()

@@ -55,6 +55,35 @@ class GroupRunnerSpec extends AnyFunSuite {
     assert(ran.toSeq == Seq("g1"))
   }
 
+  test("hung group: bounded await times out, committed siblings survive, resumable") {
+    val done = TrieMap[String, Int]()
+    val committed = TrieMap[String, LineageEntry]()
+    intercept[java.util.concurrent.TimeoutException] {
+      GroupRunner.run[String](plans, identity, g => Seq(s"in-$g"), Map.empty,
+        Int.MaxValue, concurrency = 4,
+        awaitTimeout = scala.concurrent.duration.Duration(2, "s")) { g =>
+        if (g == "g2") Thread.sleep(60000) // hung group (daemon thread)
+        done.updateWith(g) { c => Some(c.getOrElse(0) + 1) }
+        val e = entry(g); committed.put(g, e); e
+      }
+    }
+    // siblings finished and their lineage was durably recorded before the
+    // driver gave up on the hung group
+    assert(done.keySet == Set("g0", "g1", "g3"))
+    // a resume (same jobId => lineage map) re-runs ONLY the hung group
+    val ran = scala.collection.mutable.ArrayBuffer[String]()
+    val out = GroupRunner.run[String](plans, identity, g => Seq(s"in-$g"),
+      committed.toMap, Int.MaxValue, concurrency = 2) { g =>
+      ran.synchronized(ran += g); entry(g)
+    }
+    assert(ran.toSeq == Seq("g2"))
+    assert(out.map(_.group).toSet == plans.toSet)
+  }
+
+  test("default await bound is finite (a hung group cannot hang the driver forever)") {
+    assert(GroupRunner.defaultTimeout.isFinite)
+  }
+
   test("transient failure: retry succeeds within maxAttempts") {
     val tries = new AtomicInteger(0)
     val out = GroupRunner.run[String](Seq("g0"), identity, g => Seq(s"in-$g"),

@@ -32,6 +32,30 @@ class RollbackOrphanSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new RollbackJob(t).run(99L) }
   }
 
+  test("rollback across a rebucket restores the OLD bucket count with the old layout") {
+    val t = QTable.create(TestSpark.tmpDir("rbrb"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 200, 42L, 4).toDF(), 2) // v1
+    val v1 = t.currentSnapshot
+    assert(v1.buckets == 2)
+    new RebucketJob(t, newBuckets = 4, 8L << 20).run() // v2
+    assert(t.currentSnapshot.buckets == 4)
+
+    val snap = new RollbackJob(t).run(v1.version) // v3
+    assert(snap.buckets == 2,
+      "bucket count must travel with the restored manifests, not the rebucketed head")
+    // appends after the rollback assign pbucket with the restored modulus:
+    // merge-inserting a new row must land in a bucket < 2
+    val corr = DataGen.correctionsDF(spark, 200, 42L, inserts = 2)
+    new MergeJob(t).run(corr)
+    val buckets = t.read().select("pbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(buckets.forall(_ < 2), s"pbucket written with wrong modulus: $buckets")
+    // and a rebucket AFTER the rollback sees the restored count (its
+    // newBuckets != snap.buckets guard checks the right value)
+    val re = new RebucketJob(t, newBuckets = 4, 8L << 20).run()
+    assert(re.buckets == 4)
+  }
+
   test("remove-orphans deletes only unreferenced leftovers") {
     val t = QTable.create(TestSpark.tmpDir("orph"), spark, buckets = 2)
     AppendJob.append(t, DataGen.generate(spark, 200, 42L, 4).toDF(), 2) // v1
