@@ -745,40 +745,113 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q23
-  /** Embedding-cosine near-duplicate pairs, BUCKETED: vectors are blocked
-    * by coarse sign-bit cell and only within-cell pairs are scored — the
-    * blocked-similarity shape that replaces a quadratic all-pairs join at
-    * scale (cells come from the same quantization the IVF index stores).
-    * Float math is evaluated in identical left-fold order on both
-    * engines, so the threshold compare is exact. */
+  /** Embedding near-duplicate pairs via SIGN-LSH BANDING (Charikar
+    * SimHash over random hyperplanes, STOC'02; hyperplanes are sparse
+    * 4-term +/-1 projections a la Achlioptas'01): [[LshBands]] bands of
+    * [[LshBits]] sign bits each form per-band cell keys; only pairs
+    * sharing a band cell are scored with the exact cosine — never
+    * all-pairs.
+    *
+    * Scale bound (the fix for round 2's 3-bit/8-cell blocking, which was
+    * O(N^2/8) — quadratic at any real corpus size): cells per band =
+    * 2^bits, so expected per-cell occupancy is N/2^bits and candidate
+    * volume is ~ bands * N^2 / 2^(bits+1) for rotation-invariant data.
+    * `bits` must grow with log2(N) (+ a constant margin) to keep per-cell
+    * occupancy O(1), making candidate volume O(N * bands) — at 10^9
+    * vectors use ~30+ bits, multi-probing neighbor cells for recall.
+    * Here 12 bits / 4096 cells fits the test scale; banding (OR over 4
+    * independent 12-bit keys) supplies the recall that a single 48-bit
+    * key would destroy. The seeded hyperplanes are embedded as literals
+    * in both engines' expressions, float math is evaluated in identical
+    * left-fold order, and the threshold compares exact doubles — so the
+    * whole pipeline stays EXACTLY DuckDB-oracled. */
+  private val LshBands = 4
+  private val LshBits = 12
+
+  /** Seeded sparse hyperplanes: plane i mixes 4 dims (1-based) with +/-1
+    * coefficients, drawn from a splitmix64 stream (Steele et al. 2014,
+    * public domain) with a fixed seed — deterministic, engine-neutral. */
+  private val lshPlanes: Seq[Seq[(Int, Int)]] = {
+    var s = 0L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(LshBands * LshBits)(Seq.fill(4) {
+      val r = next()
+      ((r & 63L).toInt + 1, if (((r >>> 32) & 1L) == 0L) 1 else -1)
+    })
+  }
+
+  /** One 12-bit band cell as a Spark Column over the double-array v. */
+  private def lshCell(v: org.apache.spark.sql.Column, band: Int) =
+    (0 until LshBits).map { i =>
+      val h = lshPlanes(band * LshBits + i)
+        .map { case (d, sg) => lit(sg) * element_at(v, d) }
+        .reduce(_ + _)
+      when(h > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The same band cell as DuckDB SQL (generated from the same table). */
+  private def lshCellSql(v: String, band: Int): String =
+    (0 until LshBits).map { i =>
+      val h = lshPlanes(band * LshBits + i)
+        .map { case (d, sg) => s"(($sg)*$v[$d])" }.mkString(" + ")
+      s"(CASE WHEN $h > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   def q23EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-        ivfCell(col("embedding")).as("cell"))
-    val a = e.toDF("va", "v_a", "cell_a")
-    val b = e.toDF("vb", "v_b", "cell_b")
-    a.join(b, col("cell_a") === col("cell_b") && col("va") < col("vb"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val bands = e.select(col("vec_id"),
+      explode(map_from_arrays(
+        array((0 until LshBands).map(lit): _*),
+        array((0 until LshBands).map(b => lshCell(col("v"), b)): _*)))
+        .as(Seq("band", "cell")))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .groupBy("va", "vb").agg(count(lit(1)).as("n_bands"))
+    val ea = e.toDF("ia", "v_a")
+    val eb = e.toDF("ib", "v_b")
+    cand
+      .join(ea, col("va") === col("ia"))
+      .join(eb, col("vb") === col("ib"))
       .withColumn("cos",
         dot(col("v_a"), col("v_b")) /
           (sqrt(dot(col("v_a"), col("v_a"))) * sqrt(dot(col("v_b"), col("v_b")))))
-      .where(col("cos") >= 0.42)
-      .select(col("va"), col("vb"), col("cell_a").as("cell"),
-        round(col("cos"), 4).as("cosine"))
+      .select(col("va"), col("vb"), col("n_bands"),
+        round(col("cos"), 4).as("cosine"),
+        (col("cos") >= 0.3).cast("int").as("is_dup"))
   }
 
-  val q23Sql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-      |  (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
-      |   CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-      |   CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS cell FROM embeddings),
-      |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell,
-      |  list_inner_product(a.v, b.v) /
-      |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
-      |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-      |SELECT va, vb, CAST(cell AS INT) AS cell, ROUND(cos, 4) AS cosine
-      |FROM p WHERE cos >= 0.42""".stripMargin
+  val q23Sql: String = {
+    val bandSel = (0 until LshBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${lshCellSql("v", b)} AS cell FROM e")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bands AS ($bandSel),
+       |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.cell = b.cell AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT va, vb, n_bands,
+       |  ROUND(list_inner_product(ea.v, eb.v) /
+       |    (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))), 4)
+       |    AS cosine,
+       |  CAST(CASE WHEN list_inner_product(ea.v, eb.v) /
+       |    (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) >= 0.3
+       |    THEN 1 ELSE 0 END AS INT) AS is_dup
+       |FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q24
   /** Regex ("BPE-ish") tokenization stats next to q09's whitespace
