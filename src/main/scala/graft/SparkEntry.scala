@@ -12,18 +12,29 @@ object SparkEntry {
 
   /** Flagship: the full maintenance pipeline (append -> compact ->
     * z-order cluster -> MERGE) on a freshly synthesized image+caption
-    * qtable, returning one row per correctness check (driver
-    * smoke-checks rows > 0 AND this encodes the engine's own oracles). */
+    * qtable. Returns the post-merge (image_id, caption) state — which is
+    * DuckDB-oracle-able as a full-outer coalesce of the exported
+    * pre-merge table and corrections — GATED on the engine's own
+    * scan-equivalence/isolation/rollback/orphan checks: any failed check
+    * empties the result, so the driver's row count still encodes
+    * pass/fail for the halves (PSNR, bytes, snapshots) that no external
+    * engine can recompute. */
   def entry(spark: SparkSession): DataFrame = maintenanceDemo(spark, 400)
 
+  /** Export dir for m1's oracle inputs: the demo's pre-merge
+    * (image_id, caption) and the corrections, as parquet DuckDB reads
+    * directly (the q19 absolute-path pattern). Keyed by row count so the
+    * 400-row smoke `entry` can never clobber the 300-row m1 exports
+    * between Verify and the driver's DuckDB pass. */
+  def m1ExportDir(rows: Long): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_m1_export_$rows"
+
   def maintenanceDemo(spark: SparkSession, rows: Long): DataFrame = {
-    import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
     val t = QTable.create(root, spark, buckets = 4)
     AppendJob.append(t, DataGen.generate(spark, rows, 42L).toDF(), filesPerBucket = 4)
     val v1 = t.currentSnapshot
     val preDf = t.read(v1)
-    val filesBefore = t.entries(v1).size
 
     val c = new CompactJob(t, targetFileBytes = 8L << 20).run()
     val (okC, badC) = ScanEquivalence.check(preDf, t.read(c))
@@ -32,6 +43,13 @@ object SparkEntry {
     val (okZ, badZ) = ScanEquivalence.check(preDf, t.read(z))
 
     val corr = DataGen.correctionsDF(spark, rows, 42L, inserts = 3)
+    // export the oracle inputs BEFORE merging: pre-merge captions and the
+    // corrections, for the driver's DuckDB full-outer-coalesce check
+    val exportDir = m1ExportDir(rows)
+    preDf.select("image_id", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$exportDir/pre")
+    corr.select("image_id", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$exportDir/corr")
     val m = new MergeJob(t).run(corr)
     val (okM, badM) = ScanEquivalence.checkMerged(preDf, t.read(m), corr)
 
@@ -51,20 +69,34 @@ object SparkEntry {
     val orph = new RemoveOrphanFilesJob(t, graceMs = 0L).run()
     val orphOk = orph.deleted > 0 && t.read().count() == rows + 3
 
-    // ROW-COUNT-GATED: only passing checks are emitted, so any failure
-    // changes the row count the driver records (6 = all green, 0 = the
-    // suite is broken — rows>0 smoke then fails too).
+    // GATED RESULT: the post-merge (image_id, caption) state — exactly
+    // reproducible in DuckDB from the exports — but only if every
+    // internal check passed. Any failure (PSNR regression, broken
+    // isolation, bad rollback, orphan leak) empties the result, so the
+    // driver's row count (rows+3 inserts vs 0) gates the non-SQL halves
+    // while the caption half is hash-checked against a real oracle.
     val checks = Seq(
-      ("compact_scan_equivalent", okC, badC, filesBefore.toLong, t.entries(c).size.toLong),
-      ("cluster_scan_equivalent", okZ, badZ, t.entries(c).size.toLong, t.entries(z).size.toLong),
-      ("merge_scan_equivalent", okM, badM, t.entries(z).size.toLong, t.entries(m).size.toLong),
-      ("snapshot_isolation_pinned_reader", pinnedOk, if (pinnedOk) 0L else 1L, rows, rows),
-      ("rollback_restores_pre_merge", okR, badR, m.version, rb.version),
-      ("orphan_files_removed", orphOk, if (orphOk) 0L else 1L,
-        orph.deleted.toLong, orph.kept.toLong))
-    val gated = if (checks.forall(_._2)) checks else Seq.empty
-    gated.toDF("check", "passed", "violations", "before", "after")
+      ("compact_scan_equivalent", okC, badC),
+      ("cluster_scan_equivalent", okZ, badZ),
+      ("merge_scan_equivalent", okM, badM),
+      ("snapshot_isolation_pinned_reader", pinnedOk, if (pinnedOk) 0L else 1L),
+      ("rollback_restores_pre_merge", okR, badR),
+      ("orphan_files_removed", orphOk, if (orphOk) 0L else 1L))
+    checks.filterNot(_._2).foreach { case (name, _, bad) =>
+      System.err.println(s"[maintenanceDemo] CHECK FAILED: $name ($bad violations)")
+    }
+    val post = t.read().select("image_id", "caption")
+    if (checks.forall(_._2)) post else post.limit(0)
   }
+
+  /** DuckDB oracle for the demo's caption half: MERGE semantics as a
+    * full-outer coalesce over the exported pre-table and corrections. */
+  def m1OracleSql(rows: Long): String =
+    s"""SELECT COALESCE(p.image_id, c.image_id) AS image_id,
+       |       COALESCE(c.caption, p.caption) AS caption
+       |FROM read_parquet('${m1ExportDir(rows)}/pre/*.parquet') p
+       |FULL OUTER JOIN read_parquet('${m1ExportDir(rows)}/corr/*.parquet') c
+       |ON p.image_id = c.image_id""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -74,9 +106,10 @@ object SparkEntry {
         ((s: SparkSession, _: String) => maintenanceDemo(s, 300)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops that depend on Spark-
-    * specific hashing (minhash/simhash) or on the engine's own table
-    * format (m1) — those get the weaker rows-only check. */
+    * the same parquet tables (m1's oracle reads the demo's exported
+    * pre/corrections parquet by absolute path). Only m2 stays rows-only:
+    * its image decode/pHash/PSNR kernels have no external recompute. */
   def oracleSql: Map[String, String] =
-    Queries.withOracle.map { case (k, (_, sql)) => k -> sql }
+    Queries.withOracle.map { case (k, (_, sql)) => k -> sql } +
+      ("m1_maintenance_e2e" -> m1OracleSql(300))
 }

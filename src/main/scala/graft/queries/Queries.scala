@@ -564,18 +564,26 @@ object Queries {
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------- q19
-  /** CSV preview source with validated header (reference S5 + P7:
-    * `base_csv_client.py:20-24` 15-row preview, ISO-8859-1, configurable
-    * delimiter; `hargreaves_lansdown_models.py:24-46` required-column
-    * superset check — validate, never infer). The CSV is materialized
-    * from the nation table — its content is IDENTICAL at every scale
-    * factor, so the fixed oracle path stays consistent no matter which
-    * sf last wrote it — read back with a DECLARED schema, header
-    * checked, first 15 rows returned. */
+  /** CSV preview source with header validated AT AN OFFSET (reference S5
+    * + P7: `base_csv_client.py:20-24` 15-row raw preview, ISO-8859-1,
+    * configurable delimiter; `hargreaves_lansdown_models.py:24-46`
+    * validates the required-column superset against the header at row
+    * index 5 — broker exports carry preamble junk before the header, and
+    * the reference's other formats put it at rows 10/5 too. Validate,
+    * never infer). The fixture is materialized from the nation table —
+    * identical content at every scale factor — with a 5-line preamble
+    * prepended; the raw 15-row preview locates the header at the
+    * configured offset, checks required columns, then the data read
+    * parses non-preamble lines with a DECLARED schema via from_csv. */
   val q19CsvDir = s"${System.getProperty("java.io.tmpdir")}/graft_q19_csv"
+  val q19FixtureDir = s"${System.getProperty("java.io.tmpdir")}/graft_q19_csv_offset"
+  private val q19HeaderOffset = 5 // hargreaves_lansdown_models.py:41
 
   def q19CsvPreview(s: SparkSession, dir: String): DataFrame = {
-    // materialize a deterministic single-file CSV fixture (sorted rows)
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    import java.nio.file.{Files, Paths}
+    // materialize a deterministic single-file CSV (sorted rows), then
+    // prepend the preamble the reference's broker formats carry
     t(s, dir, "nation")
       .select("n_nationkey", "n_name", "n_regionkey")
       .orderBy("n_nationkey").coalesce(1)
@@ -583,27 +591,44 @@ object Queries {
       .option("header", "true").option("sep", ";")
       .option("encoding", "ISO-8859-1")
       .csv(q19CsvDir)
-    // header validation at a known offset: required columns must be a
-    // subset of the actual header (raise on miss, like the reference)
-    val header = s.read.text(q19CsvDir).limit(1)
-      .collect().head.getString(0).split(";").toSet
+    val part = Files.list(Paths.get(q19CsvDir)).iterator()
+    val body = {
+      var f: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".csv")) f = p }
+      new String(Files.readAllBytes(f), ISO_8859_1)
+    }
+    val preamble = (0 until q19HeaderOffset)
+      .map(i => s"# broker export preamble $i;;").mkString("\n")
+    Files.createDirectories(Paths.get(q19FixtureDir))
+    Files.write(Paths.get(q19FixtureDir, "data.csv"),
+      (preamble + "\n" + body).getBytes(ISO_8859_1))
+    // 15-row RAW preview (base_csv_client.py:20-24), header located at
+    // the format's configured offset, required-column superset check
+    val preview = s.read.text(q19FixtureDir).limit(15)
+      .collect().map(_.getString(0))
+    require(preview.length > q19HeaderOffset,
+      s"CSV too short: no header at offset $q19HeaderOffset")
+    val headerLine = preview(q19HeaderOffset)
+    val header = headerLine.split(";").toSet
     val required = Set("n_nationkey", "n_name")
     require(required.subsetOf(header),
       s"CSV header missing required columns: ${required.diff(header)}")
-    // preview read: declared schema (never inferred), encoding+delimiter
-    // options, bounded to 15 rows
-    s.read
-      .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
-      .option("header", "true").option("sep", ";")
-      .option("encoding", "ISO-8859-1")
-      .csv(q19CsvDir)
+    // data read: skip preamble + the validated header line, parse with a
+    // DECLARED schema (never inferred), bounded to 15 rows
+    s.read.text(q19FixtureDir)
+      .where(!col("value").startsWith("#") && col("value") =!= headerLine)
+      .select(from_csv(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "n_nationkey LONG, n_name STRING, n_regionkey LONG"),
+        Map("sep" -> ";")).as("r"))
+      .select("r.n_nationkey", "r.n_name", "r.n_regionkey")
       .limit(15)
-      .select("n_nationkey", "n_name", "n_regionkey")
   }
 
   val q19Sql: String =
     s"""SELECT n_nationkey, n_name, n_regionkey
-       |FROM read_csv('$q19CsvDir/*.csv', header=true, delim=';')
+       |FROM read_csv('$q19FixtureDir/data.csv', header=true, delim=';',
+       |  skip=$q19HeaderOffset)
        |LIMIT 15""".stripMargin
 
   // ---------------------------------------------------------------- q20
