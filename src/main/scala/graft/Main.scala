@@ -64,10 +64,8 @@ object Main {
         val fpb = opts.getOrElse("files-per-bucket", "8").toInt
         val seed = opts.getOrElse("seed", "42").toLong
         val root = req(opts, "table")
-        val t = if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(root, "metadata", "version-hint.text")))
-          QTable(root, spark)
-        else QTable.create(root, spark, buckets)
+        val t0 = QTable(root, spark)
+        val t = if (t0.currentVersion >= 0) t0 else QTable.create(root, spark, buckets)
         val snap = CommitRetry.withCommitRetry()(
           AppendJob.append(t, DataGen.generate(spark, rows, seed).toDF(), fpb))
         report("synth", snap.summary ++ Map("version" -> snap.version.toString))

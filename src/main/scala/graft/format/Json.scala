@@ -3,13 +3,11 @@ package graft.format
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper, SerializationFeature}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
-
 /** Minimal JSON (de)serialization for table metadata, on Spark's bundled
-  * Jackson. All writes are atomic: temp file + ATOMIC_MOVE rename, the
-  * same publish-by-rename idea as Spark's task-commit protocol (and the
-  * upgrade of the reference's single-blob-PUT atomicity, SURVEY §4.2).
+  * Jackson. Pure bytes<->object — durability and atomicity belong to
+  * [[CommitIO]] (publish-by-rename locally, conditional PUT on object
+  * stores; the upgrade of the reference's single-blob-PUT atomicity,
+  * SURVEY §4.2).
   */
 object Json {
   val mapper: ObjectMapper = {
@@ -20,38 +18,8 @@ object Json {
     m
   }
 
-  def write[T](path: Path, value: T): Unit = {
-    val bytes = mapper.writeValueAsBytes(value)
-    atomicWrite(path, bytes)
-  }
+  def toBytes[T](value: T): Array[Byte] = mapper.writeValueAsBytes(value)
 
-  /** Create-new write: fails if the target already exists (optimistic
-    * concurrency claim for version files). */
-  def writeNew[T](path: Path, value: T): Boolean = {
-    val bytes = mapper.writeValueAsBytes(value)
-    try {
-      Files.write(path, bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
-  }
-
-  def read[T](path: Path, clazz: Class[T]): T =
-    mapper.readValue(Files.readAllBytes(path), clazz)
-
-  def atomicWrite(path: Path, bytes: Array[Byte]): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp-" +
-      java.util.UUID.randomUUID().toString)
-    Files.write(tmp, bytes)
-    try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
-
-  def atomicWriteString(path: Path, s: String): Unit =
-    atomicWrite(path, s.getBytes(StandardCharsets.UTF_8))
+  def fromBytes[T](bytes: Array[Byte], clazz: Class[T]): T =
+    mapper.readValue(bytes, clazz)
 }

@@ -3,9 +3,6 @@ package graft.format
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-
 /** "qtable" — the from-scratch Iceberg-style table format.
   *
   * Layout:
@@ -31,17 +28,25 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 class QTable(val root: String, val spark: SparkSession) extends Serializable {
 
-  def metadataDir: Path = Paths.get(root, "metadata")
-  def dataDir: Path = Paths.get(root, "data")
-  private def hintFile: Path = metadataDir.resolve("version-hint.text")
-  private def versionFile(v: Long): Path = metadataDir.resolve(s"v$v.json")
+  /** Metadata storage (snapshots/manifests/hint/checkpoints) behind the
+    * pluggable [[CommitIO]] commit protocol: plain paths use atomic
+    * java.nio primitives, URI-scheme'd roots (file:, hdfs:, ...) resolve
+    * through Hadoop FileSystem — mirroring the reference's object-store
+    * sink boundary (`google_cloud_storage_client.py:40-74`). */
+  @transient lazy val io: CommitIO = CommitIO.forPath(root, hadoopConf)
+
+  def metadataDir: String = s"$root/metadata"
+  def dataDir: String = s"$root/data"
+  private def hintFile: String = s"$metadataDir/version-hint.text"
+  private def versionFile(v: Long): String = s"$metadataDir/v$v.json"
 
   def currentVersion: Long = {
-    if (!Files.exists(hintFile)) -1L
-    else new String(Files.readAllBytes(hintFile)).trim.toLong
+    if (!io.exists(hintFile)) -1L
+    else new String(io.readBytes(hintFile)).trim.toLong
   }
 
-  def snapshotAt(v: Long): Snapshot = Json.read(versionFile(v), classOf[Snapshot])
+  def snapshotAt(v: Long): Snapshot =
+    Json.fromBytes(io.readBytes(versionFile(v)), classOf[Snapshot])
 
   def currentSnapshot: Snapshot = {
     val v = currentVersion
@@ -53,14 +58,13 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     if (currentVersion >= 0) Some(currentSnapshot) else None
 
   def listVersions: Seq[Long] =
-    Files.list(metadataDir).iterator().asScala
-      .map(_.getFileName.toString)
+    io.listNames(metadataDir)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
 
   def readManifest(meta: ManifestMeta): ManifestData =
-    Json.read(metadataDir.resolve(meta.path), classOf[ManifestData])
+    Json.fromBytes(io.readBytes(s"$metadataDir/${meta.path}"), classOf[ManifestData])
 
   def entries(s: Snapshot): Seq[DataFileEntry] =
     s.manifests.flatMap(m => readManifest(m).files)
@@ -129,7 +133,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val sorted = files.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
     val newManifests = sorted.grouped(math.max(1, entriesPerManifest)).map { group =>
       val name = s"manifest-${java.util.UUID.randomUUID()}.json"
-      Json.write(metadataDir.resolve(name), ManifestData(group))
+      io.writeAtomic(s"$metadataDir/$name", Json.toBytes(ManifestData(group)))
       ManifestMeta(
         path = name,
         fileCount = group.size.toLong,
@@ -155,7 +159,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   private[format] def commitSnapshot(parentV: Long, operation: String,
       manifests: Seq[ManifestMeta], summary: Map[String, String],
       buckets: Int): Snapshot = {
-    Files.createDirectories(metadataDir)
+    io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
     val head = currentVersion
     if (head != parentV)
@@ -164,15 +168,15 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val v = parentV + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
       System.currentTimeMillis())
-    if (!Json.writeNew(versionFile(v), snap))
+    if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
-    Json.atomicWriteString(hintFile, v.toString)
+    io.writeAtomic(hintFile, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     snap
   }
 
   /** Allocate a fresh immutable data directory for a job/group write. */
   def newDataDir(jobId: String, group: String): String =
-    dataDir.resolve(jobId).resolve(group).toString
+    s"$dataDir/$jobId/$group"
 
   def hadoopConf: org.apache.hadoop.conf.Configuration =
     spark.sessionState.newHadoopConf()
@@ -190,8 +194,8 @@ object QTable {
   /** Create an empty table (v0 snapshot with no files). */
   def create(root: String, spark: SparkSession, buckets: Int = DefaultBuckets): QTable = {
     val t = new QTable(root, spark)
-    Files.createDirectories(t.metadataDir)
-    Files.createDirectories(t.dataDir)
+    t.io.mkdirs(t.metadataDir)
+    t.io.mkdirs(t.dataDir)
     t.commitSnapshot(-1L, "create", Nil, Map("buckets" -> buckets.toString), buckets)
     t
   }

@@ -3,49 +3,37 @@ package graft.jobs
 import graft.format.{Json, QTable}
 import graft.model.LineageEntry
 
-import java.nio.file.{Files, Path}
-import scala.jdk.CollectionConverters._
-
 /** Per-job checkpoint: one JSON lineage file per committed partition
-  * group, published by atomic rename. A killed run restarted with the
-  * same jobId skips every group whose lineage says "committed" — the
-  * idempotent-resume upgrade over the reference's refetch-everything
-  * behavior (SURVEY §4.2 "no resumability").
+  * group, published through the table's [[graft.format.CommitIO]] (atomic
+  * rename locally, conditional/atomic PUT on object stores). A killed run
+  * restarted with the same jobId skips every group whose lineage says
+  * "committed" — the idempotent-resume upgrade over the reference's
+  * refetch-everything behavior (SURVEY §4.2 "no resumability").
   */
 class Checkpoint(table: QTable, val jobId: String) {
 
-  def dir: Path = table.metadataDir.resolve("checkpoints").resolve(jobId)
+  def dir: String = s"${table.metadataDir}/checkpoints/$jobId"
+  private def io = table.io
 
-  def committed: Map[String, LineageEntry] = {
-    if (!Files.exists(dir)) return Map.empty
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map(p => Json.read(p, classOf[LineageEntry]))
-      .filter(_.status == "committed")
-      .map(e => e.group -> e)
-      .toMap
-  }
+  private def entries: Seq[LineageEntry] =
+    io.listNames(dir)
+      .filter(_.endsWith(".json"))
+      .map(n => Json.fromBytes(io.readBytes(s"$dir/$n"), classOf[LineageEntry]))
+
+  def committed: Map[String, LineageEntry] =
+    entries.filter(_.status == "committed").map(e => e.group -> e).toMap
 
   /** All lineage rows, including `failed` ones (for inspection/metrics). */
-  def all: Seq[LineageEntry] = {
-    if (!Files.exists(dir)) return Nil
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map(p => Json.read(p, classOf[LineageEntry]))
-      .toSeq.sortBy(_.group)
-  }
+  def all: Seq[LineageEntry] = entries.sortBy(_.group)
 
   def commit(entry: LineageEntry): Unit =
-    Json.write(dir.resolve(s"${sanitize(entry.group)}.json"), entry)
+    io.writeAtomic(s"$dir/${sanitize(entry.group)}.json", Json.toBytes(entry))
 
   /** Delete the checkpoint dir once the job's final snapshot commit has
     * succeeded: a finished jobId must never be resumable against a LATER
     * snapshot (its group names would alias fresh work and silently skip
     * it — input validation in GroupRunner is the second guard). */
-  def clear(): Unit = {
-    if (!Files.exists(dir)) return
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-  }
+  def clear(): Unit = io.deleteRecursive(dir)
 
   private def sanitize(g: String): String = g.replaceAll("[^A-Za-z0-9_.-]", "_")
 }

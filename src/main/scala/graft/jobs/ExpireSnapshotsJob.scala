@@ -49,10 +49,10 @@ class ExpireSnapshotsJob(table: QTable) {
       // second pass so shared manifests keep their files until unreferenced
       s.manifests.foreach { m =>
         if (!liveManifests.contains(m.path)) {
-          if (delete(table.metadataDir.resolve(m.path).toString)) manifestsDeleted += 1
+          if (delete(s"${table.metadataDir}/${m.path}")) manifestsDeleted += 1
         }
       }
-      delete(table.metadataDir.resolve(s"v$v.json").toString)
+      delete(s"${table.metadataDir}/v$v.json")
     }
     Result(expired, dataDeleted, manifestsDeleted)
   }

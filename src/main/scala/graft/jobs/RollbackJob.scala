@@ -53,7 +53,7 @@ class RemoveOrphanFilesJob(table: QTable, graceMs: Long = 24L * 3600 * 1000) {
   def run(dryRun: Boolean = false): Result = {
     val conf = table.hadoopConf
     val cutoff = System.currentTimeMillis() - graceMs
-    val onDisk = graft.format.ParquetStats.listParquet(table.dataDir.toString, conf)
+    val onDisk = graft.format.ParquetStats.listParquet(table.dataDir, conf)
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).getFileStatus(hp).getModificationTime <= cutoff
@@ -63,17 +63,11 @@ class RemoveOrphanFilesJob(table: QTable, graceMs: Long = 24L * 3600 * 1000) {
       table.listVersions.flatMap(v => table.entries(table.snapshotAt(v)))
         .map(_.path).toSet
     // outputs recorded by live (unfinished) job checkpoints
-    val ckptRoot = table.metadataDir.resolve("checkpoints")
     val inFlight: Set[String] =
-      if (!java.nio.file.Files.isDirectory(ckptRoot)) Set.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(ckptRoot).iterator().asScala
-          .filter(java.nio.file.Files.isDirectory(_))
-          .flatMap(d => new Checkpoint(table, d.getFileName.toString).all)
-          .flatMap(_.outputFiles.map(_.path))
-          .toSet
-      }
+      table.io.listDirNames(s"${table.metadataDir}/checkpoints")
+        .flatMap(jobId => new Checkpoint(table, jobId).all)
+        .flatMap(_.outputFiles.map(_.path))
+        .toSet
 
     val keep = referenced ++ inFlight
     var deleted = 0

@@ -24,4 +24,8 @@ object TestSpark {
     d.toFile.deleteOnExit()
     d.toString
   }
+
+  /** file:-scheme URI variant: routes the table's metadata layer through
+    * the Hadoop-FileSystem CommitIO impl instead of the java.nio one. */
+  def tmpDirUri(prefix: String): String = "file:" + tmpDir(prefix)
 }

@@ -9,7 +9,7 @@ class QTableSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("create / append / read roundtrip with footer-harvested stats") {
-    val root = TestSpark.tmpDir("qtable-rt")
+    val root = TestSpark.tmpDirUri("qtable-rt")
     val t = QTable.create(root, spark, buckets = 4)
     assert(t.currentVersion == 0)
     assert(t.currentSnapshot.operation == "create")
@@ -36,7 +36,7 @@ class QTableSpec extends AnyFunSuite {
   }
 
   test("optimistic concurrency: stale parent commit fails") {
-    val root = TestSpark.tmpDir("qtable-occ")
+    val root = TestSpark.tmpDirUri("qtable-occ")
     val t = QTable.create(root, spark, buckets = 2)
     val base = t.currentSnapshot
     AppendJob.append(t, DataGen.generate(spark, 20, 42L, 2).toDF()) // v1
@@ -46,7 +46,7 @@ class QTableSpec extends AnyFunSuite {
   }
 
   test("planFiles prunes by bucket and phash range") {
-    val root = TestSpark.tmpDir("qtable-prune")
+    val root = TestSpark.tmpDirUri("qtable-prune")
     val t = QTable.create(root, spark, buckets = 4)
     val snap = AppendJob.append(t, DataGen.generate(spark, 400, 42L, 4).toDF(),
       filesPerBucket = 2)
@@ -62,7 +62,7 @@ class QTableSpec extends AnyFunSuite {
   }
 
   test("version listing and snapshot lineage chain") {
-    val root = TestSpark.tmpDir("qtable-vers")
+    val root = TestSpark.tmpDirUri("qtable-vers")
     val t = QTable.create(root, spark, buckets = 2)
     AppendJob.append(t, DataGen.generate(spark, 30, 42L, 2).toDF())
     AppendJob.append(t, DataGen.generate(spark, 30, 43L, 2).toDF())

@@ -19,7 +19,7 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
 
   test("concurrent compact + merge: both eventually commit, data correct") {
     val n = 600L
-    val t = QTable.create(TestSpark.tmpDir("conc"), spark, buckets = 4)
+    val t = QTable.create(TestSpark.tmpDirUri("conc"), spark, buckets = 4)
     AppendJob.append(t, DataGen.generate(spark, n, 42L, 8).toDF(), filesPerBucket = 4)
     val corr = DataGen.correctionsDF(spark, n, 42L, inserts = 4).cache()
     corr.count()

@@ -32,7 +32,7 @@ class ExpireRewriteSpec extends AnyFunSuite {
     assert(t.read().count() == 300)
     assert(t.listVersions == Seq(2L))
     // expired version files gone
-    assert(!Files.exists(t.metadataDir.resolve("v1.json")))
+    assert(!Files.exists(Paths.get(t.metadataDir, "v1.json")))
   }
 
   test("rewrite manifests: metadata-only commit, same files, fewer manifests") {
