@@ -60,25 +60,71 @@ object ParquetStats {
     } finally reader.close()
   }
 
+  /** Below this many files a driver-parallel loop beats a Spark job's
+    * scheduling overhead; at or above, footer harvesting ships to
+    * executors (a group rewrite emits tens of files — driver-side; a
+    * whole-table operation on a 10^9-file table must never serialize
+    * footer I/O through one node). */
+  val DistributeThreshold = 64
+
   /** Footer reads for a batch of files, parallelized on the driver (cheap
-    * metadata I/O; at 1000-executor scale this would be a small Spark job
-    * over the file list instead). */
+    * metadata I/O for per-group output batches). */
   def entriesFor(paths: Seq[String], conf: Configuration): Seq[DataFileEntry] =
     paths.par.map(p => entryFor(p, conf)).seq.sortBy(_.path)
 
+  /** Footer reads sized by batch: small batches stay a driver loop, large
+    * ones run as a small Spark job over the path list — O(files/executors)
+    * wall time at cluster scale. */
+  def entriesFor(paths: Seq[String], spark: org.apache.spark.sql.SparkSession,
+      threshold: Int = DistributeThreshold): Seq[DataFileEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    if (paths.size < threshold) entriesFor(paths, conf)
+    else {
+      val props = confProps(conf)
+      val slices = math.min(paths.size,
+        math.max(2, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(paths, slices)
+        .mapPartitions { it =>
+          val c = confFromProps(props)
+          it.map(p => entryFor(p, c))
+        }
+        .collect().toSeq.sortBy(_.path)
+    }
+  }
+
+  /** Hadoop Configuration is not java-serializable; ship its effective
+    * key/values and rebuild executor-side. */
+  def confProps(conf: Configuration): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue }
+    out.toSeq
+  }
+
+  def confFromProps(props: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** List the part-*.parquet files under a directory (recursive). */
-  def listParquet(dir: String, conf: Configuration): Seq[String] = {
+  def listParquet(dir: String, conf: Configuration): Seq[String] =
+    listParquetWithMtime(dir, conf).map(_._1)
+
+  /** Recursive parquet listing with modification times (one listing call
+    * carries the mtime — no per-file getFileStatus round trips). */
+  def listParquetWithMtime(dir: String, conf: Configuration): Seq[(String, Long)] = {
     val hp = new HPath(dir)
     val fs = hp.getFileSystem(conf)
     if (!fs.exists(hp)) return Nil
     val it = fs.listFiles(hp, true)
-    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     while (it.hasNext) {
       val f = it.next()
       val n = f.getPath.getName
       if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        out += f.getPath.toUri.getPath
+        out += ((f.getPath.toUri.getPath, f.getModificationTime))
     }
-    out.toSeq.sorted
+    out.toSeq.sortBy(_._1)
   }
 }

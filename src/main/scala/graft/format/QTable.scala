@@ -181,9 +181,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def hadoopConf: org.apache.hadoop.conf.Configuration =
     spark.sessionState.newHadoopConf()
 
-  /** Stats-harvest every parquet file a job just wrote under `dir`. */
+  /** Stats-harvest every parquet file a job just wrote under `dir` —
+    * driver-parallel for per-group batches, a Spark job above the
+    * distribute threshold (whole-table rewrites at cluster scale). */
   def harvest(dir: String): Seq[DataFileEntry] =
-    ParquetStats.entriesFor(ParquetStats.listParquet(dir, hadoopConf), hadoopConf)
+    ParquetStats.entriesFor(ParquetStats.listParquet(dir, hadoopConf), spark)
 }
 
 object QTable {

@@ -45,41 +45,83 @@ class RollbackJob(table: QTable) {
   * an in-flight group writes its part files BEFORE its lineage entry
   * exists, so a zero-grace sweep racing that group would delete data
   * mid-write. Default grace is 24h; tests pass 0 on quiesced tables.
+  *
+  * Scale: `<root>/data` is laid out as one directory per (jobId, group),
+  * so above `distributeThreshold` job directories the listing fans out
+  * as a Spark job (one task lists one job dir) and candidates resolve
+  * via an anti-join against the referenced/in-flight paths instead of a
+  * driver-side Set — the sweep never materializes the file list on one
+  * node. Deletes run in the same distributed pass.
   */
-class RemoveOrphanFilesJob(table: QTable, graceMs: Long = 24L * 3600 * 1000) {
+class RemoveOrphanFilesJob(table: QTable, graceMs: Long = 24L * 3600 * 1000,
+    distributeThreshold: Int = 8) {
 
   final case class Result(deleted: Int, kept: Int)
 
   def run(dryRun: Boolean = false): Result = {
     val conf = table.hadoopConf
     val cutoff = System.currentTimeMillis() - graceMs
-    val onDisk = graft.format.ParquetStats.listParquet(table.dataDir, conf)
-      .filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(conf).getFileStatus(hp).getModificationTime <= cutoff
-      }
+    import graft.format.ParquetStats
 
-    val referenced: Set[String] =
+    val jobDirs = table.io.listDirNames(table.dataDir).map(n => s"${table.dataDir}/$n")
+
+    val referenced: Seq[String] =
       table.listVersions.flatMap(v => table.entries(table.snapshotAt(v)))
-        .map(_.path).toSet
+        .map(_.path).distinct
     // outputs recorded by live (unfinished) job checkpoints
-    val inFlight: Set[String] =
+    val inFlight: Seq[String] =
       table.io.listDirNames(s"${table.metadataDir}/checkpoints")
         .flatMap(jobId => new Checkpoint(table, jobId).all)
         .flatMap(_.outputFiles.map(_.path))
-        .toSet
+        .distinct
 
-    val keep = referenced ++ inFlight
-    var deleted = 0
-    onDisk.foreach { p =>
-      if (!keep.contains(p)) {
-        if (!dryRun) {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val fs = hp.getFileSystem(conf)
-          if (fs.delete(hp, false)) deleted += 1
-        } else deleted += 1
+    if (jobDirs.size < distributeThreshold) {
+      // driver path: one recursive listing (mtime piggybacked), Set probe
+      val onDisk = ParquetStats.listParquetWithMtime(table.dataDir, conf)
+        .collect { case (p, mtime) if mtime <= cutoff => p }
+      val keep = (referenced ++ inFlight).toSet
+      var deleted = 0
+      onDisk.foreach { p =>
+        if (!keep.contains(p)) {
+          if (!dryRun) {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            if (hp.getFileSystem(conf).delete(hp, false)) deleted += 1
+          } else deleted += 1
+        }
       }
+      Result(deleted, onDisk.size - deleted)
+    } else {
+      // distributed path: per-job-dir listing tasks -> anti-join against
+      // the keep set -> distributed delete
+      val spark = table.spark
+      import spark.implicits._
+      val props = ParquetStats.confProps(conf)
+      val slices = math.min(jobDirs.size,
+        math.max(2, spark.sparkContext.defaultParallelism * 2))
+      val onDisk = spark.sparkContext.parallelize(jobDirs, slices)
+        .mapPartitions { it =>
+          val c = ParquetStats.confFromProps(props)
+          it.flatMap(d => ParquetStats.listParquetWithMtime(d, c))
+        }
+        .toDF("path", "mtime")
+        .where(org.apache.spark.sql.functions.col("mtime") <= cutoff)
+        .select("path").cache()
+      val total = onDisk.count()
+      val keep = (referenced ++ inFlight).toDF("path")
+      val candidates = onDisk.join(keep, Seq("path"), "left_anti")
+      val deleted =
+        if (dryRun) candidates.count().toInt
+        else candidates.as[String].rdd.mapPartitions { it =>
+          val c = ParquetStats.confFromProps(props)
+          var n = 0
+          it.foreach { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            if (hp.getFileSystem(c).delete(hp, false)) n += 1
+          }
+          Iterator.single(n)
+        }.sum().toInt
+      onDisk.unpersist()
+      Result(deleted, total.toInt - deleted)
     }
-    Result(deleted, onDisk.size - deleted)
   }
 }

@@ -91,6 +91,39 @@ class RollbackOrphanSpec extends AnyFunSuite {
     assert(t.read().count() == 200)
   }
 
+  test("remove-orphans distributed path matches driver semantics") {
+    val t = QTable.create(TestSpark.tmpDir("orphd"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 100, 42L, 2).toDF(), 2)
+    val live = t.entries(t.currentSnapshot).map(_.path)
+    // several crashed job dirs (the fan-out axis of the distributed lister)
+    val orphans = (0 until 4).flatMap { k =>
+      val d = t.newDataDir(s"crashed-$k", "b0")
+      DataGen.generate(spark, 5, 100L + k, 1).toDF().write.parquet(d)
+      graft.format.ParquetStats.listParquet(d, t.hadoopConf)
+    }
+    // a checkpointed group whose outputs must survive
+    val ckptDir = t.newDataDir("resumable-d", "b1")
+    DataGen.generate(spark, 5, 8L, 1).toDF().write.parquet(ckptDir)
+    val ckptFiles = t.harvest(ckptDir)
+    new Checkpoint(t, "resumable-d").commit(graft.model.LineageEntry(
+      "resumable-d", "compact", "b1", Seq("in"), ckptFiles, 5L,
+      ckptFiles.map(_.byteCount).sum, "committed", 1))
+
+    // distributeThreshold=1 forces the Spark listing + anti-join + delete
+    val dry = new RemoveOrphanFilesJob(t, graceMs = 0L, distributeThreshold = 1)
+      .run(dryRun = true)
+    assert(dry.deleted == orphans.size)
+    orphans.foreach(p => assert(Files.exists(Paths.get(p)), "dry run must not delete"))
+
+    val res = new RemoveOrphanFilesJob(t, graceMs = 0L, distributeThreshold = 1).run()
+    assert(res.deleted == orphans.size)
+    orphans.foreach(p => assert(!Files.exists(Paths.get(p)), s"$p should be gone"))
+    live.foreach(p => assert(Files.exists(Paths.get(p)), s"$p must survive"))
+    ckptFiles.foreach(f => assert(Files.exists(Paths.get(f.path)),
+      "checkpointed outputs must survive the distributed sweep"))
+    assert(t.read().count() == 100)
+  }
+
   test("grace window: freshly written files are never orphan candidates") {
     val t = QTable.create(TestSpark.tmpDir("orph2"), spark, buckets = 2)
     AppendJob.append(t, DataGen.generate(spark, 50, 42L, 2).toDF(), 1)
