@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> merge   --table T --rows N [--inserts K] [--job-id J]
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
+  *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
@@ -102,6 +103,12 @@ object Main {
           req(opts, "buckets").toInt, targetBytes, jobId).run())
         report("rebucket", snap.summary ++ Map("version" -> snap.version.toString,
           "buckets" -> snap.buckets.toString))
+
+      case "add-column" =>
+        val snap = CommitRetry.withCommitRetry()(
+          table.addColumn(req(opts, "name"), opts.getOrElse("type", "string")))
+        report("add-column", snap.summary ++ Map("version" -> snap.version.toString,
+          "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
 
       case "rollback" =>
         val snap = new RollbackJob(table).run(req(opts, "to").toLong)
@@ -203,5 +210,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|rollback|remove-orphans|rewrite-manifests|verify|lookup|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rollback|remove-orphans|rewrite-manifests|verify|lookup|describe> --table PATH [options]"""
 }

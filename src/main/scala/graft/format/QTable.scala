@@ -85,9 +85,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     }
   }
 
-  /** Read a snapshot (or a pruned file subset) with the fixed stored
-    * schema — schema is declared, never inferred, so no footer merge. */
-  def read(s: Snapshot): DataFrame = readFiles(entries(s).map(_.path))
+  /** Read a snapshot (or a pruned file subset) with the snapshot's
+    * RECORDED schema — declared, never inferred, so no footer merge; data
+    * files written before an addColumn lack the new column and surface
+    * nulls for it (Iceberg-style metadata-only evolution). */
+  def read(s: Snapshot): DataFrame = readFiles(entries(s).map(_.path), s.storedSchema)
 
   /** Read a snapshot through the Catalyst-integrated stats-skipping
     * [[QTableFileIndex]]: pushed filters on phash/pbucket/image_id prune
@@ -102,7 +104,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      dataSchema = ImageRow.storedSchema,
+      dataSchema = s.storedSchema,
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       options = Map.empty)(spark)
@@ -113,11 +115,19 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
 
   def read(): DataFrame = read(currentSnapshot)
 
-  def readFiles(paths: Seq[String]): DataFrame = {
+  /** Current effective schema (the head snapshot's, or the base schema on
+    * an uncreated root). */
+  def storedSchema: org.apache.spark.sql.types.StructType =
+    currentSnapshotOpt.map(_.storedSchema).getOrElse(ImageRow.storedSchema)
+
+  def readFiles(paths: Seq[String]): DataFrame = readFiles(paths, storedSchema)
+
+  def readFiles(paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        ImageRow.storedSchema)
-    else spark.read.schema(ImageRow.storedSchema).parquet(paths: _*)
+        schema)
+    else spark.read.schema(schema).parquet(paths: _*)
   }
 
   /** Commit a new snapshot. `files` are chunked into NEW manifests,
@@ -129,7 +139,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       files: Seq[DataFileEntry], extraSummary: Map[String, String] = Map.empty,
       entriesPerManifest: Int = 512,
       reuseManifests: Seq[ManifestMeta] = Nil,
-      bucketsOverride: Option[Int] = None): Snapshot = {
+      bucketsOverride: Option[Int] = None,
+      schemaOverride: Option[Seq[FieldDef]] = None): Snapshot = {
     val sorted = files.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
     val newManifests = sorted.grouped(math.max(1, entriesPerManifest)).map { group =>
       val name = s"manifest-${java.util.UUID.randomUUID()}.json"
@@ -153,12 +164,33 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       "total-bytes" -> manifests.map(_.byteCount).sum.toString) ++ extraSummary
     val buckets = bucketsOverride
       .orElse(parent.map(_.buckets)).getOrElse(QTable.DefaultBuckets)
-    commitSnapshot(parentV, operation, manifests, summary, buckets)
+    // schema travels raw: an empty recorded schema (pre-evolution) stays
+    // empty so old tables keep deserializing to the base schema
+    val schema = schemaOverride
+      .orElse(parent.map(p => Option(p.schema).getOrElse(Nil))).getOrElse(Nil)
+    commitSnapshot(parentV, operation, manifests, summary, buckets, schema)
+  }
+
+  /** Metadata-only schema evolution: append a NULLABLE column. Old data
+    * files are untouched and surface nulls for the new field; the field
+    * id is allocated past every id ever used so a later rename/re-add
+    * can never alias an old column's data. */
+  def addColumn(name: String, dtype: String): Snapshot = {
+    val snap = currentSnapshot
+    val cur = snap.schemaFields
+    require(!cur.exists(_.name == name), s"column $name already exists")
+    // validate the DDL up front (fail at commit time, not first read)
+    org.apache.spark.sql.types.DataType.fromDDL(dtype)
+    val next = cur :+ FieldDef(cur.map(_.id).max + 1, name, dtype, nullable = true)
+    commit(Some(snap), "add-column", Nil,
+      Map("added-column" -> s"$name $dtype"),
+      reuseManifests = snap.manifests,
+      schemaOverride = Some(next))
   }
 
   private[format] def commitSnapshot(parentV: Long, operation: String,
       manifests: Seq[ManifestMeta], summary: Map[String, String],
-      buckets: Int): Snapshot = {
+      buckets: Int, schema: Seq[FieldDef] = Nil): Snapshot = {
     io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
     val head = currentVersion
@@ -167,7 +199,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
         s"stale commit: parent v$parentV but table is at v$head")
     val v = parentV + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), schema)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
     io.writeAtomic(hintFile, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

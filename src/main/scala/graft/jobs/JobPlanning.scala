@@ -6,6 +6,20 @@ import org.apache.spark.sql.SparkSession
 /** Shared planning helpers for the maintenance jobs. */
 object JobPlanning {
 
+  /** Project `df` onto `schema`'s columns in order; columns the input
+    * lacks (e.g. a MERGE source predating an addColumn) become typed
+    * nulls — the write-side half of metadata-only schema evolution. */
+  def alignToSchema(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    val cols = schema.fields.toIndexedSeq.map { f =>
+      if (have.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
   /** Pin Parquet scan splits to `bytes` for the duration of `body` (and
     * restore the session confs after): every scan task then covers
     * ~`bytes` of input regardless of core count, which makes a plain

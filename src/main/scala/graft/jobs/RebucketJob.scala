@@ -55,10 +55,11 @@ class RebucketJob(
       val df = table.readFiles(paths)
         .withColumn("pbucket", bucket)
         .withColumn("__bin", col("pbucket") * subPerBucket + sub)
-      ExactShuffle.repartitionByBin(df, nOut, col("__bin"))
-        .drop("__bin")
-        .sortWithinPartitions("pbucket", "phash")
-        .select(ImageRow.storedSchema.fieldNames.map(col): _*)
+      JobPlanning.alignToSchema(
+        ExactShuffle.repartitionByBin(df, nOut, col("__bin"))
+          .drop("__bin")
+          .sortWithinPartitions("pbucket", "phash"),
+        snap.storedSchema)
         .write.parquet(dir)
       val files = table.harvest(dir)
       val entry = LineageEntry(jobId, "rebucket", "all", paths, files,

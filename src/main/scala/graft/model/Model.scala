@@ -69,9 +69,31 @@ final case class ManifestMeta(
 /** The content of one manifest-*.json file. */
 final case class ManifestData(files: Seq[DataFileEntry])
 
+/** One field of the table schema as recorded in a snapshot. `id` is the
+  * Iceberg-style stable field id: names can evolve, ids never do, so a
+  * future rename is a metadata edit that keeps reading old files. `dtype`
+  * is Spark DDL (`string`, `binary`, `int`, `long`, ...). */
+final case class FieldDef(id: Int, name: String, dtype: String, nullable: Boolean)
+
+object FieldDef {
+  /** The mandated base schema with field ids 1..N. Snapshots written
+    * before schema tracking carry no schema field and resolve to this. */
+  def defaults: Seq[FieldDef] =
+    graft.model.ImageRow.storedSchema.fields.zipWithIndex.map { case (f, i) =>
+      FieldDef(i + 1, f.name, f.dataType.simpleString, f.nullable)
+    }.toSeq
+
+  def toStruct(fields: Seq[FieldDef]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.DataType.fromDDL(f.dtype), f.nullable)))
+}
+
 /** One committed table version. `parentVersion` is -1 for the first
   * snapshot. Readers that hold a Snapshot object are isolated: the file
-  * set it references is immutable until ExpireSnapshots removes it. */
+  * set it references is immutable until ExpireSnapshots removes it.
+  * `schema` is the evolved field list (empty/absent = the base schema —
+  * snapshots from before schema tracking deserialize with null here). */
 final case class Snapshot(
     version: Long,
     parentVersion: Long,
@@ -79,7 +101,18 @@ final case class Snapshot(
     manifests: Seq[ManifestMeta],
     summary: Map[String, String],
     buckets: Int,
-    timestampMs: Long)
+    timestampMs: Long,
+    schema: Seq[FieldDef] = Nil) {
+
+  /** Effective schema fields: recorded ones, else the base schema. */
+  def schemaFields: Seq[FieldDef] = {
+    val s = Option(schema).getOrElse(Nil)
+    if (s.isEmpty) FieldDef.defaults else s
+  }
+
+  def storedSchema: org.apache.spark.sql.types.StructType =
+    FieldDef.toStruct(schemaFields)
+}
 
 /** Per-partition-group lineage record for resumable maintenance jobs.
   * status is "committed" once the group's output files are durable; a
