@@ -34,7 +34,8 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_BENCH_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       // zstd: the standard lakehouse codec; also makes the rewrite
       // CPU-proportional so core scaling is measurable
@@ -100,10 +101,13 @@ object Bench {
     // GB/s at 1/4/8, saturating at 16, degrading at 32), so wall time
     // measures the engine's scaling, not the shared memory bus. On a
     // real N->4N executor cluster, bandwidth scales with nodes.
-    val levels = Seq(1, 2, 4, 8).filter(_ <= cpusMax)
+    val levels = sys.env.get("GRAFT_BENCH_LEVELS")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 2, 4, 8)).filter(_ <= cpusMax)
     // pairs only over levels actually measured (a small or odd cpusMax
     // must degrade to fewer pairs, never crash after the measurement)
-    val (pLow, pHigh) = (1, if (levels.contains(4)) 4 else levels.max)
+    val (pLow, pHigh) = (if (levels.contains(1)) 1 else levels.min,
+      if (levels.contains(4)) 4 else levels.max)
     val (sLow, sHigh) = (2, 8)
     val rows: Long =
       if (sfDir.contains("sf0.01")) 30000L
@@ -138,7 +142,9 @@ object Bench {
 
     // ---- maintenance suite at one parallelism level on a fresh copy
     def suite(cpus: Int, name: String): SuiteResult = {
-      val conc = math.max(2, cpus) // group fan-out scales with cores
+      // group fan-out scales with cores
+      val conc = sys.env.get("GRAFT_BENCH_CONC").map(_.toInt)
+        .getOrElse(math.max(2, cpus))
       val work = base.resolve(s"work-$name")
       copyDir(pristine, work)
       withSession(cpus) { s =>
@@ -149,10 +155,14 @@ object Bench {
           .coalesce(1).write.mode("overwrite")
           .parquet(base.resolve(s"warm-$name").toString)
         Timing.drain()
+        val minGroupBytes = sys.env.get("GRAFT_BENCH_MIN_GROUP_MB")
+          .map(_.toLong << 20).getOrElse(-1L)
         val (snapC, tC) = time(new CompactJob(t, targetMb << 20,
-          jobId = s"bench-compact-$name", concurrency = conc).run())
+          jobId = s"bench-compact-$name", concurrency = conc,
+          minGroupBytes = minGroupBytes).run())
         val (snapZ, tZ) = time(new ClusterJob(t, targetMb << 20,
-          jobId = s"bench-cluster-$name", concurrency = conc).run())
+          jobId = s"bench-cluster-$name", concurrency = conc,
+          minGroupBytes = minGroupBytes).run())
         val samples = Timing.drain()
         val tCE = Timing.estimate(samples, "compact", conc)
         val tZE = Timing.estimate(samples, "cluster", conc)
@@ -167,7 +177,7 @@ object Bench {
     // interference bursts, so best-of-N of identical deterministic work
     // is the estimator — reported per phase so each phase can catch a
     // clean window).
-    val nRounds = 8
+    val nRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "10").toInt
     val rounds = for {
       round <- 1 to nRounds
       cpus <- levels
@@ -193,7 +203,9 @@ object Bench {
 
     // ---- correctness gate on the primary-high run (untimed): scan
     //      equivalence + a MERGE pass, mirroring the north-rule oracle
-    val (mergeSec, verifySec, verifyOk) = withSession(pHigh) { s =>
+    val (mergeSec, verifySec, verifyOk) =
+      if (sys.env.contains("GRAFT_BENCH_SKIP_MERGE")) (0.0, 0.0, true)
+      else withSession(pHigh) { s =>
       val t = QTable(base.resolve(s"work-c$pHigh-r" + nRounds).toString, s)
       val v0 = t.snapshotAt(1) // post-append snapshot
       // materialize the corrections fixture UNTIMED (synthesis, not merge
@@ -210,7 +222,7 @@ object Bench {
 
     // ---- analytics query pack timings at full parallelism
     val queryTimes = mutable.LinkedHashMap[String, Double]()
-    withSession(cpusMax) { s =>
+    if (!sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")) withSession(cpusMax) { s =>
       val qs = Queries.withOracle.map { case (k, (fn, _)) => k -> fn } ++
         Queries.withoutOracle
       qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -264,9 +276,13 @@ object Bench {
         s""""speedup":${f(speedupS)},"efficiency":${f(efficiencyS)}}}"""
     println(json)
 
-    writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, nRounds,
-      pLow, pHigh, sLow, sHigh, efficiencyP, efficiencyS, verifyOk, mergeSec,
-      queryTimes.toMap, cpusMax)
+    // iteration runs (custom levels / skipped queries) must not clobber
+    // the reported BENCH/BASELINE.md
+    if (!sys.env.contains("GRAFT_BENCH_LEVELS") &&
+        !sys.env.contains("GRAFT_BENCH_SKIP_QUERIES"))
+      writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, nRounds,
+        pLow, pHigh, sLow, sHigh, efficiencyP, efficiencyS, verifyOk, mergeSec,
+        queryTimes.toMap, cpusMax)
 
     // free the RAM-backed working set
     try {

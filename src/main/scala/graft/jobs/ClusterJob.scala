@@ -68,8 +68,12 @@ class ClusterJob(
     * only skews output file sizes a few percent, never correctness. */
   private def boundsByGroup(plans: Seq[Plan]): Map[String, Array[Long]] = {
     val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
+    // every 4th file per group (min 1): pre-cluster files are id-range
+    // slices independent of the key components, so each is a near-uniform
+    // sample; 1/4 of rows is ample for a 128-point grid and halves the
+    // fixed pass cost vs round 2's every-2nd sampling
     val sampled = plans.flatMap(_.inputs.sortBy(_.path).zipWithIndex
-      .collect { case (f, i) if i % 2 == 0 => f.path })
+      .collect { case (f, i) if i % 4 == 0 => f.path })
     val grid = (1 until QuantileGrid).map(_.toDouble / QuantileGrid).toArray
     val rows = table.readFiles(sampled)
       .select(col("pbucket"), zkeyCol.as("zkey"))
@@ -90,7 +94,8 @@ class ClusterJob(
     val outputs = GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path),
       ckpt.committed, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, jobType, gf.group,
-        Nil, Nil, 0L, 0L, "failed", gf.attempts))) { p =>
+        Nil, Nil, 0L, 0L, "failed", gf.attempts)),
+      sizeOf = _.bytes) { p =>
       val dir = table.newDataDir(jobId, p.group)
       cleanDir(dir)
       val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)

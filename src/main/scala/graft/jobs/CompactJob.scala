@@ -66,7 +66,8 @@ class CompactJob(
       GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path), ckpt.committed,
         failAfterGroups, concurrency,
         onFailure = gf => ckpt.commit(LineageEntry(jobId, "compact", gf.group,
-          Nil, Nil, 0L, 0L, "failed", gf.attempts))) { p =>
+          Nil, Nil, 0L, 0L, "failed", gf.attempts)),
+        sizeOf = _.bytes) { p =>
         val dir = table.newDataDir(jobId, p.group)
         cleanDir(dir) // crashed partial attempt is overwritten
         val df = jobTable.readFiles(p.inputs.map(_.path))

@@ -70,14 +70,20 @@ object GroupRunner {
       maxAttempts: Int = 3,
       backoffMs: Long = 100L,
       onFailure: GroupFailure => Unit = _ => (),
-      awaitTimeout: Duration = null)(
+      awaitTimeout: Duration = null,
+      sizeOf: P => Long = (_: P) => 0L)(
       rewrite: P => LineageEntry): Seq[LineageEntry] = {
 
     def reusable(p: P): Option[LineageEntry] =
       already.get(groupOf(p)).filter(_.inputFiles.toSet == inputsOf(p).toSet)
 
-    val (done, todo) = plans.partition(p => reusable(p).isDefined)
+    val (done, todo0) = plans.partition(p => reusable(p).isDefined)
     val reused = done.map(p => reusable(p).get)
+    // LPT scheduling: largest groups first, so the odd oversized group
+    // (bucket coalescing makes some groups ~1.5x the median) never starts
+    // in the final wave and stretches the tail — with uniform sizes this
+    // is a no-op (stable sort keeps plan order)
+    val todo = todo0.sortBy(p => -sizeOf(p))
 
     def withRetry(p: P): Either[GroupFailure, LineageEntry] = {
       var attempt = 1
