@@ -109,10 +109,11 @@ object Bench {
     val (pLow, pHigh) = (if (levels.contains(1)) 1 else levels.min,
       if (levels.contains(4)) 4 else levels.max)
     val (sLow, sHigh) = (2, 8)
-    val rows: Long =
+    val rows: Long = sys.env.get("GRAFT_BENCH_ROWS").map(_.toLong).getOrElse {
       if (sfDir.contains("sf0.01")) 30000L
       else if (sfDir.contains("sf0.1")) 100000L
       else 5000L
+    }
     // 64-128 px images (~11 KiB avg) => bench table ~1.1 GiB at sf0.1:
     // big enough that the parallel rewrite dominates fixed per-job costs
     val sizes = Array(64, 96, 128)

@@ -43,10 +43,30 @@ object ProbeStages {
     val paths = t.entries(t.currentSnapshot).map(_.path)
     val bytesTotal = t.entries(t.currentSnapshot).map(_.byteCount).sum
 
+    // task-level attribution: run time, GC time, shuffle/serialization —
+    // distinguishes "work inflates under parallelism" (contention) from
+    // "same work, badly packed" (quantization/scheduling)
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskNanos.addAndGet(m.executorRunTime * 1000000L)
+          gcMs.addAndGet(m.jvmGCTime)
+          taskCount.incrementAndGet()
+        }
+      }
+    })
+
     def timed(name: String)(f: => Unit): Unit = {
+      taskNanos.set(0); gcMs.set(0); taskCount.set(0)
       val t0 = System.nanoTime(); f
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[pstages] $name%-28s $sec%7.2fs  ${bytesTotal / 1e6 / sec}%6.1f MB/s")
+      Thread.sleep(200) // listener drain
+      System.err.println(f"[pstages] $name%-28s $sec%7.2fs  ${bytesTotal / 1e6 / sec}%6.1f MB/s" +
+        f"  tasks=${taskCount.get()}%3d task-sec=${taskNanos.get() / 1e9}%7.2f gc-sec=${gcMs.get() / 1e3}%6.2f")
     }
 
     val zk = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert = false)

@@ -91,6 +91,15 @@ class ClusterJob(
     val grids = boundsByGroup(plans)
     if (sys.env.contains("GRAFT_TIMING"))
       System.err.println(f"[timing] cluster-bounds ${(System.nanoTime() - tB0) / 1e9}%6.2fs")
+    // isolated session with AQE off for the group rewrites: the exact-bin
+    // shuffle already pins its partitioning (AQE cannot coalesce or
+    // skew-split it), so AQE's per-stage materialize-and-replan barrier on
+    // the single DAGScheduler event loop is pure serialized overhead —
+    // measurable when many short group jobs run concurrently at high
+    // parallelism. Session-scoped so nothing else on the shared session
+    // is affected.
+    val jobTable = new graft.format.QTable(table.root, table.spark.newSession())
+    jobTable.spark.conf.set("spark.sql.adaptive.enabled", "false")
     val outputs = GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path),
       ckpt.committed, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, jobType, gf.group,
@@ -100,7 +109,7 @@ class ClusterJob(
       cleanDir(dir)
       val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
       val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
-      val keyed = table.readFiles(p.inputs.map(_.path))
+      val keyed = jobTable.readFiles(p.inputs.map(_.path))
         .withColumn("zkey", zkeyCol)
         .withColumn("tiebreak", xxhash64(col("image_id")))
 
@@ -117,7 +126,7 @@ class ClusterJob(
           val bounds: Seq[Long] =
             if (nOut <= QuantileGrid)
               (1 until nOut).map(i => grid(i * QuantileGrid / nOut - 1))
-            else table.readFiles(p.inputs.map(_.path))
+            else jobTable.readFiles(p.inputs.map(_.path))
               .select(zkeyCol.as("zkey"))
               .stat.approxQuantile("zkey", (1 until nOut).map(_.toDouble / nOut).toArray, 0.001)
               .map(_.toLong).toSeq

@@ -701,15 +701,30 @@ object Queries {
     * band-bucket SELF-JOIN for candidate pairs -> signature-similarity
     * verdict. Never all-pairs: only docs sharing a band bucket are
     * compared (the 100 TB-safe shape), and the verdict joins signatures
-    * for candidates only. Exact DuckDB oracle via the portable hash. */
+    * for candidates only. Exact DuckDB oracle via the portable hash.
+    *
+    * Super-bucket cap: a degenerate bucket (k identical boilerplate docs
+    * hashing to one band key) is O(k^2) inside the self-join, so buckets
+    * past [[LshBucketCap]] members are dropped before pairing — bounding
+    * per-bucket work at C(cap, 2) pairs regardless of corpus skew (the
+    * standard mitigation in web-dedup pipelines; a production flow routes
+    * dropped super-buckets to an exact content-hash dedup instead, which
+    * q08 implements). The cap is applied identically in the oracle. */
+  private val LshBucketCap = 50
+
   def q22LshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigs(s, dir).cache()
-    val bands = sig.select(col("doc_id"),
+    val bands0 = sig.select(col("doc_id"),
       explode(map_from_arrays(
         array(lit(0), lit(1), lit(2), lit(3)),
         array(bandKey(col("sig0"), col("sig1")), bandKey(col("sig2"), col("sig3")),
           bandKey(col("sig4"), col("sig5")), bandKey(col("sig6"), col("sig7")))))
         .as(Seq("band", "bkey")))
+    val okBuckets = bands0.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= LshBucketCap)
+      .select("band", "bkey")
+    val bands = bands0.join(okBuckets, Seq("band", "bkey"))
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -748,7 +763,11 @@ object Queries {
     val simSigs = (0 until 8).map(k =>
       s"(CASE WHEN sa.sig$k = sb.sig$k THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH $minhashSigsSqlCte,
-       |bands AS ($bandRows),
+       |bands0 AS ($bandRows),
+       |bands AS (SELECT b.* FROM bands0 b JOIN (
+       |  SELECT band, bkey FROM bands0 GROUP BY 1, 2
+       |  HAVING COUNT(*) <= $LshBucketCap) ok
+       |  ON b.band = ok.band AND b.bkey = ok.bkey),
        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
