@@ -18,11 +18,15 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
+  *   spark-submit --class graft.Main <jar> rename-column --table T --from OLD --to NEW
+  *   spark-submit --class graft.Main <jar> drop-column --table T --name N
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
+  *   spark-submit --class graft.Main <jar> history --table T
+  *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> describe --table T
   */
 object Main {
@@ -110,6 +114,17 @@ object Main {
         report("add-column", snap.summary ++ Map("version" -> snap.version.toString,
           "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
 
+      case "rename-column" =>
+        val snap = CommitRetry.withCommitRetry()(
+          table.renameColumn(req(opts, "from"), req(opts, "to")))
+        report("rename-column", snap.summary ++ Map("version" -> snap.version.toString,
+          "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
+
+      case "drop-column" =>
+        val snap = CommitRetry.withCommitRetry()(table.dropColumn(req(opts, "name")))
+        report("drop-column", snap.summary ++ Map("version" -> snap.version.toString,
+          "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
+
       case "rollback" =>
         val snap = new RollbackJob(table).run(req(opts, "to").toLong)
         report("rollback", snap.summary ++ Map("version" -> snap.version.toString))
@@ -168,6 +183,31 @@ object Main {
           "violations" -> bad.toString))
         if (!ok) sys.exit(1)
 
+      case "history" =>
+        // snapshot-history metadata table (Iceberg `snapshots` analogue)
+        table.historyDF.orderBy("version").collect().foreach { r =>
+          report("history", Map(
+            "version" -> r.getLong(0).toString,
+            "parent-version" -> r.getLong(1).toString,
+            "operation" -> r.getString(2),
+            "committed-at-ms" -> r.getLong(3).toString,
+            "n-files" -> r.getLong(4).toString,
+            "total-rows" -> r.getLong(5).toString,
+            "total-bytes" -> r.getLong(6).toString))
+        }
+
+      case "incremental" =>
+        // CDC-style incremental append scan over (from, to]
+        val t = table
+        val from = req(opts, "from").toLong
+        val to = opts.get("to").map(_.toLong).getOrElse(t.currentVersion)
+        val added = t.addedEntries(from, to)
+        report("incremental", Map(
+          "from-version" -> from.toString, "to-version" -> to.toString,
+          "added-files" -> added.size.toString,
+          "added-rows" -> added.map(_.rowCount).sum.toString,
+          "added-bytes" -> added.map(_.byteCount).sum.toString))
+
       case "describe" =>
         val t = table
         val s = t.currentSnapshot
@@ -210,5 +250,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rollback|remove-orphans|rewrite-manifests|verify|lookup|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rename-column|drop-column|rollback|remove-orphans|rewrite-manifests|verify|lookup|history|incremental|describe> --table PATH [options]"""
 }

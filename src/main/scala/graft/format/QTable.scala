@@ -88,8 +88,18 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   /** Read a snapshot (or a pruned file subset) with the snapshot's
     * RECORDED schema — declared, never inferred, so no footer merge; data
     * files written before an addColumn lack the new column and surface
-    * nulls for it (Iceberg-style metadata-only evolution). */
-  def read(s: Snapshot): DataFrame = readFiles(entries(s).map(_.path), s.storedSchema)
+    * nulls for it (Iceberg-style metadata-only evolution). Files are read
+    * under their PHYSICAL (creation-time) names and aliased to the
+    * current logical names, so a renamed column reads old and new files
+    * alike — the projection is a no-op when nothing was renamed. */
+  def read(s: Snapshot): DataFrame =
+    toLogical(readFiles(entries(s).map(_.path), s.physicalSchema), s)
+
+  /** Alias a physical-schema frame to the snapshot's logical names. */
+  private def toLogical(df: DataFrame, s: Snapshot): DataFrame =
+    if (!s.hasRenames) df
+    else df.select(s.schemaFields.map(f =>
+      org.apache.spark.sql.functions.col(f.phys).as(f.name)): _*)
 
   /** Read a snapshot through the Catalyst-integrated stats-skipping
     * [[QTableFileIndex]]: pushed filters on phash/pbucket/image_id prune
@@ -104,11 +114,16 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      dataSchema = s.storedSchema,
+      dataSchema = s.physicalSchema,
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       options = Map.empty)(spark)
-    (org.apache.spark.sql.GraftBridge.ofRows(spark, LogicalRelation(rel)), index)
+    val df = org.apache.spark.sql.GraftBridge.ofRows(spark, LogicalRelation(rel))
+    // renamed columns surface under logical names via a projection the
+    // optimizer collapses into the scan (alias pushdown keeps the stats
+    // skipping on phash/pbucket/image_id intact — those are base fields
+    // whose physical names never change)
+    (toLogical(df, s), index)
   }
 
   def readIndexed(): (DataFrame, QTableFileIndex) = readIndexed(currentSnapshot)
@@ -120,7 +135,13 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def storedSchema: org.apache.spark.sql.types.StructType =
     currentSnapshotOpt.map(_.storedSchema).getOrElse(ImageRow.storedSchema)
 
-  def readFiles(paths: Seq[String]): DataFrame = readFiles(paths, storedSchema)
+  /** The maintenance-job read surface: files under their PHYSICAL names
+    * (what rewrites must also WRITE, so every data file ever produced
+    * carries creation-time names regardless of later renames). User-facing
+    * reads go through [[read]], which aliases to logical names. */
+  def readFiles(paths: Seq[String]): DataFrame =
+    readFiles(paths,
+      currentSnapshotOpt.map(_.physicalSchema).getOrElse(ImageRow.storedSchema))
 
   def readFiles(paths: Seq[String],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
@@ -168,29 +189,75 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // empty so old tables keep deserializing to the base schema
     val schema = schemaOverride
       .orElse(parent.map(p => Option(p.schema).getOrElse(Nil))).getOrElse(Nil)
-    commitSnapshot(parentV, operation, manifests, summary, buckets, schema)
+    // highest-ever field id rides every commit so a dropped column's id
+    // is never reallocated (see Snapshot.highestFieldId)
+    val lastId = parent.map(_.highestFieldId).getOrElse(0)
+    commitSnapshot(parentV, operation, manifests, summary, buckets, schema, lastId)
   }
 
   /** Metadata-only schema evolution: append a NULLABLE column. Old data
     * files are untouched and surface nulls for the new field; the field
-    * id is allocated past every id ever used so a later rename/re-add
-    * can never alias an old column's data. */
+    * id is allocated past every id EVER used (not just currently present)
+    * so a drop + re-add can never alias an old column's data. Added
+    * columns store under the id-suffixed physical name `<name>_fid<id>`:
+    * with name-resolved parquet reads, that is what guarantees a
+    * re-added same-name column never resurfaces a dropped column's
+    * values (the role Iceberg's in-file field ids play). */
   def addColumn(name: String, dtype: String): Snapshot = {
     val snap = currentSnapshot
     val cur = snap.schemaFields
     require(!cur.exists(_.name == name), s"column $name already exists")
     // validate the DDL up front (fail at commit time, not first read)
     org.apache.spark.sql.types.DataType.fromDDL(dtype)
-    val next = cur :+ FieldDef(cur.map(_.id).max + 1, name, dtype, nullable = true)
+    val id = snap.highestFieldId + 1
+    val next = cur :+ FieldDef(id, name, dtype, nullable = true,
+      physicalName = s"${name}_fid$id")
     commit(Some(snap), "add-column", Nil,
       Map("added-column" -> s"$name $dtype"),
       reuseManifests = snap.manifests,
       schemaOverride = Some(next))
   }
 
+  private def baseFieldIds: Set[Int] = FieldDef.defaults.map(_.id).toSet
+
+  /** Metadata-only rename of an ADDED column: the physical name is fixed
+    * at creation, so no data file is touched and reads alias old and new
+    * files alike. Base fields (image_id, bytes, ..., pbucket) are the
+    * engine's own key/stat columns and cannot be renamed. */
+  def renameColumn(from: String, to: String): Snapshot = {
+    val snap = currentSnapshot
+    val cur = snap.schemaFields
+    val f = cur.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $from"))
+    require(!baseFieldIds.contains(f.id), s"cannot rename base column $from")
+    require(!cur.exists(_.name == to), s"column $to already exists")
+    require(to.nonEmpty && to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name: $to")
+    val next = cur.map(c => if (c.id == f.id) c.copy(name = to) else c)
+    commit(Some(snap), "rename-column", Nil,
+      Map("renamed-column" -> s"$from -> $to"),
+      reuseManifests = snap.manifests,
+      schemaOverride = Some(next))
+  }
+
+  /** Metadata-only drop of an ADDED column: data files keep the stored
+    * values (invisible behind the declared read schema); the field id is
+    * retired forever via [[Snapshot.highestFieldId]]. */
+  def dropColumn(name: String): Snapshot = {
+    val snap = currentSnapshot
+    val cur = snap.schemaFields
+    val f = cur.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    require(!baseFieldIds.contains(f.id), s"cannot drop base column $name")
+    commit(Some(snap), "drop-column", Nil,
+      Map("dropped-column" -> name),
+      reuseManifests = snap.manifests,
+      schemaOverride = Some(cur.filterNot(_.id == f.id)))
+  }
+
   private[format] def commitSnapshot(parentV: Long, operation: String,
       manifests: Seq[ManifestMeta], summary: Map[String, String],
-      buckets: Int, schema: Seq[FieldDef] = Nil): Snapshot = {
+      buckets: Int, schema: Seq[FieldDef] = Nil, lastFieldId: Int = 0): Snapshot = {
     io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
     val head = currentVersion
@@ -199,11 +266,73 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
         s"stale commit: parent v$parentV but table is at v$head")
     val v = parentV + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
-      System.currentTimeMillis(), schema)
+      System.currentTimeMillis(), schema, lastFieldId)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
     io.writeAtomic(hintFile, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     snap
+  }
+
+  /** Snapshot operations that preserve the logical row set (pure layout /
+    * metadata rewrites) — an incremental append scan skips them. */
+  private val RowPreservingOps: Set[String] = Set(
+    "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
+    "rewrite-manifests", "add-column", "rename-column", "drop-column")
+
+  /** Iceberg-style incremental append scan planning: the data files ADDED
+    * by each `append` snapshot in the chain (fromV, toV]. Appends commit
+    * parent manifests BY REFERENCE (see [[commit]]/AppendJob), so the diff
+    * is manifest-level — O(appended metadata), never O(table), which is
+    * what lets a 10^12-row table serve CDC-style consumers cheaply.
+    * Row-set-preserving rewrites (compact/cluster/rebucket/
+    * rewrite-manifests/add-column) contribute nothing and are skipped;
+    * `merge`/`rollback` change or remove rows and cannot be expressed as
+    * an append delta, so the chain walk refuses them (Iceberg's
+    * incremental scan makes the same refusal for overwrite/delete). */
+  def addedEntries(fromV: Long, toV: Long): Seq[DataFileEntry] = {
+    require(fromV <= toV, s"incremental range reversed: v$fromV > v$toV")
+    val buf = Seq.newBuilder[DataFileEntry]
+    var s = snapshotAt(toV)
+    while (s.version > fromV) {
+      s.operation match {
+        case "append" =>
+          val parent = snapshotAt(s.parentVersion)
+          val parentManifests = parent.manifests.map(_.path).toSet
+          buf ++= s.manifests.filterNot(m => parentManifests.contains(m.path))
+            .flatMap(m => readManifest(m).files)
+        case op if RowPreservingOps.contains(op) => () // layout-only
+        case op =>
+          throw new IllegalArgumentException(
+            s"cannot incrementally read across a '$op' snapshot " +
+              s"(v${s.version}): rows were changed or removed, not appended")
+      }
+      s = snapshotAt(s.parentVersion)
+    }
+    buf.result()
+  }
+
+  /** Read exactly the rows appended in (fromV, toV] — see
+    * [[addedEntries]]. Uses the `to` snapshot's recorded schema (logical
+    * names; files resolve under their physical names as in [[read]]). */
+  def readIncremental(fromV: Long, toV: Long): DataFrame = {
+    val to = snapshotAt(toV)
+    toLogical(readFiles(addedEntries(fromV, toV).map(_.path), to.physicalSchema), to)
+  }
+
+  /** Snapshot-history metadata table (Iceberg's `snapshots` analogue):
+    * one row per retained version with its commit summary totals. Built
+    * driver-side from version files — metadata-sized by construction
+    * (bounded by ExpireSnapshotsJob's retention), never touches data. */
+  def historyDF: DataFrame = {
+    val rows = listVersions.map { v =>
+      val s = snapshotAt(v)
+      (s.version, s.parentVersion, s.operation, s.timestampMs,
+        s.summary.getOrElse("total-files", "0").toLong,
+        s.summary.getOrElse("total-rows", "0").toLong,
+        s.summary.getOrElse("total-bytes", "0").toLong)
+    }
+    spark.createDataFrame(rows).toDF("version", "parent_version",
+      "operation", "committed_at_ms", "n_files", "total_rows", "total_bytes")
   }
 
   /** Allocate a fresh immutable data directory for a job/group write. */

@@ -21,10 +21,10 @@ object AppendJob {
     val b = snap.buckets
     val dir = table.newDataDir(jobId, "append")
     val nFiles = math.max(1, b * filesPerBucket)
-    JobPlanning.alignToSchema(
+    JobPlanning.alignToPhysical(
       rows.withColumn("pbucket",
         pmod(xxhash64(col("image_id")), lit(b.toLong)).cast("int")),
-      snap.storedSchema)
+      snap)
       // range-partition on (pbucket, image_id): files align with buckets,
       // splitting each bucket into ~filesPerBucket files
       .repartitionByRange(nFiles, col("pbucket"), col("image_id"))

@@ -34,26 +34,33 @@ class ExpireSnapshotsJob(table: QTable) {
     val liveFiles = retainedSnaps.flatMap(s => table.entries(s).map(_.path)).toSet
     val liveManifests = retainedSnaps.flatMap(_.manifests.map(_.path)).toSet
 
+    // Expired snapshots routinely SHARE manifests (appends and the
+    // metadata-only add/rename/drop-column commits carry parent
+    // manifests by reference), so collect the distinct dead manifests
+    // across ALL expired versions and process each exactly once — a
+    // per-version loop would delete a shared manifest at its first
+    // referencing version and crash reading it at the next.
+    // existence-filtered for crash idempotency: a re-run after a crash
+    // (or a partial older expire) skips manifests already deleted — any
+    // data files those stranded are RemoveOrphanFilesJob's to sweep
+    val deadManifests = expired.map(table.snapshotAt)
+      .flatMap(_.manifests).filterNot(m => liveManifests.contains(m.path))
+      .groupBy(_.path).map(_._2.head)
+      .filter(m => table.io.exists(s"${table.metadataDir}/${m.path}"))
+
     var dataDeleted = 0
     var manifestsDeleted = 0
-    expired.foreach { v =>
-      val s = table.snapshotAt(v)
-      s.manifests.foreach { m =>
-        if (!liveManifests.contains(m.path)) {
-          val entries = table.readManifest(m).files
-          entries.foreach { f =>
-            if (!liveFiles.contains(f.path) && delete(f.path)) dataDeleted += 1
-          }
-        }
+    deadManifests.foreach { m =>
+      table.readManifest(m).files.foreach { f =>
+        if (!liveFiles.contains(f.path) && delete(f.path)) dataDeleted += 1
       }
-      // second pass so shared manifests keep their files until unreferenced
-      s.manifests.foreach { m =>
-        if (!liveManifests.contains(m.path)) {
-          if (delete(s"${table.metadataDir}/${m.path}")) manifestsDeleted += 1
-        }
-      }
-      delete(s"${table.metadataDir}/v$v.json")
     }
+    // manifests only after every dead manifest's files were swept, so a
+    // crash mid-sweep leaves manifests readable for a re-run
+    deadManifests.foreach { m =>
+      if (delete(s"${table.metadataDir}/${m.path}")) manifestsDeleted += 1
+    }
+    expired.foreach(v => delete(s"${table.metadataDir}/v$v.json"))
     Result(expired, dataDeleted, manifestsDeleted)
   }
 }

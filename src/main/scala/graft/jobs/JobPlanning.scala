@@ -6,16 +6,22 @@ import org.apache.spark.sql.SparkSession
 /** Shared planning helpers for the maintenance jobs. */
 object JobPlanning {
 
-  /** Project `df` onto `schema`'s columns in order; columns the input
-    * lacks (e.g. a MERGE source predating an addColumn) become typed
-    * nulls — the write-side half of metadata-only schema evolution. */
-  def alignToSchema(df: org.apache.spark.sql.DataFrame,
-      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+  /** Project a writer's frame onto the snapshot's PHYSICAL schema (the
+    * write-side half of metadata-only schema evolution). Columns may
+    * arrive under logical names (user append/merge sources) or physical
+    * names (rewrite scans via `readFiles`); columns the input has under
+    * neither (e.g. a MERGE source predating an addColumn) become typed
+    * nulls. Every data file is written with physical (creation-time)
+    * names — the invariant that makes renameColumn a pure metadata
+    * operation. */
+  def alignToPhysical(df: org.apache.spark.sql.DataFrame,
+      snap: graft.model.Snapshot): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val have = df.columns.toSet
-    val cols = schema.fields.toIndexedSeq.map { f =>
-      if (have.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+    val cols = snap.schemaFields.toIndexedSeq.map { f =>
+      if (have.contains(f.phys)) col(f.phys)
+      else if (have.contains(f.name)) col(f.name).as(f.phys)
+      else lit(null).cast(f.sparkType).as(f.phys)
     }
     df.select(cols: _*)
   }

@@ -83,12 +83,12 @@ class MergeJob(
         Nil, Nil, 0L, 0L, "failed", gf.attempts))) { case (group, files) =>
       val dir = table.newDataDir(jobId, group)
       cleanDir(dir)
-      val df = JobPlanning.alignToSchema(
+      val df = JobPlanning.alignToPhysical(
         table.readFiles(files.map(_.path))
           .join(updatesSrc, Seq("image_id"), "left")
           .withColumn("caption", coalesce(col("_new_caption"), col("caption")))
           .drop("_new_caption"),
-        snap.storedSchema)
+        snap)
       df.coalesce(math.max(1, files.size)).write.parquet(dir)
       val out = table.harvest(dir)
       val entry = LineageEntry(jobId, "merge", group, files.map(_.path), out,
@@ -108,10 +108,10 @@ class MergeJob(
         case None =>
           val dir = table.newDataDir(jobId, group)
           cleanDir(dir)
-          JobPlanning.alignToSchema(
+          JobPlanning.alignToPhysical(
             inserts.withColumn("pbucket",
               pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int")),
-            snap.storedSchema)
+            snap)
             .repartition(col("pbucket"))
             .write.parquet(dir)
           val out = table.harvest(dir)

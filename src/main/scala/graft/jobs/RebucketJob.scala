@@ -55,11 +55,11 @@ class RebucketJob(
       val df = table.readFiles(paths)
         .withColumn("pbucket", bucket)
         .withColumn("__bin", col("pbucket") * subPerBucket + sub)
-      JobPlanning.alignToSchema(
+      JobPlanning.alignToPhysical(
         ExactShuffle.repartitionByBin(df, nOut, col("__bin"))
           .drop("__bin")
           .sortWithinPartitions("pbucket", "phash"),
-        snap.storedSchema)
+        snap)
         .write.parquet(dir)
       val files = table.harvest(dir)
       val entry = LineageEntry(jobId, "rebucket", "all", paths, files,

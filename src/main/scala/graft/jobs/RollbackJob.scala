@@ -23,7 +23,11 @@ class RollbackJob(table: QTable) {
     // bucket count must travel WITH the manifests being restored: rolling
     // back across a RebucketJob commit would otherwise pair old-layout
     // manifests with the new bucket count, and every later append/merge
-    // would assign pbucket with the wrong modulus
+    // would assign pbucket with the wrong modulus.
+    // The SCHEMA deliberately does NOT roll back (Iceberg semantics:
+    // rollback restores data, not schema): the head schema is kept, and
+    // the physical-name invariant (files always store creation-time
+    // names) makes any schema/manifest pairing readable.
     table.commit(Some(cur), "rollback", Nil,
       Map("rolled-back-to" -> toVersion.toString,
         "rolled-back-from" -> cur.version.toString),

@@ -71,9 +71,22 @@ final case class ManifestData(files: Seq[DataFileEntry])
 
 /** One field of the table schema as recorded in a snapshot. `id` is the
   * Iceberg-style stable field id: names can evolve, ids never do, so a
-  * future rename is a metadata edit that keeps reading old files. `dtype`
-  * is Spark DDL (`string`, `binary`, `int`, `long`, ...). */
-final case class FieldDef(id: Int, name: String, dtype: String, nullable: Boolean)
+  * rename is a metadata edit that keeps reading old files. `dtype`
+  * is Spark DDL (`string`, `binary`, `int`, `long`, ...).
+  *
+  * `physicalName` is the name data files actually store the field under,
+  * fixed at field CREATION and immune to renames — the name-mapped
+  * reader's substitute for Iceberg's in-file field ids: every file ever
+  * written carries the creation-time name, so a rename never has to
+  * rewrite data and a renamed read is a pure projection alias. Empty/null
+  * (all base fields + pre-evolution snapshots) means "same as name". */
+final case class FieldDef(id: Int, name: String, dtype: String, nullable: Boolean,
+    physicalName: String = "") {
+  def phys: String =
+    if (physicalName == null || physicalName.isEmpty) name else physicalName
+  def sparkType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DataType.fromDDL(dtype)
+}
 
 object FieldDef {
   /** The mandated base schema with field ids 1..N. Snapshots written
@@ -83,10 +96,15 @@ object FieldDef {
       FieldDef(i + 1, f.name, f.dataType.simpleString, f.nullable)
     }.toSeq
 
+  /** Logical schema: current (user-facing) names. */
   def toStruct(fields: Seq[FieldDef]): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name,
-        org.apache.spark.sql.types.DataType.fromDDL(f.dtype), f.nullable)))
+      org.apache.spark.sql.types.StructField(f.name, f.sparkType, f.nullable)))
+
+  /** Physical schema: the names data files store (creation-time names). */
+  def toPhysicalStruct(fields: Seq[FieldDef]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.phys, f.sparkType, f.nullable)))
 }
 
 /** One committed table version. `parentVersion` is -1 for the first
@@ -102,7 +120,8 @@ final case class Snapshot(
     summary: Map[String, String],
     buckets: Int,
     timestampMs: Long,
-    schema: Seq[FieldDef] = Nil) {
+    schema: Seq[FieldDef] = Nil,
+    lastFieldId: Int = 0) {
 
   /** Effective schema fields: recorded ones, else the base schema. */
   def schemaFields: Seq[FieldDef] = {
@@ -110,8 +129,22 @@ final case class Snapshot(
     if (s.isEmpty) FieldDef.defaults else s
   }
 
+  /** Highest field id EVER allocated (not just currently present): a
+    * dropped column's id must never be reused, or a later re-add of the
+    * same name could resurface the dropped column's stored data. 0 on
+    * pre-evolution snapshots — callers max() with the current ids. */
+  def highestFieldId: Int = math.max(lastFieldId, schemaFields.map(_.id).max)
+
   def storedSchema: org.apache.spark.sql.types.StructType =
     FieldDef.toStruct(schemaFields)
+
+  /** The schema as data files store it (creation-time physical names). */
+  def physicalSchema: org.apache.spark.sql.types.StructType =
+    FieldDef.toPhysicalStruct(schemaFields)
+
+  /** True when some field's user-facing name differs from its stored
+    * name — the read path then needs an aliasing projection. */
+  def hasRenames: Boolean = schemaFields.exists(f => f.phys != f.name)
 }
 
 /** Per-partition-group lineage record for resumable maintenance jobs.

@@ -952,6 +952,97 @@ object Queries {
        |  list_aggregate(mins, 'min') AS min_fp
        |FROM w""".stripMargin
 
+  // ----------------------------------------------------------- q26-q28
+  /** Root of the build-once 4-snapshot timeline qtable fixture shared by
+    * the time-travel / incremental-scan / snapshot-history queries:
+    * v0 create -> v1 append batch1 -> v2 append batch2 -> v3 compact
+    * (row-set-preserving rewrite). Fully synthetic (seeded DataGen), so
+    * the path is keyed by fixture parameters, not by testdata dir; the
+    * per-batch oracle inputs (image_id, w, h, fmt, caption, phash) are
+    * exported as parquet DuckDB reads by absolute path (the m1 pattern).
+    * Bump the version suffix when the fixture shape changes. */
+  private val TimelineRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_timeline_v1"
+  private val TimelineN1 = 120L
+  private val TimelineN2 = 80L
+  private val TimelineCols = Seq("image_id", "w", "h", "fmt", "caption", "phash")
+
+  private def timelineDir(s: SparkSession): String = synchronized {
+    val ready = java.nio.file.Paths.get(TimelineRoot, "_FIXTURE_READY")
+    if (!java.nio.file.Files.exists(ready)) {
+      // rebuild from scratch on a stale/partial dir
+      val rootP = java.nio.file.Paths.get(TimelineRoot)
+      if (java.nio.file.Files.exists(rootP)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      def batch(seed: Long, n: Long, tag: String) =
+        graft.synth.DataGen.generate(s, n, seed).toDF()
+          .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+      val b1 = batch(101L, TimelineN1, "b1")
+      val b2 = batch(202L, TimelineN2, "b2")
+      b1.select(TimelineCols.head, TimelineCols.tail: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$TimelineRoot/exp/b1")
+      b2.select(TimelineCols.head, TimelineCols.tail: _*)
+        .coalesce(1).write.mode("overwrite").parquet(s"$TimelineRoot/exp/b2")
+      val t = graft.format.QTable.create(s"$TimelineRoot/table", s, buckets = 4)
+      graft.jobs.AppendJob.append(t, b1, filesPerBucket = 2)
+      graft.jobs.AppendJob.append(t, b2, filesPerBucket = 2)
+      new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20).run()
+      java.nio.file.Files.createFile(ready)
+    }
+    TimelineRoot
+  }
+
+  /** Time travel (snapshot-as-of read): the v1 reader sees EXACTLY batch1
+    * — not batch2's rows (committed later) and not the compacted layout's
+    * row order artifacts. Snapshot isolation is what makes maintenance
+    * safe to run under live readers at 100 TB. */
+  def q26TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = timelineDir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    t.read(t.snapshotAt(1)).select(TimelineCols.head, TimelineCols.tail: _*)
+  }
+
+  val q26Sql: String =
+    s"""SELECT image_id, w, h, fmt, caption, phash
+       |FROM read_parquet('$TimelineRoot/exp/b1/*.parquet')""".stripMargin
+
+  /** Incremental append scan (CDC-style consumption): rows added in
+    * (v1, v3] are exactly batch2, even though v3 is a compaction that
+    * rewrote every file — the chain walk skips row-set-preserving
+    * rewrites and diffs appends at MANIFEST level (O(appended metadata),
+    * never O(table); appends carry parent manifests by reference). */
+  def q27IncrementalScan(s: SparkSession, dir: String): DataFrame = {
+    val root = timelineDir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    t.readIncremental(1, 3).select(TimelineCols.head, TimelineCols.tail: _*)
+  }
+
+  val q27Sql: String =
+    s"""SELECT image_id, w, h, fmt, caption, phash
+       |FROM read_parquet('$TimelineRoot/exp/b2/*.parquet')""".stripMargin
+
+  /** Snapshot-history metadata table (Iceberg `snapshots` analogue):
+    * version / operation / cumulative row count per retained snapshot.
+    * The oracle recomputes each total from the exported batches, so the
+    * commit-summary bookkeeping itself is what is being checked. */
+  def q28SnapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = timelineDir(s)
+    graft.format.QTable(s"$root/table", s).historyDF
+      .select(col("version"), col("operation"), col("total_rows"))
+  }
+
+  val q28Sql: String = {
+    val b1 = s"(SELECT COUNT(*) FROM read_parquet('$TimelineRoot/exp/b1/*.parquet'))"
+    val b2 = s"(SELECT COUNT(*) FROM read_parquet('$TimelineRoot/exp/b2/*.parquet'))"
+    s"""SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation, CAST(0 AS BIGINT) AS total_rows
+       |UNION ALL SELECT 1, 'append', $b1
+       |UNION ALL SELECT 2, 'append', $b1 + $b2
+       |UNION ALL SELECT 3, 'compact', $b1 + $b2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1003,7 +1094,10 @@ object Queries {
     "q22_lsh_pairs" -> ((q22LshPairs _, q22Sql)),
     "q23_embed_neardup" -> ((q23EmbedNearDup _, q23Sql)),
     "q24_regex_tokens" -> ((q24RegexTokens _, q24Sql)),
-    "q25_winnow_fingerprint" -> ((q25Winnow _, q25Sql)))
+    "q25_winnow_fingerprint" -> ((q25Winnow _, q25Sql)),
+    "q26_time_travel" -> ((q26TimeTravel _, q26Sql)),
+    "q27_incremental_scan" -> ((q27IncrementalScan _, q27Sql)),
+    "q28_snapshot_history" -> ((q28SnapshotHistory _, q28Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

@@ -80,4 +80,68 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.addColumn("caption", "string") }
     intercept[Exception] { t.addColumn("x", "not-a-type") }
   }
+
+  test("rename-column is metadata-only: old and new files resolve under the new name") {
+    val t = QTable.create(TestSpark.tmpDir("evo-ren"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 40, 42L, 2).toDF(), 1)      // v1
+    t.addColumn("alt_text", "string")                                       // v2
+    AppendJob.append(t,
+      DataGen.generate(spark, 10, 7L, 1).toDF()
+        .withColumn("image_id", concat(lit("n-"), col("image_id")))
+        .withColumn("alt_text", lit("before-rename")), 1)                   // v3
+    val filesBefore = t.entries(t.currentSnapshot).map(_.path).toSet
+
+    val ren = t.renameColumn("alt_text", "alt")                             // v4
+    assert(ren.operation == "rename-column")
+    assert(t.entries(ren).map(_.path).toSet == filesBefore,
+      "rename must not touch data files")
+    val after = t.read()
+    assert(after.columns.contains("alt") && !after.columns.contains("alt_text"))
+    assert(after.where(col("alt") === "before-rename").count() == 10)
+
+    // appends AFTER the rename write the same physical column, so a
+    // rewrite mixing pre- and post-rename files stays consistent
+    AppendJob.append(t,
+      DataGen.generate(spark, 5, 9L, 1).toDF()
+        .withColumn("image_id", concat(lit("p-"), col("image_id")))
+        .withColumn("alt", lit("after-rename")), 1)                         // v5
+    val pre = t.read()
+    val c = new CompactJob(t, targetFileBytes = 8L << 20).run()
+    val (ok, bad) = ScanEquivalence.check(pre, t.read(c))
+    assert(ok, s"$bad violations after compacting a renamed table")
+    assert(t.read(c).where(col("alt") === "before-rename").count() == 10)
+    assert(t.read(c).where(col("alt") === "after-rename").count() == 5)
+  }
+
+  test("drop + re-add of the same name never resurrects dropped values") {
+    val t = QTable.create(TestSpark.tmpDir("evo-drop"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 20, 42L, 1).toDF(), 1)      // v1
+    t.addColumn("tag", "string")                                            // v2 (id 9)
+    AppendJob.append(t,
+      DataGen.generate(spark, 10, 7L, 1).toDF()
+        .withColumn("image_id", concat(lit("n-"), col("image_id")))
+        .withColumn("tag", lit("secret")), 1)                               // v3
+    val dropped = t.dropColumn("tag")                                       // v4
+    assert(dropped.operation == "drop-column")
+    assert(!t.read().columns.contains("tag"))
+
+    // re-add the SAME name: new field id (never reused) => new physical
+    // name => the dropped column's stored values stay invisible
+    val readd = t.addColumn("tag", "string")                                // v5
+    val f = readd.schemaFields.find(_.name == "tag").get
+    assert(f.id > 9, s"dropped field id must not be reused, got ${f.id}")
+    assert(t.read().where(col("tag").isNotNull).count() == 0,
+      "re-added column must NOT resurface dropped data")
+  }
+
+  test("base columns cannot be renamed or dropped") {
+    val t = QTable.create(TestSpark.tmpDir("evo-base"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 10, 42L, 1).toDF(), 1)
+    intercept[IllegalArgumentException] { t.renameColumn("image_id", "id") }
+    intercept[IllegalArgumentException] { t.dropColumn("caption") }
+    intercept[IllegalArgumentException] { t.renameColumn("nope", "x") }
+    t.addColumn("a", "string")
+    intercept[IllegalArgumentException] { t.renameColumn("a", "caption") }
+    intercept[IllegalArgumentException] { t.renameColumn("a", "bad name!") }
+  }
 }

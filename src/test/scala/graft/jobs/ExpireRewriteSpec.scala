@@ -55,6 +55,34 @@ class ExpireRewriteSpec extends AnyFunSuite {
     assert(keys == keys.sorted)
   }
 
+  test("expire across shared-manifest chains (appends + metadata-only commits)") {
+    // regression: expired snapshots that share manifests by reference
+    // (append chains, add/rename/drop-column) used to crash expire on
+    // the second referencing version (manifest already deleted)
+    val t = QTable.create(TestSpark.tmpDir("expire-shared"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 100, 42L, 2).toDF(), 2)  // v1
+    AppendJob.append(t,                                                  // v2 reuses v1 manifests
+      DataGen.generate(spark, 50, 7L, 1).toDF()
+        .withColumn(
+          "image_id",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("n-"),
+            org.apache.spark.sql.functions.col("image_id"))), 1)
+    t.addColumn("tag", "string")                                         // v3 reuses v2 manifests
+    t.renameColumn("tag", "label")                                       // v4 reuses v3 manifests
+    new CompactJob(t, targetFileBytes = 8L << 20).run()                  // v5 full rewrite
+    val cur = t.currentSnapshot
+    val curFiles = t.entries(cur).map(_.path)
+
+    val res = new ExpireSnapshotsJob(t).run(keepLast = 1)
+    assert(res.expiredVersions == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(t.listVersions == Seq(5L))
+    // every pre-rewrite data file is gone, the current set intact
+    assert(res.deletedDataFiles > 0)
+    curFiles.foreach(p => assert(Files.exists(Paths.get(p)), s"$p must survive"))
+    assert(t.read().count() == 150)
+  }
+
   test("expire refuses keepLast < 1") {
     val t = QTable.create(TestSpark.tmpDir("expire2"), spark, buckets = 2)
     intercept[IllegalArgumentException] { new ExpireSnapshotsJob(t).run(0) }
