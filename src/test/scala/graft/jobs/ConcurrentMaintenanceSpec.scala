@@ -48,6 +48,37 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     corr.unpersist()
   }
 
+  test("schema evolution racing a compaction: both commit, schema and data intact") {
+    // compact plans against the pre-evolution snapshot; if the rename (or
+    // the compact) lands first the other loses the version claim and
+    // CommitRetry re-runs it against the winner's snapshot — the retry
+    // must pick up the NEW schema (physical names make any interleaving
+    // readable; a lost schema would surface as a missing/null column)
+    val n = 400L
+    val t = QTable.create(TestSpark.tmpDirUri("conc-evo"), spark, buckets = 4)
+    AppendJob.append(t, DataGen.generate(spark, n, 42L, 8).toDF(), filesPerBucket = 4)
+    t.addColumn("tag", "string")
+    AppendJob.append(t,
+      DataGen.generate(spark, 50, 7L, 2).toDF()
+        .withColumn("image_id", concat(lit("n-"), col("image_id")))
+        .withColumn("tag", lit("keep")), 2)
+
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fCompact = Future(CommitRetry.withCommitRetry(5) {
+      new CompactJob(t, targetFileBytes = 8L << 20, jobId = "conc-evo-compact").run()
+    })
+    val fRename = Future(CommitRetry.withCommitRetry(5) { t.renameColumn("tag", "label") })
+    Await.result(Future.sequence(Seq(fCompact, fRename)), 10.minutes)
+
+    val ops = t.listVersions.map(v => t.snapshotAt(v).operation)
+    assert(ops.contains("compact") && ops.contains("rename-column"), s"history: $ops")
+    val post = t.read()
+    assert(post.count() == n + 50)
+    assert(post.columns.contains("label") && !post.columns.contains("tag"))
+    assert(post.where(col("label") === "keep").count() == 50,
+      "evolved-column values lost in the race")
+  }
+
   test("withCommitRetry rethrows after maxAttempts conflicts") {
     var calls = 0
     intercept[CommitConflictException] {
