@@ -105,9 +105,9 @@ object Bench {
     * write-heavy (shuffle + parquet outputs), so at order 9 the
     * HOST-side fault path — which does not scale with vCPUs — becomes
     * the bottleneck and masquerades as poor engine scaling. Raising the
-    * reporting order to 10 only exempts sub-4MB free blocks from
-    * reporting during the bench window; the setting (and all pages) go
-    * back to the host's control immediately after. */
+    * reporting order only exempts smaller free blocks from reporting
+    * during the bench window; the setting (and all pages) go back to
+    * the host's control immediately after. */
   private def quietFreePageReporting(): Option[String] = {
     val p = Paths.get("/sys/module/page_reporting/parameters/page_reporting_order")
     try {
@@ -535,7 +535,8 @@ object Bench {
            |so at order 9 the host fault path caps high-parallelism levels and
            |also explains the multi-second run-to-run variance (sibling VMs
            |share the same host path). The bench therefore quiets reporting
-           |(order 9 -> 10, sub-4MB free blocks exempted) STRICTLY for the
+           |(order 9 -> the highest accepted order, 11 here, so only
+           |8 MiB+ buddy blocks ever report) STRICTLY for the
            |measurement window and restores it on exit — the same class of
            |environmental isolation as the tmpfs working set (single shared
            |virtio disk) already applied in round 2. On a real N -> 4N

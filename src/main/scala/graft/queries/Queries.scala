@@ -21,7 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * embedding-cosine blocking), similarity search (brute-force and
   * IVF-pruned kNN), text analysis (token/quality/language/regex stats),
   * JSON payload ops, validated CSV preview, date-partition pruning, and
-  * nested struct/array/map sources.
+  * nested struct/array/map sources — plus the lakehouse read surface over
+  * the engine's own table format: time travel (q26), incremental append
+  * scan (q27), and the snapshot-history metadata table (q28), oracled via
+  * exported per-batch parquet (the m1 pattern).
   *
   * Column names/types are aligned with the oracle SQL exactly (the driver
   * hash-compares by sorted column name). Floating aggregates are rounded
