@@ -16,6 +16,9 @@ import scala.jdk.CollectionConverters._
 object ParquetStats {
 
   def entryFor(pathStr: String, conf: Configuration): DataFileEntry = {
+    import graft.model.ColStat
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val hp = new HPath(pathStr)
     val fs = hp.getFileSystem(conf)
     val size = fs.getFileStatus(hp).getLen
@@ -26,6 +29,11 @@ object ParquetStats {
       var pbMin = Int.MaxValue; var pbMax = Int.MinValue
       var phMin = Long.MaxValue; var phMax = Long.MinValue
       var idMin: String = null; var idMax: String = null
+      // generic per-column ranges for every OTHER primitive column (incl.
+      // schema-evolved ones, under their stored physical names)
+      val longs = scala.collection.mutable.Map[String, (Long, Long)]()
+      val doubles = scala.collection.mutable.Map[String, (Double, Double)]()
+      val strings = scala.collection.mutable.Map[String, (String, String)]()
       footer.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
         block.getColumns.asScala.foreach { col =>
@@ -43,10 +51,43 @@ object ParquetStats {
               val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
               if (idMin == null || mn < idMin) idMin = mn
               if (idMax == null || mx > idMax) idMax = mx
+            case _ if col.getPath.size == 1 =>
+              val pt = col.getPrimitiveType
+              pt.getPrimitiveTypeName match {
+                case INT32 | INT64 =>
+                  val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                  val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                  val cur = longs.getOrElse(name, (Long.MaxValue, Long.MinValue))
+                  longs(name) = (math.min(cur._1, mn), math.max(cur._2, mx))
+                case FLOAT | DOUBLE =>
+                  val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+                  val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+                  val cur = doubles.getOrElse(name, (Double.MaxValue, Double.MinValue))
+                  doubles(name) = (math.min(cur._1, mn), math.max(cur._2, mx))
+                case BINARY
+                  if pt.getLogicalTypeAnnotation ==
+                    LogicalTypeAnnotation.stringType() =>
+                  val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                  val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                  val cur = strings.get(name)
+                  strings(name) = (
+                    cur.map(c => if (mn < c._1) mn else c._1).getOrElse(mn),
+                    cur.map(c => if (mx > c._2) mx else c._2).getOrElse(mx))
+                case _ => // binary blobs / nested: no orderable stats
+              }
             case _ =>
           }
         }
       }
+      val colStats =
+        longs.map { case (n, (mn, mx)) => n -> ColStat("long", mn.toString, mx.toString) } ++
+        doubles.map { case (n, (mn, mx)) => n -> ColStat("double", mn.toString, mx.toString) } ++
+        strings.flatMap { case (n, (mn, mx)) =>
+          // Iceberg-style truncation so long strings never bloat manifests:
+          // a truncated MIN is still a valid lower bound; a truncated MAX
+          // must be bumped up (increment last char) to stay an upper bound
+          truncMax(mx).map(m => n -> ColStat("string", truncMin(mn), m))
+        }
       DataFileEntry(
         path = pathStr,
         rowCount = rows,
@@ -56,9 +97,27 @@ object ParquetStats {
         phashMin = phMin,
         phashMax = phMax,
         imageIdMin = if (idMin == null) "" else idMin,
-        imageIdMax = if (idMax == null) "" else idMax)
+        imageIdMax = if (idMax == null) "" else idMax,
+        colStats = colStats.toMap)
     } finally reader.close()
   }
+
+  private val MaxStatLen = 64
+
+  private def truncMin(s: String): String =
+    if (s.length <= MaxStatLen) s else s.substring(0, MaxStatLen)
+
+  /** Upper bound after truncation: increment the last incrementable char
+    * of the prefix (None if every char is already Char.MaxValue — then
+    * the stat is dropped rather than recorded unsoundly). */
+  private def truncMax(s: String): Option[String] =
+    if (s.length <= MaxStatLen) Some(s)
+    else {
+      val t = s.substring(0, MaxStatLen).toCharArray
+      var i = t.length - 1
+      while (i >= 0 && t(i) == Char.MaxValue) i -= 1
+      if (i < 0) None else { t(i) = (t(i) + 1).toChar; Some(new String(t, 0, i + 1)) }
+    }
 
   /** Below this many files a driver-parallel loop beats a Spark job's
     * scheduling overhead; at or above, footer harvesting ships to

@@ -293,20 +293,24 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     require(fromV <= toV, s"incremental range reversed: v$fromV > v$toV")
     val buf = Seq.newBuilder[DataFileEntry]
     var s = snapshotAt(toV)
-    while (s.version > fromV) {
+    var done = s.version <= fromV
+    while (!done) {
       s.operation match {
         case "append" =>
           val parent = snapshotAt(s.parentVersion)
           val parentManifests = parent.manifests.map(_.path).toSet
           buf ++= s.manifests.filterNot(m => parentManifests.contains(m.path))
             .flatMap(m => readManifest(m).files)
+        case "create" => () // table birth: no files by definition
         case op if RowPreservingOps.contains(op) => () // layout-only
         case op =>
           throw new IllegalArgumentException(
             s"cannot incrementally read across a '$op' snapshot " +
               s"(v${s.version}): rows were changed or removed, not appended")
       }
-      s = snapshotAt(s.parentVersion)
+      // stop at the range start or at table birth (no parent to walk to)
+      done = s.parentVersion < 0 || s.parentVersion <= fromV
+      if (!done) s = snapshotAt(s.parentVersion)
     }
     buf.result()
   }

@@ -74,12 +74,23 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
     case _ => true
   }
 
-  /** stats range of column `name` in file `e`, as (min, max) if tracked */
+  /** stats range of column `name` in file `e`, as (min, max) if tracked:
+    * the three dedicated key/stat columns, then the generic colStats map
+    * (every other primitive column, incl. schema-evolved ones under their
+    * physical names — which is what the scan's pushed filters reference,
+    * since the relation schema is physical). */
   private def range(name: String, e: DataFileEntry): Option[(Any, Any)] = name match {
     case "phash" => Some((e.phashMin, e.phashMax))
     case "pbucket" => Some((e.pbucketMin, e.pbucketMax))
     case "image_id" => Some((e.imageIdMin, e.imageIdMax))
-    case _ => None
+    case _ => e.stats.get(name).flatMap { s =>
+      s.kind match {
+        case "long" => Some((s.min.toLong, s.max.toLong))
+        case "double" => Some((s.min.toDouble, s.max.toDouble))
+        case "string" => Some((s.min, s.max))
+        case _ => None
+      }
+    }
   }
 
   /** None for a type pair we cannot order — every may-match helper below
@@ -91,6 +102,10 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
     case (x: Int, y: Long) => Some(java.lang.Long.compare(x.toLong, y))
     case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
     case (x: Int, y: Int) => Some(Integer.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: Double, y: Float) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Int) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
     case (x: String, y: UTF8String) => Some(x.compareTo(y.toString))
     case (x: String, y: String) => Some(x.compareTo(y))
     case _ => None

@@ -38,11 +38,20 @@ object ImageRow {
     schema.add(StructField("pbucket", IntegerType, nullable = false))
 }
 
+/** One column's min/max stats range, JSON-portable: values are stored as
+  * strings with a `kind` tag ("long" | "double" | "string") so manifests
+  * stay engine-independent JSON; absent when a file has no non-null value
+  * for the column. */
+final case class ColStat(kind: String, min: String, max: String)
+
 /** Per-data-file entry recorded in a manifest. min/max column stats are
   * harvested from Parquet footers at commit time and drive scan pruning
   * (the analogue of the reference pushing date-range params into its HTTP
-  * reads, `eodhd_client.py:52-58`).
-  */
+  * reads, `eodhd_client.py:52-58`). The engine's own key/stat columns
+  * (pbucket, phash, image_id) have dedicated fields; `colStats` carries
+  * every OTHER primitive column — including schema-evolved ones, keyed by
+  * their PHYSICAL (stored) name — so data skipping generalizes to added
+  * columns without a format change. */
 final case class DataFileEntry(
     path: String,
     rowCount: Long,
@@ -52,7 +61,13 @@ final case class DataFileEntry(
     phashMin: Long,
     phashMax: Long,
     imageIdMin: String,
-    imageIdMax: String)
+    imageIdMax: String,
+    colStats: Map[String, ColStat] = Map.empty) {
+
+  /** Null-safe accessor: entries from pre-colStats manifests deserialize
+    * with null here and resolve to empty (no stats = never pruned). */
+  def stats: Map[String, ColStat] = Option(colStats).getOrElse(Map.empty)
+}
 
 /** Manifest file metadata held in the snapshot (an inlined manifest list,
   * Iceberg-style): range stats allow skipping whole manifests. */

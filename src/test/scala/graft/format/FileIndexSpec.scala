@@ -68,4 +68,32 @@ class FileIndexSpec extends AnyFunSuite {
     val (selected, all) = index.lastSelection
     assert(selected == all, "unknown predicate shapes must never skip")
   }
+
+  test("schema-evolved column: generic colStats prune files, renamed reads stay skipped") {
+    // stats generalize past the three dedicated key columns: an added
+    // (then renamed) long column's per-file min/max land in colStats under
+    // its physical name and the pushed filter prunes on them
+    val t = QTable.create(TestSpark.tmpDir("qfi-evo"), spark, buckets = 2)
+    t.addColumn("score", "long")
+    def batch(seed: Long, n: Long, tag: String, scoreBase: Long) =
+      DataGen.generate(spark, n, seed).toDF()
+        .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+        .withColumn("score",
+          lit(scoreBase) + pmod(xxhash64(col("image_id")), lit(100L)))
+    AppendJob.append(t, batch(1L, 200, "a", 0L), filesPerBucket = 2)     // scores 0-99
+    AppendJob.append(t, batch(2L, 200, "b", 1000L), filesPerBucket = 2)  // scores 1000-1099
+    t.renameColumn("score", "quality")
+
+    val (df, index) = t.readIndexed()
+    val expected = t.read().where(col("quality") > 500).count()
+    val got = df.where(col("quality") > 500).count()
+    assert(got == expected && got == 200L)
+    val (selected, all) = index.lastSelection
+    assert(selected < all, s"evolved-column stats not skipping: $selected/$all")
+
+    // old files (written before the column existed) have no stats for it
+    // and are conservatively kept — never unsoundly pruned
+    val none = df.where(col("quality") < 0).count()
+    assert(none == 0L)
+  }
 }

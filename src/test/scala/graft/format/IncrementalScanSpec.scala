@@ -36,6 +36,10 @@ class IncrementalScanSpec extends AnyFunSuite {
     // empty range and rewrite-only range are both empty
     assert(t.readIncremental(4, 4).count() == 0)
     assert(t.readIncremental(2, 3).count() == 0)
+
+    // full-history read from table birth (create contributes nothing)
+    assert(t.readIncremental(0, 4).count() == 125)
+    assert(t.readIncremental(-1, 4).count() == 125)
   }
 
   test("incremental planning is manifest-level: appended files only, no O(table) file diff") {
