@@ -460,6 +460,57 @@ object Queries {
       .limit(10)
   }
 
+  /** Multi-probe IVF kNN (q29): probe the query's cell PLUS its three
+    * Hamming-distance-1 neighbor cells (one sign-bit flip each) — the
+    * standard recall fix for quantized ANN when the query sits near a
+    * hyperplane boundary. Still index-pruned: the IN-list on the
+    * partition column reads 4 of 8 cells, never the whole table; at
+    * 4k-65k cells (the q22/q23 banded-LSH granularity) the same probe
+    * set stays a vanishing fraction of the index. */
+  def q29KnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndexDir(s, dir)
+    val qRow = t(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"),
+        ivfCell(col("embedding")).as("qcell"))
+      .head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qcell = qRow.getInt(1)
+    val probes = Seq(qcell, qcell ^ 1, qcell ^ 2, qcell ^ 4)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val ed = col("embedding").cast("array<double>")
+    val qvc = lit(qv)
+    s.read.parquet(idx)
+      .where(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell"),
+        round(dot(ed, qvc) / (sqrt(dot(ed, ed)) * sqrt(dot(qvc, qvc))), 4)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q29Sql: String =
+    """WITH q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qv,
+      |    (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+      |     CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+      |     CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS qcell
+      |  FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  (CASE WHEN e.embedding[1] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN e.embedding[2] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN e.embedding[3] > 0 THEN 1 ELSE 0 END) AS cell,
+      |  ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |       * sqrt(list_inner_product(q.qv, q.qv))), 4) AS cosine
+      |FROM embeddings e, q
+      |WHERE e.vec_id <> 0
+      |  AND (CASE WHEN e.embedding[1] > 0 THEN 4 ELSE 0 END +
+      |       CASE WHEN e.embedding[2] > 0 THEN 2 ELSE 0 END +
+      |       CASE WHEN e.embedding[3] > 0 THEN 1 ELSE 0 END)
+      |      IN (q.qcell, xor(q.qcell, 1), xor(q.qcell, 2), xor(q.qcell, 4))
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   val q16Sql: String =
     """WITH q AS (
       |  SELECT CAST(embedding AS DOUBLE[]) AS qv,
@@ -1100,7 +1151,8 @@ object Queries {
     "q25_winnow_fingerprint" -> ((q25Winnow _, q25Sql)),
     "q26_time_travel" -> ((q26TimeTravel _, q26Sql)),
     "q27_incremental_scan" -> ((q27IncrementalScan _, q27Sql)),
-    "q28_snapshot_history" -> ((q28SnapshotHistory _, q28Sql)))
+    "q28_snapshot_history" -> ((q28SnapshotHistory _, q28Sql)),
+    "q29_knn_multiprobe" -> ((q29KnnMultiprobe _, q29Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
