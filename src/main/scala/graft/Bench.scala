@@ -158,6 +158,9 @@ object Bench {
     val levels = sys.env.get("GRAFT_BENCH_LEVELS")
       .map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(Seq(1, 2, 4, 8)).filter(_ <= cpusMax)
+    require(levels.nonEmpty,
+      s"no bench level <= SPARK_GRAFT_CPUS=$cpusMax (GRAFT_BENCH_LEVELS=" +
+        s"${sys.env.getOrElse("GRAFT_BENCH_LEVELS", "1,2,4,8")})")
     // pairs only over levels actually measured (a small or odd cpusMax
     // must degrade to fewer pairs, never crash after the measurement)
     val (pLow, pHigh) = (if (levels.contains(1)) 1 else levels.min,
@@ -362,10 +365,13 @@ object Bench {
         }.getOrElse(""""scaling_executors":null""") + "}"
     println(json)
 
-    // iteration runs (custom levels / skipped queries) must not clobber
-    // the reported BENCH/BASELINE.md
-    if (!sys.env.contains("GRAFT_BENCH_LEVELS") &&
-        !sys.env.contains("GRAFT_BENCH_SKIP_QUERIES"))
+    // iteration runs (custom levels, skipped phases, altered inputs or
+    // knobs) must not clobber the reported BENCH/BASELINE.md — any env
+    // override that changes what is measured disables the report write
+    val iterationKnobs = Seq("GRAFT_BENCH_LEVELS", "GRAFT_BENCH_SKIP_QUERIES",
+      "GRAFT_BENCH_SKIP_MERGE", "GRAFT_BENCH_SKIP_PROCS", "GRAFT_BENCH_ROWS",
+      "GRAFT_BENCH_CONC", "GRAFT_BENCH_MIN_GROUP_MB", "GRAFT_BENCH_AQE")
+    if (!iterationKnobs.exists(sys.env.contains))
       writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, nRounds,
         pLow, pHigh, sLow, sHigh, efficiencyP, efficiencyS, verifyOk, mergeSec,
         queryTimes.toMap, cpusMax, procScaling)

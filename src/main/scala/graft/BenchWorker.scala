@@ -42,9 +42,12 @@ object BenchWorker {
       .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // shuffle dirs under the parent's working set (base/procs/...), so
+      // Bench's end-of-run cleanup removes them even though the parent
+      // destroyForcibly()s workers before Spark's own shutdown hooks run —
+      // RAM-backed shuffle files must never accumulate across bench runs
       .config("spark.local.dir",
-        if (Files.isWritable(Paths.get("/dev/shm")))
-          s"/dev/shm/graft-worker-$workerId" else System.getProperty("java.io.tmpdir"))
+        syncDir.getParent.resolve(s"spark-local-$workerId").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -146,14 +146,25 @@ class HadoopCommitIO(@transient conf: Configuration) extends CommitIO {
     val hp = new HPath(path)
     val fs = fsOf(hp)
     fs.mkdirs(hp.getParent)
+    // losing the race is ONLY a failed CREATE (the atomic claim). If the
+    // create succeeded but the payload write/close failed, the claim is
+    // ours and half-written: release it and rethrow the real error —
+    // returning false there would masquerade an I/O fault as a conflict
+    // and wedge every future commit against the corrupt orphan file.
+    val out =
+      try fs.create(hp, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        case e: java.io.IOException if fs.exists(hp) => return false
+      }
     try {
-      val out = fs.create(hp, false)
       try out.write(bytes) finally out.close()
       true
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException if fs.exists(hp) => false
+      case e: Throwable =>
+        try fs.delete(hp, false) catch { case _: Throwable => }
+        throw e
     }
   }
 

@@ -207,6 +207,9 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val snap = currentSnapshot
     val cur = snap.schemaFields
     require(!cur.exists(_.name == name), s"column $name already exists")
+    require(name.nonEmpty && name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name: $name") // a dotted/spaced name would wedge
+    // every later read's physical->logical projection
     // validate the DDL up front (fail at commit time, not first read)
     org.apache.spark.sql.types.DataType.fromDDL(dtype)
     val id = snap.highestFieldId + 1

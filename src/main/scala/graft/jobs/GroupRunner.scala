@@ -113,12 +113,14 @@ object GroupRunner {
             throw new RuntimeException(s"[test-hook] simulated crash after $i groups")
           withRetry(p)
         }
-      } else if (todo.size <= 1 || concurrency <= 1) {
-        todo.map(withRetry)
       } else {
-        // daemon threads: a group hung past the await bound must not keep
-        // the JVM alive after the driver gives up on the job
-        val pool = Executors.newFixedThreadPool(math.min(concurrency, todo.size),
+        // ALWAYS through the bounded pool (even a single group): the
+        // bounded-await guarantee — a hung group must not hang the driver
+        // forever — has to hold regardless of group count or concurrency.
+        // Daemon threads: a group hung past the await bound must not keep
+        // the JVM alive after the driver gives up on the job.
+        val pool = Executors.newFixedThreadPool(
+          math.max(1, math.min(concurrency, todo.size)),
           (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
         try {

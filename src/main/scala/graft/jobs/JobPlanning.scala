@@ -21,7 +21,13 @@ object JobPlanning {
     val cols = snap.schemaFields.toIndexedSeq.map { f =>
       if (have.contains(f.phys)) col(f.phys)
       else if (have.contains(f.name)) col(f.name).as(f.phys)
-      else lit(null).cast(f.sparkType).as(f.phys)
+      // typed-null fill is ONLY for nullable (schema-evolved) fields; a
+      // source missing a required base column is malformed and must fail
+      // fast, not silently commit null keys/stats
+      else if (f.nullable) lit(null).cast(f.sparkType).as(f.phys)
+      else throw new IllegalArgumentException(
+        s"writer frame is missing required column '${f.name}' " +
+          s"(have: ${df.columns.mkString(", ")})")
     }
     df.select(cols: _*)
   }

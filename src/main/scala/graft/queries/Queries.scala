@@ -645,11 +645,15 @@ object Queries {
       .option("header", "true").option("sep", ";")
       .option("encoding", "ISO-8859-1")
       .csv(q19CsvDir)
-    val part = Files.list(Paths.get(q19CsvDir)).iterator()
     val body = {
-      var f: java.nio.file.Path = null
-      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".csv")) f = p }
-      new String(Files.readAllBytes(f), ISO_8859_1)
+      val stream = Files.list(Paths.get(q19CsvDir))
+      val f =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.find(_.toString.endsWith(".csv"))
+        } finally stream.close()
+      new String(Files.readAllBytes(f.getOrElse(sys.error(
+        s"no CSV part file written under $q19CsvDir"))), ISO_8859_1)
     }
     val preamble = (0 until q19HeaderOffset)
       .map(i => s"# broker export preamble $i;;").mkString("\n")
@@ -1022,14 +1026,33 @@ object Queries {
   private val TimelineCols = Seq("image_id", "w", "h", "fmt", "caption", "phash")
 
   private def timelineDir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(TimelineRoot, "_FIXTURE_READY")
+    if (Files.exists(ready)) return TimelineRoot
+    // cross-PROCESS exclusion (synchronized only covers this JVM): a test
+    // suite and a bench run sharing java.io.tmpdir must not rebuild the
+    // fixture under each other
+    val lockPath = Paths.get(TimelineRoot + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildTimeline(s)
+    } finally { lock.release(); ch.close() }
+    TimelineRoot
+  }
+
+  private def buildTimeline(s: SparkSession): Unit = {
     val ready = java.nio.file.Paths.get(TimelineRoot, "_FIXTURE_READY")
-    if (!java.nio.file.Files.exists(ready)) {
+    locally {
       // rebuild from scratch on a stale/partial dir
       val rootP = java.nio.file.Paths.get(TimelineRoot)
       if (java.nio.file.Files.exists(rootP)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(rootP).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(rootP)
+        try walk.iterator().asScala.toSeq
           .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
       }
       def batch(seed: Long, n: Long, tag: String) =
         graft.synth.DataGen.generate(s, n, seed).toDF()
@@ -1046,7 +1069,6 @@ object Queries {
       new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20).run()
       java.nio.file.Files.createFile(ready)
     }
-    TimelineRoot
   }
 
   /** Time travel (snapshot-as-of read): the v1 reader sees EXACTLY batch1
