@@ -23,6 +23,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
+  *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--keep K] [--dry-run]
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
@@ -183,6 +184,36 @@ object Main {
           "violations" -> bad.toString))
         if (!ok) sys.exit(1)
 
+      case "maintain" =>
+        // composite maintenance pass (the reference's EP1 flow shape, and
+        // the OPTIMIZE+VACUUM analogue): compact -> cluster ->
+        // rewrite-manifests -> expire -> orphan sweep, each step its own
+        // commit under a step-scoped jobId so a killed run resumes the
+        // step it died in (committed steps' snapshots are already durable)
+        val t = table
+        val pre = t.currentSnapshot
+        val snapC = CommitRetry.withCommitRetry()(new CompactJob(t, targetBytes,
+          jobId = s"$jobId-compact", concurrency = concurrency).run())
+        val snapZ = CommitRetry.withCommitRetry()(new ClusterJob(t, targetBytes,
+          hilbert = opts.contains("hilbert"), jobId = s"$jobId-cluster",
+          concurrency = concurrency).run())
+        val snapM = new RewriteManifestsJob(t).run(
+          opts.getOrElse("entries-per-manifest", "512").toInt)
+        val (okV, badV) = ScanEquivalence.check(t.read(pre), t.read(snapM))
+        val ex = new ExpireSnapshotsJob(t).run(opts.getOrElse("keep", "3").toInt)
+        val orph = new RemoveOrphanFilesJob(t,
+          opts.getOrElse("grace-hours", "24").toLong * 3600L * 1000L)
+          .run(opts.contains("dry-run"))
+        report("maintain", snapM.summary ++ Map(
+          "version" -> snapM.version.toString,
+          "compact-version" -> snapC.version.toString,
+          "cluster-version" -> snapZ.version.toString,
+          "scan-equivalent" -> okV.toString,
+          "violations" -> badV.toString,
+          "expired-versions" -> ex.expiredVersions.mkString(","),
+          "orphans-deleted" -> orph.deleted.toString))
+        if (!okV) sys.exit(1)
+
       case "history" =>
         // snapshot-history metadata table (Iceberg `snapshots` analogue)
         table.historyDF.orderBy("version").collect().foreach { r =>
@@ -250,5 +281,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rename-column|drop-column|rollback|remove-orphans|rewrite-manifests|verify|lookup|history|incremental|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rename-column|drop-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|describe> --table PATH [options]"""
 }
