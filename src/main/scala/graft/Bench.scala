@@ -509,6 +509,8 @@ object Bench {
            |**Scaling efficiency (RAW wall): local[$pLow] -> local[$pHigh] = ${f(effP)},
            |local[$sLow] -> local[$sHigh] = ${f(effS)}** (gate: >= 0.8 on an N -> 4N pair;
            |two pairs reported so the result does not depend on pair choice).
+           |This file is regenerated per full bench run — see BENCH/NOTES.md
+           |for the cross-invocation summary and variance analysis.
            |${procScaling.map { case (tl, th, eff) =>
                s"""|
                    |**Executor-level N -> 4N pair: 1 worker JVM -> 4 worker JVMs
