@@ -49,8 +49,8 @@ object ParquetStats {
             case "image_id" =>
               val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
               val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-              if (idMin == null || mn < idMin) idMin = mn
-              if (idMax == null || mx > idMax) idMax = mx
+              if (idMin == null || utf8Lt(mn, idMin)) idMin = mn
+              if (idMax == null || utf8Lt(idMax, mx)) idMax = mx
             case _ if col.getPath.size == 1 =>
               val pt = col.getPrimitiveType
               pt.getPrimitiveTypeName match {
@@ -71,8 +71,8 @@ object ParquetStats {
                   val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
                   val cur = strings.get(name)
                   strings(name) = (
-                    cur.map(c => if (mn < c._1) mn else c._1).getOrElse(mn),
-                    cur.map(c => if (mx > c._2) mx else c._2).getOrElse(mx))
+                    cur.map(c => if (utf8Lt(mn, c._1)) mn else c._1).getOrElse(mn),
+                    cur.map(c => if (utf8Lt(c._2, mx)) mx else c._2).getOrElse(mx))
                 case _ => // binary blobs / nested: no orderable stats
               }
             case _ =>
@@ -102,21 +102,47 @@ object ParquetStats {
     } finally reader.close()
   }
 
+  /** Unsigned UTF-8 byte order — the order Parquet computes string
+    * min/max in AND the order Spark's UTF8String filter comparisons use.
+    * Java's String.compareTo (UTF-16 code units) diverges for
+    * supplementary characters, which would make pruning unsound. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   private val MaxStatLen = 64
 
+  /** Truncation boundary that never splits a surrogate pair (a lone
+    * surrogate would make the manifest JSON unserializable and wedge the
+    * commit): back off one char when the cut lands after a high
+    * surrogate. */
+  private def safeCut(s: String): Int = {
+    var n = MaxStatLen
+    if (Character.isHighSurrogate(s.charAt(n - 1))) n -= 1
+    n
+  }
+
   private def truncMin(s: String): String =
-    if (s.length <= MaxStatLen) s else s.substring(0, MaxStatLen)
+    if (s.length <= MaxStatLen) s else s.substring(0, safeCut(s))
 
   /** Upper bound after truncation: increment the last incrementable char
-    * of the prefix (None if every char is already Char.MaxValue — then
-    * the stat is dropped rather than recorded unsoundly). */
+    * of the prefix — skipping the surrogate range (incrementing U+D7FF
+    * must jump to U+E000, never produce a lone high surrogate) — or None if no
+    * char can be incremented (stat dropped rather than recorded
+    * unsoundly). Incrementing a scalar code point increases both UTF-16
+    * and UTF-8 byte order, so the bound is valid under either. */
   private def truncMax(s: String): Option[String] =
     if (s.length <= MaxStatLen) Some(s)
     else {
-      val t = s.substring(0, MaxStatLen).toCharArray
+      val t = s.substring(0, safeCut(s)).toCharArray
       var i = t.length - 1
-      while (i >= 0 && t(i) == Char.MaxValue) i -= 1
-      if (i < 0) None else { t(i) = (t(i) + 1).toChar; Some(new String(t, 0, i + 1)) }
+      while (i >= 0 && (t(i) == Char.MaxValue || Character.isSurrogate(t(i)))) i -= 1
+      if (i < 0) None
+      else {
+        val next = (t(i) + 1).toChar
+        t(i) = if (Character.isSurrogate(next)) '\uE000' else next
+        Some(new String(t, 0, i + 1))
+      }
     }
 
   /** Below this many files a driver-parallel loop beats a Spark job's

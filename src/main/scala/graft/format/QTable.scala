@@ -206,7 +206,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def addColumn(name: String, dtype: String): Snapshot = {
     val snap = currentSnapshot
     val cur = snap.schemaFields
-    require(!cur.exists(_.name == name), s"column $name already exists")
+    // collision check covers PHYSICAL names too: a logical name equal to
+    // another field's stored name would make alignToPhysical's phys-first
+    // lookup bind the wrong input column — silent cross-column corruption
+    require(!cur.exists(f => f.name == name || f.phys == name),
+      s"column $name collides with an existing logical or stored name")
     require(name.nonEmpty && name.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"invalid column name: $name") // a dotted/spaced name would wedge
     // every later read's physical->logical projection
@@ -233,7 +237,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val f = cur.find(_.name == from).getOrElse(
       throw new IllegalArgumentException(s"no such column: $from"))
     require(!baseFieldIds.contains(f.id), s"cannot rename base column $from")
-    require(!cur.exists(_.name == to), s"column $to already exists")
+    require(!cur.exists(c => c.name == to || (c.id != f.id && c.phys == to)),
+      s"column $to collides with an existing logical or stored name")
     require(to.nonEmpty && to.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"invalid column name: $to")
     val next = cur.map(c => if (c.id == f.id) c.copy(name = to) else c)
@@ -298,9 +303,13 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     var s = snapshotAt(toV)
     var done = s.version <= fromV
     while (!done) {
+      // the parent loaded for an append's manifest diff is reused to
+      // advance the walk — one snapshot read per hop, not two
+      var loadedParent: Option[Snapshot] = None
       s.operation match {
         case "append" =>
           val parent = snapshotAt(s.parentVersion)
+          loadedParent = Some(parent)
           val parentManifests = parent.manifests.map(_.path).toSet
           buf ++= s.manifests.filterNot(m => parentManifests.contains(m.path))
             .flatMap(m => readManifest(m).files)
@@ -313,7 +322,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       }
       // stop at the range start or at table birth (no parent to walk to)
       done = s.parentVersion < 0 || s.parentVersion <= fromV
-      if (!done) s = snapshotAt(s.parentVersion)
+      if (!done) s = loadedParent.getOrElse(snapshotAt(s.parentVersion))
     }
     buf.result()
   }

@@ -86,7 +86,10 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
     case _ => e.stats.get(name).flatMap { s =>
       s.kind match {
         case "long" => Some((s.min.toLong, s.max.toLong))
-        case "double" => Some((s.min.toDouble, s.max.toDouble))
+        case "double" =>
+          val (mn, mx) = (s.min.toDouble, s.max.toDouble)
+          // NaN bounds carry no ordering information: keep the file
+          if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
         case "string" => Some((s.min, s.max))
         case _ => None
       }
@@ -102,14 +105,27 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
     case (x: Int, y: Long) => Some(java.lang.Long.compare(x.toLong, y))
     case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
     case (x: Int, y: Int) => Some(Integer.compare(x, y))
-    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-    case (x: Double, y: Float) => Some(java.lang.Double.compare(x, y.toDouble))
-    case (x: Double, y: Int) => Some(java.lang.Double.compare(x, y.toDouble))
-    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
-    case (x: String, y: UTF8String) => Some(x.compareTo(y.toString))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Double, y: Double) => cmpD(x, y)
+    case (x: Double, y: Float) => cmpD(x, y.toDouble)
+    case (x: Double, y: Int) => cmpD(x, y.toDouble)
+    case (x: Double, y: Long) => cmpD(x, y.toDouble)
+    // UTF-8 byte order — the order Parquet computed the stats in and the
+    // order Spark's UTF8String comparisons evaluate filters in; Java's
+    // UTF-16 String.compareTo diverges for supplementary characters
+    case (x: String, y: UTF8String) => Some(UTF8String.fromString(x).compareTo(y))
+    case (x: String, y: String) =>
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
     case _ => None
   }
+
+  /** Double comparison matching SQL filter semantics, not IEEE total
+    * order: -0.0 == 0.0 (Double.compare would prune a file whose stats
+    * are -0.0 against an = 0.0 filter), and NaN on either side carries no
+    * pruning information (None => file kept). */
+  private def cmpD(x: Double, y: Double): Option[Int] =
+    if (x.isNaN || y.isNaN) None
+    else if (x == y) Some(0)
+    else Some(java.lang.Double.compare(x, y))
 
   // file may contain a row with col >= v  <=>  max >= v
   // (Option.forall: an incomparable type pair keeps the file — sound)

@@ -18,6 +18,14 @@ object JobPlanning {
       snap: graft.model.Snapshot): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val have = df.columns.toSet
+    // schema enforcement: an input column matching NO schema field (a
+    // typo, or a stale pre-rename name) must fail, not be silently
+    // dropped while its field gets null-filled
+    val known = snap.schemaFields.flatMap(f => Seq(f.name, f.phys)).toSet
+    val unknown = df.columns.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"writer frame has columns not in the table schema: " +
+        s"${unknown.mkString(", ")}")
     val cols = snap.schemaFields.toIndexedSeq.map { f =>
       if (have.contains(f.phys)) col(f.phys)
       else if (have.contains(f.name)) col(f.name).as(f.phys)
