@@ -25,10 +25,10 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
     corr.count()
 
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fCompact = Future(CommitRetry.withCommitRetry(5) {
+    val fCompact = Future(CommitRetry.withCommitRetry(8) {
       new CompactJob(t, targetFileBytes = 8L << 20, jobId = "conc-compact").run()
     })
-    val fMerge = Future(CommitRetry.withCommitRetry(5) {
+    val fMerge = Future(CommitRetry.withCommitRetry(8) {
       new MergeJob(t, jobId = "conc-merge").run(corr)
     })
     Await.result(Future.sequence(Seq(fCompact, fMerge)), 10.minutes)
@@ -64,10 +64,10 @@ class ConcurrentMaintenanceSpec extends AnyFunSuite {
         .withColumn("tag", lit("keep")), 2)
 
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fCompact = Future(CommitRetry.withCommitRetry(5) {
+    val fCompact = Future(CommitRetry.withCommitRetry(8) {
       new CompactJob(t, targetFileBytes = 8L << 20, jobId = "conc-evo-compact").run()
     })
-    val fRename = Future(CommitRetry.withCommitRetry(5) { t.renameColumn("tag", "label") })
+    val fRename = Future(CommitRetry.withCommitRetry(8) { t.renameColumn("tag", "label") })
     Await.result(Future.sequence(Seq(fCompact, fRename)), 10.minutes)
 
     val ops = t.listVersions.map(v => t.snapshotAt(v).operation)
