@@ -35,6 +35,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Heavy-per-row queries read through a round-robin repartition to the
+    * session's core count: the sandbox tables are single parquet files
+    * (one scan split), which would pin the expensive map stage (shingle
+    * explode + per-gram hashing) to ONE task — measured 3x on q13. At
+    * 100 TB the scan itself has thousands of splits, so the exchange
+    * (raw rows, before any explode) is a near-no-op there. */
+  private def tWide(s: SparkSession, dir: String, name: String): DataFrame =
+    tWide(t(s, dir, name), s)
+
+  private def tWide(df: DataFrame, s: SparkSession): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** Portable 60-bit hash usable as an EXACT cross-engine oracle: the
     * first 15 hex chars of md5, parsed as an integer. Spark's native
     * xxhash64 has no DuckDB equivalent (the round-1 reason q13/q14 had
@@ -64,7 +76,7 @@ object Queries {
   /** MinHash signatures (8 hashes over 3-word shingles) per doc_id —
     * shared by q13 (signatures/band keys) and q22 (candidate pairs). */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = tWide(s, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val sigCols = (0 until 8).map(k =>
       min(mdHash64(concat(lit(s"$k:"), col("sh")))).as(s"sig$k"))
@@ -353,7 +365,7 @@ object Queries {
   /** SimHash (32-bit) per document via word-hash bit majority, portable
     * hash => exact DuckDB oracle. */
   def q14SimHash(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = tWide(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .withColumn("h", mdHash64(col("word")))
     val bitSums = (0 until 32).map { b =>
@@ -796,7 +808,7 @@ object Queries {
       .reduce(_ + _)
     // EXACT n-gram Jaccard verdict for the (few) candidate pairs: the
     // expensive set compare runs only on LSH survivors, never all-pairs
-    val sets = t(s, dir, "documents")
+    val sets = tWide(s, dir, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .groupBy("doc_id").agg(collect_set("sh").as("ss"))
     val setsA = sets.toDF("sd_a", "ss_a")
@@ -908,7 +920,7 @@ object Queries {
   def q23EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val e = t(s, dir, "embeddings")
+    val e = tWide(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .cache()
     val bands = e.select(col("vec_id"),
@@ -987,7 +999,7 @@ object Queries {
     val grams = transform(
       sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
       i => mdHash64(col("text").substr(i, lit(k))))
-    t(s, dir, "documents")
+    tWide(s, dir, "documents")
       .select(col("doc_id"), grams.as("hs"))
       .select(col("doc_id"),
         transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
