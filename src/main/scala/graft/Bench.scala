@@ -249,7 +249,7 @@ object Bench {
     // interference bursts, so best-of-N of identical deterministic work
     // is the estimator — reported per phase so each phase can catch a
     // clean window).
-    val nRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "10").toInt
+    val nRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "12").toInt
     val rounds = for {
       round <- 1 to nRounds
       cpus <- levels
@@ -307,6 +307,10 @@ object Bench {
     // ---- analytics query pack timings at full parallelism
     val queryTimes = mutable.LinkedHashMap[String, Double]()
     if (!sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")) withSession(cpusMax) { s =>
+      // fixture synthesis (timeline qtable, IVF index, date layout) runs
+      // UNTIMED, like the merge corrections fixture above — the first
+      // q16/q20/q26-q28 timing must not include a build
+      Queries.prewarmFixtures(s, sfDir)
       val qs = Queries.withOracle.map { case (k, (fn, _)) => k -> fn } ++
         Queries.withoutOracle
       qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -370,7 +374,8 @@ object Bench {
     // override that changes what is measured disables the report write
     val iterationKnobs = Seq("GRAFT_BENCH_LEVELS", "GRAFT_BENCH_SKIP_QUERIES",
       "GRAFT_BENCH_SKIP_MERGE", "GRAFT_BENCH_SKIP_PROCS", "GRAFT_BENCH_ROWS",
-      "GRAFT_BENCH_CONC", "GRAFT_BENCH_MIN_GROUP_MB", "GRAFT_BENCH_AQE")
+      "GRAFT_BENCH_CONC", "GRAFT_BENCH_MIN_GROUP_MB", "GRAFT_BENCH_AQE",
+      "GRAFT_BENCH_ROUNDS", "GRAFT_BENCH_PROC_ROUNDS")
     if (!iterationKnobs.exists(sys.env.contains))
       writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, nRounds,
         pLow, pHigh, sLow, sHigh, efficiencyP, efficiencyS, verifyOk, mergeSec,
@@ -392,7 +397,7 @@ object Bench {
       targetMb: Long): (Double, Double, Double) = {
     val nShards = 4
     val shardRows = rows / nShards
-    val rounds = sys.env.getOrElse("GRAFT_BENCH_PROC_ROUNDS", "5").toInt
+    val rounds = sys.env.getOrElse("GRAFT_BENCH_PROC_ROUNDS", "10").toInt
     val root = base.resolve("procs")
     Files.createDirectories(root)
 

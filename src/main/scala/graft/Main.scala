@@ -163,8 +163,8 @@ object Main {
         }
 
       case "rewrite-manifests" =>
-        val snap = new RewriteManifestsJob(table).run(
-          opts.getOrElse("entries-per-manifest", "512").toInt)
+        val snap = CommitRetry.withCommitRetry()(new RewriteManifestsJob(table).run(
+          opts.getOrElse("entries-per-manifest", "512").toInt))
         report("rewrite-manifests",
           snap.summary ++ Map("version" -> snap.version.toString,
             "manifests-after" -> snap.manifests.size.toString))
@@ -187,9 +187,15 @@ object Main {
       case "maintain" =>
         // composite maintenance pass (the reference's EP1 flow shape, and
         // the OPTIMIZE+VACUUM analogue): compact -> cluster ->
-        // rewrite-manifests -> expire -> orphan sweep, each step its own
-        // commit under a step-scoped jobId so a killed run resumes the
-        // step it died in (committed steps' snapshots are already durable)
+        // rewrite-manifests -> [gate] -> expire -> orphan sweep, each
+        // step its own commit under a step-scoped jobId so a killed run
+        // resumes the step it died in. The rewrites are NON-destructive
+        // (old snapshots stay rollback targets); the scan-equivalence
+        // gate must pass BEFORE the destructive tail runs — on a gate
+        // failure the pre-maintenance snapshot is still intact and
+        // `rollback --to` restores it. `--dry-run` keeps the whole pass
+        // non-destructive: expiry is skipped and the orphan sweep only
+        // counts.
         val t = table
         val pre = t.currentSnapshot
         val snapC = CommitRetry.withCommitRetry()(new CompactJob(t, targetBytes,
@@ -197,22 +203,32 @@ object Main {
         val snapZ = CommitRetry.withCommitRetry()(new ClusterJob(t, targetBytes,
           hilbert = opts.contains("hilbert"), jobId = s"$jobId-cluster",
           concurrency = concurrency).run())
-        val snapM = new RewriteManifestsJob(t).run(
-          opts.getOrElse("entries-per-manifest", "512").toInt)
+        val snapM = CommitRetry.withCommitRetry()(new RewriteManifestsJob(t).run(
+          opts.getOrElse("entries-per-manifest", "512").toInt))
         val (okV, badV) = ScanEquivalence.check(t.read(pre), t.read(snapM))
-        val ex = new ExpireSnapshotsJob(t).run(opts.getOrElse("keep", "3").toInt)
+        if (!okV) {
+          report("maintain", Map(
+            "scan-equivalent" -> "false", "violations" -> badV.toString,
+            "rollback-target" -> pre.version.toString,
+            "note" -> "destructive tail skipped; rollback --to restores the pre-maintenance snapshot"))
+          sys.exit(1)
+        }
+        val dryRun = opts.contains("dry-run")
+        val ex =
+          if (dryRun) None
+          else Some(new ExpireSnapshotsJob(t).run(opts.getOrElse("keep", "2").toInt))
         val orph = new RemoveOrphanFilesJob(t,
           opts.getOrElse("grace-hours", "24").toLong * 3600L * 1000L)
-          .run(opts.contains("dry-run"))
+          .run(dryRun)
         report("maintain", snapM.summary ++ Map(
           "version" -> snapM.version.toString,
           "compact-version" -> snapC.version.toString,
           "cluster-version" -> snapZ.version.toString,
           "scan-equivalent" -> okV.toString,
           "violations" -> badV.toString,
-          "expired-versions" -> ex.expiredVersions.mkString(","),
+          "dry-run" -> dryRun.toString,
+          "expired-versions" -> ex.map(_.expiredVersions.mkString(",")).getOrElse("(dry-run)"),
           "orphans-deleted" -> orph.deleted.toString))
-        if (!okV) sys.exit(1)
 
       case "history" =>
         // snapshot-history metadata table (Iceberg `snapshots` analogue)

@@ -90,6 +90,11 @@ object Queries {
        |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY 1)""".stripMargin
   }
 
+  /** Codegen'd dot product over double arrays — shared by every cosine
+    * query (brute kNN, IVF probes, embedding near-dup). */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
   private def bandKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     mdHash64(concat(a.cast("string"), lit("_"), b.cast("string")))
 
@@ -318,8 +323,6 @@ object Queries {
     val e = t(s, dir, "embeddings")
     val q = e.where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qv"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val ed = col("embedding").cast("array<double>")
     e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= 0)
@@ -459,8 +462,6 @@ object Queries {
       .head()
     val qv = qRow.getSeq[Double](0).toArray
     val qcell = qRow.getInt(1)
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val ed = col("embedding").cast("array<double>")
     val qvc = lit(qv)
     s.read.parquet(idx)
@@ -488,8 +489,6 @@ object Queries {
     val qv = qRow.getSeq[Double](0).toArray
     val qcell = qRow.getInt(1)
     val probes = Seq(qcell, qcell ^ 1, qcell ^ 2, qcell ^ 4)
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val ed = col("embedding").cast("array<double>")
     val qvc = lit(qv)
     s.read.parquet(idx)
@@ -918,8 +917,6 @@ object Queries {
     }.mkString(" + ")
 
   def q23EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val e = tWide(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .cache()
@@ -1054,18 +1051,22 @@ object Queries {
     TimelineRoot
   }
 
+  /** Build the per-query fixtures (timeline qtable, IVF index, date
+    * layout) OUTSIDE any timed window — Bench calls this untimed before
+    * the query-pack loop so the first q16/q20/q26-q28 timing never
+    * includes fixture synthesis. Idempotent (build-once markers). */
+  def prewarmFixtures(s: SparkSession, dir: String): Unit = {
+    timelineDir(s)
+    ivfIndexDir(s, dir)
+    q20EventsByDayDir(s, dir)
+  }
+
   private def buildTimeline(s: SparkSession): Unit = {
     val ready = java.nio.file.Paths.get(TimelineRoot, "_FIXTURE_READY")
     locally {
-      // rebuild from scratch on a stale/partial dir
-      val rootP = java.nio.file.Paths.get(TimelineRoot)
-      if (java.nio.file.Files.exists(rootP)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(rootP)
-        try walk.iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      // rebuild from scratch on a stale/partial dir (shared
+      // recursive-delete helper from the commit-IO layer)
+      new graft.format.LocalCommitIO().deleteRecursive(TimelineRoot)
       def batch(seed: Long, n: Long, tag: String) =
         graft.synth.DataGen.generate(s, n, seed).toDF()
           .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
