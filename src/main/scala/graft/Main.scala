@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> synth   --table T --rows N [--buckets B] [--files-per-bucket F] [--seed S]
   *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J]
   *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J]
-  *   spark-submit --class graft.Main <jar> merge   --table T --rows N [--inserts K] [--job-id J]
+  *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--job-id J]
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
@@ -88,12 +88,20 @@ object Main {
         report("cluster", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "merge" =>
-        val rows = req(opts, "rows").toLong
-        val inserts = opts.getOrElse("inserts", "5").toInt
-        val corr = DataGen.correctionsDF(spark, rows,
-          opts.getOrElse("seed", "42").toLong, inserts)
+        // source: --source <parquet dir> (real corrections), else the
+        // synthetic fixture; --set col1,col2 picks the UPDATE SET list,
+        // --delete-col names a boolean source column for MATCHED deletes
+        val corr = opts.get("source") match {
+          case Some(p) => spark.read.parquet(p)
+          case None => DataGen.correctionsDF(spark, req(opts, "rows").toLong,
+            opts.getOrElse("seed", "42").toLong,
+            opts.getOrElse("inserts", "5").toInt)
+        }
+        val setCols = opts.get("set").map(_.split(",").toSeq.map(_.trim))
+          .getOrElse(Seq("caption"))
         val snap = CommitRetry.withCommitRetry()(
-          new MergeJob(table, jobId, concurrency = concurrency).run(corr))
+          new MergeJob(table, jobId, concurrency = concurrency,
+            updateCols = setCols, deleteCol = opts.get("delete-col")).run(corr))
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "expire" =>

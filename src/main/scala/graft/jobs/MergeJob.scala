@@ -6,12 +6,22 @@ import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
-/** Copy-on-write MERGE INTO: upsert caption corrections by image_id.
+/** Copy-on-write MERGE INTO keyed by image_id.
   *
   * Semantics (ANSI MERGE, the engine analogue of the reference's
   * deterministic-path last-writer-wins upsert, SURVEY §2.2 K5 and EP2):
-  *   WHEN MATCHED THEN UPDATE SET caption = source.caption
-  *   WHEN NOT MATCHED THEN INSERT (full row)
+  *   WHEN MATCHED AND source.<deleteCol>     THEN DELETE
+  *   WHEN MATCHED                            THEN UPDATE SET <updateCols>
+  *   WHEN NOT MATCHED AND NOT <deleteCol>    THEN INSERT (full row)
+  * `updateCols` is an arbitrary list of table columns (logical names;
+  * the key itself is excluded). A NULL source value for an update column
+  * keeps the target's value — partial-record patches, the shape the
+  * reference's upsert payloads take (`eodhd_models.py:29-32` replaces
+  * whole records; a column-list SET with null-passthrough subsumes it).
+  * `deleteCol` names an optional boolean source column; a delete-flagged
+  * row that matches nothing is a no-op (ANSI: no NOT MATCHED clause
+  * fires for it).
+  *
   * A source with more than one row per image_id is rejected up front
   * (ANSI MERGE's multi-match error): a distributed DataFrame has no row
   * order, so "last" writer is undefined — a caller wanting last-wins
@@ -20,18 +30,34 @@ import org.apache.spark.sql.DataFrame
   *
   * Copy-on-write: only data files that actually contain a matched
   * image_id are rewritten; every other file is carried into the new
-  * snapshot by reference. The matched-file scan broadcasts the (small)
-  * source to avoid shuffling the big table; candidate files are pruned
-  * first by manifest image_id ranges.
+  * snapshot by reference (a file whose matches are ALL deletes and whose
+  * rewrite comes out empty simply contributes no output files). The
+  * matched-file scan broadcasts the (small) source to avoid shuffling
+  * the big table; candidate files are pruned first by manifest image_id
+  * ranges.
   */
 class MergeJob(
     table: QTable,
     jobId: String = java.util.UUID.randomUUID().toString,
-    concurrency: Int = 4) {
+    concurrency: Int = 4,
+    updateCols: Seq[String] = Seq("caption"),
+    deleteCol: Option[String] = None) {
 
   def run(source0: DataFrame, failAfterGroups: Int = Int.MaxValue): Snapshot = {
     val snap = table.currentSnapshot
     val all = table.entries(snap)
+
+    // resolve the SET list against the snapshot schema up front: target
+    // files carry PHYSICAL (creation-time) names, sources logical names
+    val fieldsByName = snap.schemaFields.map(f => f.name -> f).toMap
+    require(updateCols.nonEmpty, "MERGE needs at least one update column")
+    require(!updateCols.contains("image_id"), "cannot SET the merge key")
+    val setFields = updateCols.map(c => fieldsByName.getOrElse(c,
+      throw new IllegalArgumentException(s"unknown update column: $c")))
+    deleteCol.foreach(c => require(source0.columns.contains(c),
+      s"source is missing delete column $c"))
+    updateCols.foreach(c => require(source0.columns.contains(c),
+      s"source is missing update column $c"))
 
     val source = source0.cache()
     val srcCount = source.count()
@@ -62,11 +88,20 @@ class MergeJob(
     val affected = candidates.filter(f => matchedFiles.contains(normalizePath(f.path)))
 
     // 3. inserts = source ids present in no file (anti join against the
-    //    candidate scan only — pruning made the big side small)
-    val inserts = source.join(
-      table.readFiles(affected.map(_.path)).select("image_id"),
-      Seq("image_id"), "left_anti").cache()
+    //    candidate scan only — pruning made the big side small); a
+    //    delete-flagged row that matched nothing is a no-op, not an insert
+    val notDeleteFlagged = deleteCol
+      .map(c => !coalesce(col(c).cast("boolean"), lit(false)))
+      .getOrElse(lit(true))
+    val inserts = source.where(notDeleteFlagged)
+      .drop(deleteCol.toSeq: _*)
+      .join(
+        table.readFiles(affected.map(_.path)).select("image_id"),
+        Seq("image_id"), "left_anti").cache()
     val insertCount = inserts.count()
+    val deleteFlagged =
+      if (deleteCol.isDefined) srcCount - source.where(notDeleteFlagged).count()
+      else 0L
 
     val ckpt = new Checkpoint(table, jobId)
     val already = ckpt.committed
@@ -74,8 +109,13 @@ class MergeJob(
     // 4. rewrite affected files per partition group, checkpointed
     val groups = affected.groupBy(_.pbucketMin).toSeq
       .map { case (b, fs) => (s"b$b", fs.sortBy(_.path)) }.sortBy(_._1)
-    val updatesSrc = broadcast(
-      source.select(col("image_id"), col("caption").as("_new_caption")))
+    // broadcast payload: key, one `_new_<phys>` per SET column (cast to
+    // the declared type), and the delete flag (null-safe, default false)
+    val updatesSrc = broadcast(source.select(
+      col("image_id") +:
+        (setFields.map(f => col(f.name).cast(f.sparkType).as(s"_new_${f.phys}")) ++
+          deleteCol.map(c =>
+            coalesce(col(c).cast("boolean"), lit(false)).as("_del")).toSeq): _*))
 
     val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
       groups, _._1, _._2.map(_.path), already, failAfterGroups, concurrency,
@@ -83,12 +123,19 @@ class MergeJob(
         Nil, Nil, 0L, 0L, "failed", gf.attempts))) { case (group, files) =>
       val dir = table.newDataDir(jobId, group)
       cleanDir(dir)
-      val df = JobPlanning.alignToPhysical(
-        table.readFiles(files.map(_.path))
-          .join(updatesSrc, Seq("image_id"), "left")
-          .withColumn("caption", coalesce(col("_new_caption"), col("caption")))
-          .drop("_new_caption"),
-        snap)
+      // WHEN MATCHED: delete-flagged rows drop out, SET columns take the
+      // source value where non-null (left-join null = unmatched row,
+      // which the same coalesce leaves untouched)
+      var patched = table.readFiles(files.map(_.path))
+        .join(updatesSrc, Seq("image_id"), "left")
+      if (deleteCol.isDefined)
+        patched = patched.where(!coalesce(col("_del"), lit(false))).drop("_del")
+      setFields.foreach { f =>
+        patched = patched
+          .withColumn(f.phys, coalesce(col(s"_new_${f.phys}"), col(f.phys)))
+          .drop(s"_new_${f.phys}")
+      }
+      val df = JobPlanning.alignToPhysical(patched, snap)
       df.coalesce(math.max(1, files.size)).write.parquet(dir)
       val out = table.harvest(dir)
       val entry = LineageEntry(jobId, "merge", group, files.map(_.path), out,
@@ -125,12 +172,17 @@ class MergeJob(
     val affectedPaths = affected.map(_.path).toSet
     val untouched = all.filterNot(f => affectedPaths.contains(f.path))
     source.unpersist(); inserts.unpersist()
+    // target rows removed by WHEN MATCHED DELETE = input-vs-output row
+    // delta of the rewritten groups (updates preserve row counts)
+    val deletedRows = affected.map(_.rowCount).sum -
+      rewritten.flatMap(_.outputFiles).map(_.rowCount).sum
     val committed = table.commit(Some(snap), "merge",
       untouched ++ outputs.flatMap(_.outputFiles), Map(
         "job-id" -> jobId,
         "source-rows" -> srcCount.toString,
-        "rows-updated" -> (srcCount - insertCount).toString,
+        "rows-updated" -> (srcCount - insertCount - deleteFlagged).toString,
         "rows-inserted" -> insertCount.toString,
+        "rows-deleted" -> deletedRows.toString,
         "files-rewritten" -> affected.size.toString))
     ckpt.clear()
     committed

@@ -1059,6 +1059,7 @@ object Queries {
     timelineDir(s)
     ivfIndexDir(s, dir)
     q20EventsByDayDir(s, dir)
+    q30Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1132,6 +1133,97 @@ object Queries {
        |UNION ALL SELECT 3, 'compact', $b1 + $b2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q30
+  /** Root of the build-once MERGE-with-DELETE fixture: a 400-row qtable
+    * merged by the REAL generalized [[graft.jobs.MergeJob]] with a
+    * multi-column SET (caption + w, some w NULL = partial update), a
+    * WHEN MATCHED DELETE flag, an unmatched delete (must be a no-op) and
+    * fresh inserts. Pre-merge state and the corrections are exported as
+    * parquet, so DuckDB recomputes the post-merge state as a full-outer
+    * join + coalesce + delete filter — the whole CoW merge path
+    * (manifest range pruning, matched-file scan, per-group rewrite,
+    * delete drop-out, insert bucketing) sits under an exact external
+    * oracle. Bump the version suffix when the fixture shape changes. */
+  private val Q30Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_merge_delete_v1"
+  private val Q30N = 400L
+
+  private def q30Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q30Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q30Root
+    val lockPath = Paths.get(Q30Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ30(s)
+    } finally { lock.release(); ch.close() }
+    Q30Root
+  }
+
+  private def buildQ30(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q30Root)
+    val t = graft.format.QTable.create(s"$Q30Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, Q30N, 55L).toDF(), filesPerBucket = 2)
+    val base = t.read()
+    // deterministic correction classes from a seeded md5-derived bucket
+    val hmod = pmod(mdHash64(col("image_id")), lit(10))
+    val placeholder = Seq(
+      lit(Array[Byte](0)).as("bytes"), lit(1).as("h"),
+      lit("png").as("fmt"), lit(0L).as("phash"))
+    // updates (~30%): new caption always, new w on 2 of 3 (else NULL =
+    // partial update, the target w must survive)
+    val upd = base.where(hmod.isin(0, 1, 2)).select(
+      Seq(col("image_id"),
+        concat(lit("q30-upd: "), col("image_id")).as("caption"),
+        when(pmod(mdHash64(col("image_id")), lit(3)) === 0,
+          lit(null).cast("int")).otherwise(col("w") + 7).as("w"),
+        lit(false).as("is_delete")) ++ placeholder: _*)
+    // deletes (~10%) + one unmatched delete (must not insert)
+    val del = base.where(hmod === lit(4)).select(
+      Seq(col("image_id"), lit("q30-del").as("caption"),
+        lit(null).cast("int").as("w"), lit(true).as("is_delete")) ++
+        placeholder: _*)
+    val ghost = s.range(1).select(
+      Seq(lit("zzz-q30-ghost").as("image_id"), lit("ghost").as("caption"),
+        lit(null).cast("int").as("w"), lit(true).as("is_delete")) ++
+        placeholder: _*)
+    // fresh inserts: full synthesized rows under fixture-unique ids
+    val ins = graft.synth.DataGen.generate(s, 5, 77L).toDF()
+      .withColumn("image_id", concat(lit("q30x-"), col("image_id")))
+      .withColumn("is_delete", lit(false))
+      .select("image_id", "caption", "w", "is_delete", "bytes", "h", "fmt", "phash")
+    val corr = upd.union(del).union(ghost).union(ins)
+
+    base.select("image_id", "caption", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q30Root/exp/pre")
+    corr.select("image_id", "caption", "w", "is_delete")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q30Root/exp/corr")
+    new graft.jobs.MergeJob(t, updateCols = Seq("caption", "w"),
+      deleteCol = Some("is_delete")).run(corr)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q30Root, "_FIXTURE_READY"))
+  }
+
+  /** The post-merge table state (key + both SET columns) after the real
+    * CoW MERGE with updates, partial updates, deletes and inserts. */
+  def q30MergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = q30Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "caption", "w")
+  }
+
+  val q30Sql: String =
+    s"""SELECT COALESCE(p.image_id, c.image_id) AS image_id,
+       |       COALESCE(c.caption, p.caption) AS caption,
+       |       COALESCE(c.w, p.w) AS w
+       |FROM read_parquet('$Q30Root/exp/pre/*.parquet') p
+       |FULL OUTER JOIN read_parquet('$Q30Root/exp/corr/*.parquet') c
+       |ON p.image_id = c.image_id
+       |WHERE NOT COALESCE(c.is_delete, false)""".stripMargin
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1187,7 +1279,8 @@ object Queries {
     "q26_time_travel" -> ((q26TimeTravel _, q26Sql)),
     "q27_incremental_scan" -> ((q27IncrementalScan _, q27Sql)),
     "q28_snapshot_history" -> ((q28SnapshotHistory _, q28Sql)),
-    "q29_knn_multiprobe" -> ((q29KnnMultiprobe _, q29Sql)))
+    "q29_knn_multiprobe" -> ((q29KnnMultiprobe _, q29Sql)),
+    "q30_merge_delete" -> ((q30MergeDelete _, q30Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

@@ -77,6 +77,86 @@ class MergeJobSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("duplicated image_id"))
   }
 
+  test("multi-column SET: arbitrary update list, null source value keeps target") {
+    val n = 600L
+    val t = freshTable(n, buckets = 2)
+    val pre = t.read().cache()
+    import spark.implicits._
+    // patch caption AND w for ~1/3 of rows; every 2nd patch carries a
+    // NULL w (partial update: the target's w must survive)
+    val picks = pre.select("image_id", "caption", "w").orderBy("image_id")
+      .limit(90).collect().zipWithIndex
+      .map { case (r, i) =>
+        (r.getString(0), "patched: " + r.getString(1),
+          if (i % 2 == 0) Some(r.getInt(2) + 1000) else None)
+      }.toSeq
+    val corr = picks.toDF("image_id", "caption", "w")
+    val snap = new MergeJob(t, updateCols = Seq("caption", "w")).run(corr)
+    val post = t.read(snap)
+    assert(post.count() == n, "pure update must preserve row count")
+    val joined = post.join(
+      corr.select(col("image_id"), col("caption").as("want_c"), col("w").as("want_w")),
+      Seq("image_id")).cache()
+    assert(joined.where(col("caption") =!= col("want_c")).count() == 0)
+    assert(joined.where(col("want_w").isNotNull && col("w") =!= col("want_w"))
+      .count() == 0, "non-null source w not applied")
+    // null-source rows kept their ORIGINAL w (< 1000 shift marker)
+    val origW = pre.select(col("image_id"), col("w").as("orig_w"))
+    assert(joined.where(col("want_w").isNull).join(origW, Seq("image_id"))
+      .where(col("w") =!= col("orig_w")).count() == 0,
+      "null source w must keep the target value")
+    assert(snap.summary("rows-updated") == "90")
+    assert(snap.summary("rows-deleted") == "0")
+    pre.unpersist(); joined.unpersist()
+  }
+
+  test("WHEN MATCHED DELETE: flagged rows removed, unmatched delete is a no-op") {
+    val n = 500L
+    val t = freshTable(n, buckets = 2)
+    val pre = t.read().cache()
+    import spark.implicits._
+    val ids = pre.select("image_id").orderBy("image_id").limit(40)
+      .as[String].collect().toSeq
+    val (delIds, updIds) = ids.splitAt(20)
+    val corrRows =
+      delIds.map(id => (id, "ignored", true)) ++
+      updIds.map(id => (id, "kept: " + id, false)) ++
+      Seq(("zzz-no-such-row", "ghost", true), // unmatched delete: no-op
+          ("zzz-new-row", "fresh insert", false))
+    // inserts need full rows: join the flags onto generated full rows for
+    // the fresh id, literal partial rows elsewhere (updates/deletes only
+    // touch existing files, so caption-only content is enough there)
+    val corr = corrRows.toDF("image_id", "caption", "is_delete")
+      .withColumn("bytes", lit(Array[Byte](1, 2, 3)))
+      .withColumn("w", lit(1)).withColumn("h", lit(1))
+      .withColumn("fmt", lit("png")).withColumn("phash", lit(0L))
+    val snap = new MergeJob(t, updateCols = Seq("caption"),
+      deleteCol = Some("is_delete")).run(corr)
+    val post = t.read(snap).cache()
+    // n - 20 deletes + 1 insert (the ghost delete must not insert)
+    assert(post.count() == n - 20 + 1,
+      s"expected ${n - 20 + 1} rows, got ${post.count()}")
+    assert(post.where(col("image_id").isin(delIds: _*)).count() == 0,
+      "delete-flagged matched rows must be gone")
+    assert(post.where(col("image_id") === "zzz-no-such-row").count() == 0,
+      "unmatched delete row must not be inserted")
+    assert(post.where(col("image_id") === "zzz-new-row").count() == 1)
+    val wrong = post.join(corr.where(!col("is_delete"))
+      .select(col("image_id"), col("caption").as("want")), Seq("image_id"))
+      .where(col("caption") =!= col("want")).count()
+    assert(wrong == 0, s"$wrong updates missing after delete-merge")
+    assert(snap.summary("rows-deleted") == "20")
+    assert(snap.summary("rows-inserted") == "1")
+    assert(snap.summary("rows-updated") == "20")
+    // untouched rows carry original captions
+    val untouchedWrong = post.where(!col("image_id").isin(ids: _*) &&
+      col("image_id") =!= "zzz-new-row")
+      .join(pre.select(col("image_id"), col("caption").as("orig")), Seq("image_id"))
+      .where(col("caption") =!= col("orig")).count()
+    assert(untouchedWrong == 0)
+    pre.unpersist(); post.unpersist()
+  }
+
   test("merge is resumable per group") {
     val n = 800L
     val t = freshTable(n)
