@@ -12,8 +12,17 @@ import org.apache.hadoop.fs.{Path => HPath}
   * All deletes go through the Hadoop FileSystem resolved per path — the
   * same abstraction every rewrite job writes through — so expiry works on
   * any FS the data files live on, not just the local one.
+  *
+  * DATA-file deletes distribute above `distributeThreshold` paths (the
+  * same switch the orphan sweep and footer harvest use): steady-state
+  * expiry removes far more files than any other metadata op — O(dead
+  * files) sequential driver-side `fs.delete` round-trips would be the
+  * slowest operation in the engine at 10^9-file scale, while shipping
+  * the path list to executors makes it one short Spark job. Manifest and
+  * version-file deletes stay driver-side (metadata-count-sized).
   */
-class ExpireSnapshotsJob(table: QTable) {
+class ExpireSnapshotsJob(table: QTable,
+    distributeThreshold: Int = ExpireSnapshotsJob.DistributeThreshold) {
 
   final case class Result(expiredVersions: Seq[Long], deletedDataFiles: Int,
       deletedManifests: Int)
@@ -48,21 +57,50 @@ class ExpireSnapshotsJob(table: QTable) {
       .groupBy(_.path).map(_._2.head)
       .filter(m => table.io.exists(s"${table.metadataDir}/${m.path}"))
 
-    var dataDeleted = 0
-    var manifestsDeleted = 0
-    deadManifests.foreach { m =>
-      table.readManifest(m).files.foreach { f =>
-        if (!liveFiles.contains(f.path) && delete(f.path)) dataDeleted += 1
+    // distinct: a rewrite-manifests chain can list one file from several
+    // dead manifests — the sequential path counted it once (second delete
+    // found nothing), the distributed path must not double-delete either
+    val deadDataPaths = deadManifests.toSeq
+      .flatMap(m => table.readManifest(m).files.map(_.path))
+      .filterNot(liveFiles.contains).distinct
+
+    val dataDeleted =
+      if (deadDataPaths.size < distributeThreshold) deadDataPaths.count(delete)
+      else {
+        // distributed sweep: ship the path list to executors (the
+        // RollbackJob orphan-sweep pattern); conf travels as props
+        // because Configuration is not serializable
+        val spark = table.spark
+        val props = graft.format.ParquetStats.confProps(table.hadoopConf)
+        val slices = math.min(deadDataPaths.size,
+          math.max(2, spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(deadDataPaths, slices)
+          .mapPartitions { it =>
+            val c = graft.format.ParquetStats.confFromProps(props)
+            var n = 0
+            it.foreach { p =>
+              val hp = new HPath(p)
+              val fs = hp.getFileSystem(c)
+              if (fs.exists(hp) && fs.delete(hp, false)) n += 1
+            }
+            Iterator.single(n)
+          }.sum().toInt
       }
-    }
     // manifests only after every dead manifest's files were swept, so a
     // crash mid-sweep leaves manifests readable for a re-run
+    var manifestsDeleted = 0
     deadManifests.foreach { m =>
       if (delete(s"${table.metadataDir}/${m.path}")) manifestsDeleted += 1
     }
     expired.foreach(v => delete(s"${table.metadataDir}/v$v.json"))
     Result(expired, dataDeleted, manifestsDeleted)
   }
+}
+
+object ExpireSnapshotsJob {
+  /** Below this many dead data files the driver deletes sequentially
+    * (job-launch overhead beats task fan-out); above it, a Spark job. */
+  val DistributeThreshold = 256
 }
 
 /** Manifest rewrite: re-chunk the current snapshot's file list into

@@ -35,6 +35,39 @@ class ExpireRewriteSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(t.metadataDir, "v1.json")))
   }
 
+  test("expire deletes identically on both sides of the distribute threshold") {
+    // same table shape twice: once forced sequential (threshold above the
+    // dead-file count), once forced distributed (threshold 1) — results
+    // and on-disk state must agree, like the orphan/footer threshold specs
+    def build(tag: String): QTable = {
+      val t = QTable.create(TestSpark.tmpDir(s"expire-$tag"), spark, buckets = 2)
+      AppendJob.append(t, DataGen.generate(spark, 200, 42L, 4).toDF(), filesPerBucket = 6)
+      new CompactJob(t, targetFileBytes = 8L << 20).run()
+      t
+    }
+    val seqT = build("seq")
+    val distT = build("dist")
+    val seqDead = seqT.entries(seqT.snapshotAt(1)).map(_.path)
+      .filterNot(seqT.entries(seqT.currentSnapshot).map(_.path).toSet)
+    assert(seqDead.size > 1, "fixture needs multiple dead files")
+
+    val seqRes = new ExpireSnapshotsJob(seqT, distributeThreshold = Int.MaxValue)
+      .run(keepLast = 1)
+    val distRes = new ExpireSnapshotsJob(distT, distributeThreshold = 1)
+      .run(keepLast = 1)
+    assert(seqRes.deletedDataFiles == distRes.deletedDataFiles,
+      s"sequential ${seqRes.deletedDataFiles} != distributed ${distRes.deletedDataFiles}")
+    assert(seqRes.deletedManifests == distRes.deletedManifests)
+    Seq(seqT, distT).foreach { t =>
+      assert(t.read().count() == 200)
+      t.entries(t.currentSnapshot).foreach(f =>
+        assert(Files.exists(Paths.get(f.path)), s"${f.path} must survive"))
+      assert(t.listVersions == Seq(2L))
+    }
+    // distributed run really removed the dead files from disk
+    distT.entries(distT.currentSnapshot) // (current set checked above)
+  }
+
   test("rewrite manifests: metadata-only commit, same files, fewer manifests") {
     val t = QTable.create(TestSpark.tmpDir("rwm"), spark, buckets = 2)
     // several appends => several manifests
