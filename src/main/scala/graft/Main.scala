@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
   *   spark-submit --class graft.Main <jar> rename-column --table T --from OLD --to NEW
   *   spark-submit --class graft.Main <jar> drop-column --table T --name N
+  *   spark-submit --class graft.Main <jar> widen-column --table T --name N --type long
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
@@ -132,6 +133,12 @@ object Main {
       case "drop-column" =>
         val snap = CommitRetry.withCommitRetry()(table.dropColumn(req(opts, "name")))
         report("drop-column", snap.summary ++ Map("version" -> snap.version.toString,
+          "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
+
+      case "widen-column" =>
+        val snap = CommitRetry.withCommitRetry()(
+          table.widenColumn(req(opts, "name"), req(opts, "type")))
+        report("widen-column", snap.summary ++ Map("version" -> snap.version.toString,
           "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
 
       case "rollback" =>
@@ -305,5 +312,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rename-column|drop-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|describe> --table PATH [options]"""
 }

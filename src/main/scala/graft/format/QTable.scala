@@ -248,6 +248,33 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       schemaOverride = Some(next))
   }
 
+  /** Metadata-only type widening of an ADDED column: `int -> long` and
+    * `float -> double` (Iceberg's safe promotions). No data file is
+    * touched — the parquet reader promotes old narrow-typed pages to the
+    * declared type at scan time (verified by SchemaEvolutionSpec), and
+    * rewrite jobs thereafter write the widened type. Stats skipping is
+    * unaffected: the footer harvest already folds INT32/INT64 into one
+    * "long" stat kind and FLOAT/DOUBLE into "double"
+    * ([[ParquetStats]]), so pre- and post-widening files compare in the
+    * same domain. Base fields are the engine's own key/stat columns
+    * (typed into the maintenance plans) and cannot be widened. */
+  def widenColumn(name: String, toType: String): Snapshot = {
+    val snap = currentSnapshot
+    val cur = snap.schemaFields
+    val f = cur.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    require(!baseFieldIds.contains(f.id), s"cannot widen base column $name")
+    val legal = Map("int" -> Set("long"), "float" -> Set("double"))
+    require(legal.getOrElse(f.dtype, Set.empty).contains(toType),
+      s"cannot widen $name: ${f.dtype} -> $toType is not a safe promotion " +
+        s"(allowed: int -> long, float -> double)")
+    val next = cur.map(c => if (c.id == f.id) c.copy(dtype = toType) else c)
+    commit(Some(snap), "widen-column",  Nil,
+      Map("widened-column" -> s"$name ${f.dtype} -> $toType"),
+      reuseManifests = snap.manifests,
+      schemaOverride = Some(next))
+  }
+
   /** Metadata-only drop of an ADDED column: data files keep the stored
     * values (invisible behind the declared read schema); the field id is
     * retired forever via [[Snapshot.highestFieldId]]. */
@@ -285,7 +312,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * metadata rewrites) — an incremental append scan skips them. */
   private val RowPreservingOps: Set[String] = Set(
     "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
-    "rewrite-manifests", "add-column", "rename-column", "drop-column")
+    "rewrite-manifests", "add-column", "rename-column", "drop-column",
+    "widen-column")
 
   /** Iceberg-style incremental append scan planning: the data files ADDED
     * by each `append` snapshot in the chain (fromV, toV]. Appends commit

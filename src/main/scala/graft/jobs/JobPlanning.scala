@@ -27,8 +27,13 @@ object JobPlanning {
       s"writer frame has columns not in the table schema: " +
         s"${unknown.mkString(", ")}")
     val cols = snap.schemaFields.toIndexedSeq.map { f =>
-      if (have.contains(f.phys)) col(f.phys)
-      else if (have.contains(f.name)) col(f.name).as(f.phys)
+      // cast to the DECLARED type: after a widen-column commit an input
+      // may still carry the narrow type (a user append, or a scan of
+      // pre-widening files) — files written from here on must store the
+      // widened type. Matching types make the cast a no-op; ANSI mode
+      // (Spark 4 default) fails fast on genuinely incompatible inputs.
+      if (have.contains(f.phys)) col(f.phys).cast(f.sparkType)
+      else if (have.contains(f.name)) col(f.name).cast(f.sparkType).as(f.phys)
       // typed-null fill is ONLY for nullable (schema-evolved) fields; a
       // source missing a required base column is malformed and must fail
       // fast, not silently commit null keys/stats

@@ -134,6 +134,93 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "re-added column must NOT resurface dropped data")
   }
 
+  test("widen-column int -> long: metadata-only, old files promote, skipping stays sound") {
+    val t = QTable.create(TestSpark.tmpDir("evo-widen"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 40, 42L, 2).toDF(), 1)      // v1
+    t.addColumn("views", "int")                                             // v2
+    AppendJob.append(t,
+      DataGen.generate(spark, 30, 7L, 1).toDF()
+        .withColumn("image_id", concat(lit("a-"), col("image_id")))
+        .withColumn("views", (pmod(xxhash64(col("image_id")), lit(1000)))
+          .cast("int")), 1)                                                 // v3: int32 pages
+    val filesBefore = t.entries(t.currentSnapshot).map(_.path).toSet
+    val intSum = t.read().agg(sum(col("views").cast("long"))).head().getLong(0)
+
+    val wid = t.widenColumn("views", "long")                                // v4
+    assert(wid.operation == "widen-column")
+    assert(t.entries(wid).map(_.path).toSet == filesBefore,
+      "widen must not touch data files")
+    assert(wid.schemaFields.find(_.name == "views").get.dtype == "long")
+
+    // the unified read promotes old INT32 pages to the declared long
+    val after = t.read()
+    assert(after.schema("views").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(after.agg(sum("views")).head().getLong(0) == intSum,
+      "promoted values must equal the stored int values")
+    assert(after.where(col("views").isNull).count() == 40, "v1 rows stay null")
+
+    // post-widening append with values only a long can hold
+    AppendJob.append(t,
+      DataGen.generate(spark, 30, 9L, 1).toDF()
+        .withColumn("image_id", concat(lit("b-"), col("image_id")))
+        .withColumn("views", lit(5_000_000_000L) +
+          pmod(xxhash64(col("image_id")), lit(1000))), 1)                   // v5
+    val mixed = t.read()
+    assert(mixed.count() == 100)
+    assert(mixed.where(col("views") > 4_000_000_000L).count() == 30)
+
+    // stats skipping on the widened column: INT32-era files (max < 1000)
+    // prune against a beyond-int filter, long-era files are kept, and the
+    // indexed answer matches the plain read exactly
+    val (idf, index) = t.readIndexed()
+    val expected = mixed.where(col("views") > 4_000_000_000L)
+      .select("image_id").collect().map(_.getString(0)).sorted
+    val got = idf.where(col("views") > 4_000_000_000L)
+      .select("image_id").collect().map(_.getString(0)).sorted
+    assert(got.sameElements(expected))
+    val (selected, all) = index.lastSelection
+    assert(selected < all,
+      s"int-era files must prune against a beyond-int filter ($selected/$all)")
+    assert(selected >= 1, "the long-valued file must survive pruning")
+
+    // rewrite across the widening boundary: compact mixes INT32- and
+    // INT64-paged files; outputs store the widened type, values survive
+    val pre = t.read()
+    val c = new CompactJob(t, targetFileBytes = 8L << 20).run()
+    val (ok, bad) = ScanEquivalence.check(pre, t.read(c))
+    assert(ok, s"$bad violations after compacting a widened table")
+    assert(t.read(c).agg(sum("views")).head().getLong(0) ==
+      intSum + pre.where(col("views") > 4_000_000_000L)
+        .agg(sum("views")).head().getLong(0))
+  }
+
+  test("widen-column float -> double keeps stored values bit-comparable") {
+    val t = QTable.create(TestSpark.tmpDir("evo-widenf"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 10, 42L, 1).toDF(), 1)
+    t.addColumn("score", "float")
+    AppendJob.append(t,
+      DataGen.generate(spark, 10, 7L, 1).toDF()
+        .withColumn("image_id", concat(lit("a-"), col("image_id")))
+        .withColumn("score", lit(1.5f)), 1)
+    t.widenColumn("score", "double")
+    val r = t.read()
+    assert(r.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    // 1.5f is exactly representable: the promoted double compares exactly
+    assert(r.where(col("score") === 1.5d).count() == 10)
+  }
+
+  test("widen-column rejects base columns and unsafe promotions") {
+    val t = QTable.create(TestSpark.tmpDir("evo-widen-bad"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 10, 42L, 1).toDF(), 1)
+    intercept[IllegalArgumentException] { t.widenColumn("w", "long") } // base
+    t.addColumn("n", "long")
+    intercept[IllegalArgumentException] { t.widenColumn("n", "int") } // narrow
+    t.addColumn("s", "string")
+    intercept[IllegalArgumentException] { t.widenColumn("s", "long") }
+    intercept[IllegalArgumentException] { t.widenColumn("nope", "long") }
+  }
+
   test("base columns cannot be renamed or dropped") {
     val t = QTable.create(TestSpark.tmpDir("evo-base"), spark, buckets = 2)
     AppendJob.append(t, DataGen.generate(spark, 10, 42L, 1).toDF(), 1)
