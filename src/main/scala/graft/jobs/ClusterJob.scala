@@ -37,7 +37,8 @@ class ClusterJob(
     hilbert: Boolean = false,
     jobId: String = java.util.UUID.randomUUID().toString,
     concurrency: Int = 4,
-    minGroupBytes: Long = -1L) {
+    minGroupBytes: Long = -1L,
+    gridBatchGroups: Int = ClusterJob.GridBatchGroups) {
 
   final case class Plan(group: String, inputs: Seq[DataFileEntry]) {
     def bytes: Long = inputs.map(_.byteCount).sum
@@ -87,10 +88,6 @@ class ClusterJob(
     if (plans.isEmpty) return snap
 
     val ckpt = new Checkpoint(table, jobId)
-    val tB0 = System.nanoTime()
-    val grids = boundsByGroup(plans)
-    if (sys.env.contains("GRAFT_TIMING"))
-      System.err.println(f"[timing] cluster-bounds ${(System.nanoTime() - tB0) / 1e9}%6.2fs")
     // isolated session with AQE off for the group rewrites: the exact-bin
     // shuffle already pins its partitioning (AQE cannot coalesce or
     // skew-split it), so AQE's per-stage materialize-and-replan barrier on
@@ -100,7 +97,35 @@ class ClusterJob(
     // is affected.
     val jobTable = new graft.format.QTable(table.root, table.spark.newSession())
     jobTable.spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val outputs = GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path),
+    // quantile grids are computed PER BATCH of groups so the collected
+    // map stays driver-bounded: at the 10^5-groups-at-100 TB shape one
+    // global collect would hold ~100 MB of grids at once; batching keeps
+    // it at gridBatchGroups x 127 longs (~4 MB) while the per-batch pass
+    // still scans only that batch's sampled files (total scan work is
+    // unchanged, job count grows O(groups / batch) — a constant few even
+    // at 10^5 groups). Checkpointed resume is unaffected: groups commit
+    // individually and `already` is re-read per batch.
+    val outputs = plans.grouped(math.max(1, gridBatchGroups)).flatMap { batch =>
+      val tB0 = System.nanoTime()
+      val grids = boundsByGroup(batch)
+      if (sys.env.contains("GRAFT_TIMING"))
+        System.err.println(f"[timing] cluster-bounds ${(System.nanoTime() - tB0) / 1e9}%6.2fs (${batch.size} groups)")
+      runBatch(batch, grids, ckpt, jobTable, failAfterGroups)
+    }.toSeq
+
+    val committed = table.commit(Some(snap), jobType,
+      outputs.flatMap(_.outputFiles), Map(
+        "job-id" -> jobId,
+        "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
+        "groups" -> plans.size.toString))
+    ckpt.clear()
+    committed
+  }
+
+  private def runBatch(batch: Seq[Plan], grids: Map[String, Array[Long]],
+      ckpt: Checkpoint, jobTable: graft.format.QTable,
+      failAfterGroups: Int): Seq[LineageEntry] =
+    GroupRunner.run[Plan](batch, _.group, _.inputs.map(_.path),
       ckpt.committed, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, jobType, gf.group,
         Nil, Nil, 0L, 0L, "failed", gf.attempts)),
@@ -154,15 +179,6 @@ class ClusterJob(
       entry
     }
 
-    val committed = table.commit(Some(snap), jobType,
-      outputs.flatMap(_.outputFiles).toSeq, Map(
-        "job-id" -> jobId,
-        "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
-        "groups" -> plans.size.toString))
-    ckpt.clear()
-    committed
-  }
-
   private def cleanDir(dir: String): Unit = {
     val hp = new HPath(dir)
     val fs = hp.getFileSystem(table.hadoopConf)
@@ -171,6 +187,10 @@ class ClusterJob(
 }
 
 object ClusterJob {
+
+  /** Groups per quantile-grid batch: bounds the driver-held grid map at
+    * ~batch x 127 longs (~4 MB) regardless of total group count. */
+  val GridBatchGroups = 4096
 
   /** (pbucket -> group) rows for a broadcast lookup join. Groups are
     * disjoint contiguous bucket ranges, so the expansion is exactly one

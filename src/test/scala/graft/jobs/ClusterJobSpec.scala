@@ -113,6 +113,35 @@ class ClusterJobSpec extends AnyFunSuite {
     assert(q("b0").forall(v => v >= g0.getLong(0) && v <= g0.getLong(1)))
   }
 
+  test("grid batching: tiny gridBatchGroups gives the same clustering as one batch") {
+    // 8 buckets, minGroupBytes=1 => one group per bucket => 8 groups;
+    // gridBatchGroups=3 forces 3 quantile batches. The batched run must
+    // be scan-equivalent and cluster as well as the single-batch run —
+    // this is the driver-memory-bounded path for the 10^5-group shape.
+    def build(tag: String): QTable = {
+      val t = QTable.create(TestSpark.tmpDir(s"cluster-gb-$tag"), spark, 8)
+      AppendJob.append(t, DataGen.generate(spark, 1200, 42L, 8).toDF(), filesPerBucket = 2)
+      t
+    }
+    val one = build("one")
+    val many = build("many")
+    val preDf = one.read()
+    val s1 = new ClusterJob(one, targetFileBytes = 60L << 10, minGroupBytes = 1L).run()
+    val sN = new ClusterJob(many, targetFileBytes = 60L << 10, minGroupBytes = 1L,
+      gridBatchGroups = 3).run()
+    assert(s1.summary("groups") == "8" && sN.summary("groups") == "8")
+    val (ok, bad) = ScanEquivalence.check(preDf, many.read(sN))
+    assert(ok, s"$bad violations after batched clustering")
+    // percentile_approx sketches merge in partition order, so batch
+    // composition shifts boundaries slightly — quality must match within
+    // a few percent (boundary error skews file sizes, never correctness)
+    val score1 = phashSpanScore(one, s1)
+    val scoreN = phashSpanScore(many, sN)
+    assert(math.abs(score1 - scoreN) <= 0.05 * math.max(score1, scoreN),
+      f"batched run clustered differently: $score1%.6f vs $scoreN%.6f")
+    assert(many.entries(sN).map(_.rowCount).sum == 1200)
+  }
+
   test("skew: heavy near-dup phash cluster does not hotspot one output file") {
     val t = freshTable(2000)
     val snap = new ClusterJob(t, targetFileBytes = 40L << 10).run()
