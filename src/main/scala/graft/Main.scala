@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--keep K] [--dry-run]
-  *   spark-submit --class graft.Main <jar> verify  --table T [--against V]
+  *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
@@ -190,11 +190,16 @@ object Main {
         val against = opts.get("against").map(_.toLong)
           .getOrElse(cur.parentVersion)
         require(against >= 0, "no parent snapshot to verify against; pass --against V")
+        // --sample F: deterministic keyed sample of both sides — the
+        // 100 TB mode (a full check shuffles the fat bytes column twice)
+        val frac = opts.get("sample").map(_.toDouble).getOrElse(1.0)
+        require(frac > 0 && frac <= 1.0, "--sample must be in (0, 1]")
         val pre = t.read(t.snapshotAt(against))
-        val (ok, bad) = ScanEquivalence.check(pre, t.read(cur))
+        val (ok, bad) = ScanEquivalence.check(pre, t.read(cur), sampleFraction = frac)
         report("verify", Map(
           "against-version" -> against.toString,
           "current-version" -> cur.version.toString,
+          "sample-fraction" -> frac.toString,
           "scan-equivalent" -> ok.toString,
           "violations" -> bad.toString))
         if (!ok) sys.exit(1)

@@ -12,16 +12,36 @@ import org.apache.spark.sql.DataFrame
   */
 object ScanEquivalence {
 
-  /** Rows that violate equivalence; empty => pass. */
-  def violations(pre: DataFrame, post: DataFrame, psnrDb: Double = 40.0): DataFrame = {
-    val psnrUdf = udf((a: Array[Byte], b: Array[Byte]) => Psnr.ofBytes(a, b))
+  /** Deterministic KEYED sample: keep rows whose image_id hash falls in
+    * the first `fraction` of the hash space. Hash-keyed (not Bernoulli
+    * `sample()`) so BOTH sides of a pre/post comparison select exactly
+    * the same ids — missing-row detection stays sound inside the
+    * sample. This is the 100 TB verify mode: the full-outer join
+    * shuffles the fat `bytes` column twice, so a full-table check at
+    * petabyte scale costs a table-sized shuffle; a 1% keyed sample cuts
+    * that 100x while catching any systematic corruption almost surely
+    * and each individual bad row with p = fraction. */
+  private val SampleSpace = 1000000L
+  def keyedSample(df: DataFrame, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.where(
+      pmod(xxhash64(col("image_id")), lit(SampleSpace)) <
+        lit(math.max(1L, (fraction * SampleSpace).toLong)))
 
-    val l = pre.select(
+  /** Rows that violate equivalence; empty => pass. `sampleFraction` < 1
+    * checks a deterministic keyed subset (see [[keyedSample]]). */
+  def violations(pre: DataFrame, post: DataFrame, psnrDb: Double = 40.0,
+      sampleFraction: Double = 1.0): DataFrame = {
+    val psnrUdf = udf((a: Array[Byte], b: Array[Byte]) => Psnr.ofBytes(a, b))
+    val (preS, postS) =
+      (keyedSample(pre, sampleFraction), keyedSample(post, sampleFraction))
+
+    val l = preS.select(
       col("image_id"),
       col("bytes").as("pre_bytes"),
       col("fmt").as("pre_fmt"),
       col("caption").as("pre_caption"))
-    val r = post.select(
+    val r = postS.select(
       col("image_id"),
       col("bytes").as("post_bytes"),
       col("fmt").as("post_fmt"),
@@ -45,8 +65,9 @@ object ScanEquivalence {
   }
 
   /** Convenience boolean gate + violation count. */
-  def check(pre: DataFrame, post: DataFrame, psnrDb: Double = 40.0): (Boolean, Long) = {
-    val n = violations(pre, post, psnrDb).count()
+  def check(pre: DataFrame, post: DataFrame, psnrDb: Double = 40.0,
+      sampleFraction: Double = 1.0): (Boolean, Long) = {
+    val n = violations(pre, post, psnrDb, sampleFraction).count()
     (n == 0, n)
   }
 
