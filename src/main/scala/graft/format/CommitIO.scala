@@ -37,6 +37,10 @@ trait CommitIO extends Serializable {
   /** Child directory names of `dir`; Nil if missing. */
   def listDirNames(dir: String): Seq[String]
   def exists(path: String): Boolean
+  /** Delete one metadata file; false if it did not exist. Expiry routes
+    * manifest/version deletes through this so they hit the same store
+    * the commit protocol wrote them to. */
+  def delete(path: String): Boolean
   def deleteRecursive(path: String): Unit
   def mkdirs(path: String): Unit
 }
@@ -104,6 +108,8 @@ class LocalCommitIO extends CommitIO {
   }
 
   override def exists(path: String): Boolean = Files.exists(p(path))
+
+  override def delete(path: String): Boolean = Files.deleteIfExists(p(path))
 
   override def deleteRecursive(path: String): Unit = {
     val d = p(path)
@@ -185,6 +191,12 @@ class HadoopCommitIO(@transient conf: Configuration) extends CommitIO {
   override def exists(path: String): Boolean = {
     val hp = new HPath(path)
     fsOf(hp).exists(hp)
+  }
+
+  override def delete(path: String): Boolean = {
+    val hp = new HPath(path)
+    val fs = fsOf(hp)
+    fs.exists(hp) && fs.delete(hp, false)
   }
 
   override def deleteRecursive(path: String): Unit = {

@@ -33,7 +33,12 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * java.nio primitives, URI-scheme'd roots (file:, hdfs:, ...) resolve
     * through Hadoop FileSystem — mirroring the reference's object-store
     * sink boundary (`google_cloud_storage_client.py:40-74`). */
-  @transient lazy val io: CommitIO = CommitIO.forPath(root, hadoopConf)
+  @transient lazy val io: CommitIO = makeIO
+
+  /** Overridable so a deployment (or the object-store contract spec) can
+    * mount the metadata layer on a different store than the path scheme
+    * implies — e.g. [[ObjectStoreCommitIO]] over a vendor SDK. */
+  protected def makeIO: CommitIO = CommitIO.forPath(root, hadoopConf)
 
   def metadataDir: String = s"$root/metadata"
   def dataDir: String = s"$root/data"

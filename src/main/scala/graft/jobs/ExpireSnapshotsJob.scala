@@ -87,12 +87,15 @@ class ExpireSnapshotsJob(table: QTable,
           }.sum().toInt
       }
     // manifests only after every dead manifest's files were swept, so a
-    // crash mid-sweep leaves manifests readable for a re-run
+    // crash mid-sweep leaves manifests readable for a re-run. Metadata
+    // deletes go through table.io — the same store the commit protocol
+    // wrote them to (an object-store metadata layer is not reachable
+    // through the data path's Hadoop FS)
     var manifestsDeleted = 0
     deadManifests.foreach { m =>
-      if (delete(s"${table.metadataDir}/${m.path}")) manifestsDeleted += 1
+      if (table.io.delete(s"${table.metadataDir}/${m.path}")) manifestsDeleted += 1
     }
-    expired.foreach(v => delete(s"${table.metadataDir}/v$v.json"))
+    expired.foreach(v => table.io.delete(s"${table.metadataDir}/v$v.json"))
     Result(expired, dataDeleted, manifestsDeleted)
   }
 }
