@@ -36,3 +36,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Bench/Main runs pre-touch the whole heap at startup: on this guest a
+// lazily grown heap faults fresh pages through the host-side page path
+// DURING measured work, and the penalty grows with thread count — the
+// same fix that made the executor-pair workers clean (Bench.scala).
+// Scoped to `run` so test JVMs keep fast startup.
+Compile / run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
+)
