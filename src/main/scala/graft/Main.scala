@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J]
   *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J]
   *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--job-id J]
+  *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
@@ -104,6 +105,45 @@ object Main {
           new MergeJob(table, jobId, concurrency = concurrency,
             updateCols = setCols, deleteCol = opts.get("delete-col")).run(corr))
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "stream" =>
+        // Structured Streaming ingest: tail --source DIR of parquet row
+        // files into the table (AvailableNow = drain-and-stop backfill;
+        // --follow tails until killed). Without --source, synthesize
+        // --rows into a temp dir first so the surface is self-driving.
+        val root = req(opts, "table")
+        val t0 = QTable(root, spark)
+        val t = if (t0.currentVersion >= 0) t0
+          else QTable.create(root, spark, opts.getOrElse("buckets", "8").toInt)
+        val srcDir = opts.get("source").getOrElse {
+          val d = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+          DataGen.generate(spark, req(opts, "rows").toLong,
+            opts.getOrElse("seed", "42").toLong)
+            .toDF().write.mode("overwrite").parquet(d)
+          d
+        }
+        val src = spark.readStream
+          .schema(graft.model.ImageRow.schema)
+          .option("maxFilesPerTrigger",
+            opts.getOrElse("max-files-per-trigger", "4"))
+          .parquet(srcDir)
+        val ingest = new graft.streaming.StreamingAppend(t,
+          opts.getOrElse("name", "cli-stream"),
+          filesPerBucket = opts.getOrElse("files-per-bucket", "1").toInt)
+        // resume-able checkpoint only makes sense for a REAL --source; a
+        // synthesized one-shot source gets a fresh temp checkpoint
+        val ckpt = opts.getOrElse("checkpoint",
+          if (opts.contains("source")) s"$root/_stream_ckpt"
+          else java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString)
+        val trigger =
+          if (opts.contains("follow"))
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000L)
+          else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+        val q = ingest.start(src, ckpt, trigger)
+        q.awaitTermination()
+        val cur = t.currentSnapshot
+        report("stream", cur.summary ++ Map("version" -> cur.version.toString,
+          "batches" -> q.recentProgress.length.toString))
 
       case "expire" =>
         val res = new ExpireSnapshotsJob(table).run(opts.getOrElse("keep", "2").toInt)
@@ -317,5 +357,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|describe> --table PATH [options]"""
 }
