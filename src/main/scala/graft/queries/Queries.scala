@@ -1060,6 +1060,8 @@ object Queries {
     ivfIndexDir(s, dir)
     q20EventsByDayDir(s, dir)
     q30Dir(s)
+    q31Dir(s)
+    q32Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1224,6 +1226,134 @@ object Queries {
        |ON p.image_id = c.image_id
        |WHERE NOT COALESCE(c.is_delete, false)""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** Root of the build-once type-widening fixture: a qtable gains an int
+    * column (add-column), takes an int-valued append, widens the column
+    * to long (metadata-only commit — zero files rewritten), then takes a
+    * long-valued append whose values exceed Int range. The unified read
+    * must surface the old int32-physical files as longs next to the new
+    * int64 files. Both batches' (image_id, views) are exported, so DuckDB
+    * recomputes the union with an explicit CAST — the widen path
+    * (metadata commit, physical-type promotion on read, writer cast on
+    * post-widen appends) sits under an exact external oracle. Bump the
+    * version suffix when the fixture shape changes. */
+  private val Q31Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_widen_scan_v1"
+  private val Q31N1 = 90L
+  private val Q31N2 = 60L
+
+  private def q31Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q31Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q31Root
+    val lockPath = Paths.get(Q31Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ31(s)
+    } finally { lock.release(); ch.close() }
+    Q31Root
+  }
+
+  private def buildQ31(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q31Root)
+    val t = graft.format.QTable.create(s"$Q31Root/table", s, buckets = 4)
+    t.addColumn("views", "int")
+    def batch(seed: Long, n: Long, tag: String) =
+      graft.synth.DataGen.generate(s, n, seed).toDF()
+        .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+    val b1 = batch(303L, Q31N1, "w1").withColumn("views",
+      pmod(xxhash64(col("image_id")), lit(100000L)).cast("int"))
+    graft.jobs.AppendJob.append(t, b1, filesPerBucket = 1)
+    t.widenColumn("views", "long")
+    // values above Int.MaxValue: only representable because the widen
+    // took effect in the written files AND the unified read
+    val b2 = batch(404L, Q31N2, "w2").withColumn("views",
+      lit(4000000000L) + pmod(xxhash64(col("image_id")), lit(100000L)))
+    graft.jobs.AppendJob.append(t, b2, filesPerBucket = 1)
+    b1.select("image_id", "views")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q31Root/exp/b1")
+    b2.select("image_id", "views")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q31Root/exp/b2")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q31Root, "_FIXTURE_READY"))
+  }
+
+  /** Unified scan across the widen boundary: one long-typed `views`
+    * column over mixed int32/int64 physical files. */
+  def q31WidenScan(s: SparkSession, dir: String): DataFrame = {
+    val root = q31Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "views")
+  }
+
+  val q31Sql: String =
+    s"""SELECT image_id, CAST(views AS BIGINT) AS views
+       |FROM read_parquet('$Q31Root/exp/b1/*.parquet')
+       |UNION ALL
+       |SELECT image_id, views
+       |FROM read_parquet('$Q31Root/exp/b2/*.parquet')""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Root of the build-once streaming-ingest fixture: a parquet directory
+    * of synthesized rows is drained into a fresh qtable through the REAL
+    * Structured Streaming path (readStream -> StreamingAppend's
+    * foreachBatch sink, Trigger.AvailableNow, one file per micro-batch so
+    * several append snapshots commit), then batch 0 is REDELIVERED
+    * through the sink — exactly what Spark does after a crash between the
+    * sink call and the streaming-checkpoint commit. The exactly-once
+    * batch-id dedup must no-op the replay; a broken dedup duplicates
+    * rows and fails the oracle, which is simply DuckDB reading the source
+    * directory. Bump the version suffix when the fixture shape changes. */
+  private val Q32Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_stream_ingest_v1"
+  private val Q32N = 180L
+
+  private def q32Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q32Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q32Root
+    val lockPath = Paths.get(Q32Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ32(s)
+    } finally { lock.release(); ch.close() }
+    Q32Root
+  }
+
+  private def buildQ32(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q32Root)
+    graft.synth.DataGen.generate(s, Q32N, 88L).toDF()
+      .repartition(3).write.parquet(s"$Q32Root/src")
+    val t = graft.format.QTable.create(s"$Q32Root/table", s, buckets = 4)
+    val src = s.readStream.schema(graft.model.ImageRow.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$Q32Root/src")
+    val ingest = new graft.streaming.StreamingAppend(t, "q32-fixture")
+    val q = ingest.start(src, s"$Q32Root/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    // crash-replay simulation: redeliver an already-committed batch id
+    // with its data; the idempotent sink must skip it
+    ingest.sink(s.read.parquet(s"$Q32Root/src"), 0L)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q32Root, "_FIXTURE_READY"))
+  }
+
+  /** The streamed table: must equal the source directory exactly —
+    * micro-batch appends land every row once, the replayed batch none. */
+  def q32StreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val root = q32Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "w", "h", "fmt", "caption", "phash")
+  }
+
+  val q32Sql: String =
+    s"""SELECT image_id, w, h, fmt, caption, phash
+       |FROM read_parquet('$Q32Root/src/*.parquet')""".stripMargin
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1280,7 +1410,9 @@ object Queries {
     "q27_incremental_scan" -> ((q27IncrementalScan _, q27Sql)),
     "q28_snapshot_history" -> ((q28SnapshotHistory _, q28Sql)),
     "q29_knn_multiprobe" -> ((q29KnnMultiprobe _, q29Sql)),
-    "q30_merge_delete" -> ((q30MergeDelete _, q30Sql)))
+    "q30_merge_delete" -> ((q30MergeDelete _, q30Sql)),
+    "q31_widen_scan" -> ((q31WidenScan _, q31Sql)),
+    "q32_stream_ingest" -> ((q32StreamIngest _, q32Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

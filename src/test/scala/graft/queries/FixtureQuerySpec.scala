@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.format.QTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the build-once oracle fixtures behind q31 (type-widening
+  * scan) and q32 (streaming ingest). The driver's DuckDB compare checks
+  * the RESULT rows; these tests pin the table-side properties the oracle
+  * cannot see — that the widen commit really was metadata-only and that
+  * the stream really committed one snapshot per micro-batch with the
+  * replayed batch adding none. Without these, a q31/q32 hash-match could
+  * in principle be produced by a rewrite-everything widen or a
+  * non-streaming bulk copy. */
+class FixtureQuerySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q31 fixture: widen is metadata-only and the scan unifies int32/int64 files") {
+    val df = Queries.q31WidenScan(spark, dir)
+    assert(df.schema("views").dataType == LongType)
+    assert(df.count() == 150)
+    // post-widen batch is only representable as int64
+    assert(df.where(col("views") > Int.MaxValue.toLong).count() == 60)
+    // pre-widen batch survives promotion with its int values intact
+    assert(df.where(col("views") < 100000L and col("views") >= 0L).count() == 90)
+
+    val t = QTable(s"${System.getProperty("java.io.tmpdir")}/graft_widen_scan_v1/table", spark)
+    val ops = t.listVersions.map(v => t.snapshotAt(v).operation)
+    assert(ops.count(_ == "widen-column") == 1, s"ops were $ops")
+    val widen = t.listVersions.map(t.snapshotAt)
+      .find(_.operation == "widen-column").get
+    val parent = t.snapshotAt(widen.parentVersion)
+    assert(t.entries(widen).map(_.path).toSet == t.entries(parent).map(_.path).toSet,
+      "widen commit must not add, drop, or rewrite any data file")
+    // the widen sits BETWEEN the two appends: files existed before it and
+    // more arrived after, so the unified read genuinely mixes physical types
+    assert(t.entries(parent).nonEmpty)
+    assert(t.entries(t.currentSnapshot).size > t.entries(widen).size)
+  }
+
+  test("q32 fixture: one snapshot per micro-batch, replayed batch adds none") {
+    val df = Queries.q32StreamIngest(spark, dir)
+    assert(df.count() == 180)
+    assert(df.select("image_id").distinct().count() == 180, "replay must not duplicate rows")
+
+    val t = QTable(s"${System.getProperty("java.io.tmpdir")}/graft_stream_ingest_v1/table", spark)
+    val appends = t.listVersions.map(t.snapshotAt)
+      .filter(_.summary.get("job-id").exists(_.startsWith("stream-q32-fixture-b")))
+    // 3 source files x maxFilesPerTrigger=1 => 3 micro-batch snapshots;
+    // the post-run redelivery of batch 0 must not have produced a 4th
+    assert(appends.size == 3, s"expected 3 micro-batch appends, got ${appends.size}")
+    assert(appends.map(_.summary("job-id")).distinct.size == 3)
+  }
+}
