@@ -351,7 +351,9 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
         case op =>
           throw new IllegalArgumentException(
             s"cannot incrementally read across a '$op' snapshot " +
-              s"(v${s.version}): rows were changed or removed, not appended")
+              s"(v${s.version}): rows were changed or removed, not " +
+              "appended — use readChanges (CLI: changes) for a " +
+              "changelog that follows merges and rollbacks")
       }
       // stop at the range start or at table birth (no parent to walk to)
       done = s.parentVersion < 0 || s.parentVersion <= fromV
@@ -367,6 +369,14 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val to = snapshotAt(toV)
     toLogical(readFiles(addedEntries(fromV, toV).map(_.path), to.physicalSchema), to)
   }
+
+  /** Row-level changelog (CDC) over (fromV, toV] — unlike
+    * [[readIncremental]] it follows merges and rollbacks, emitting
+    * insert/delete/update_preimage/update_postimage rows tagged with the
+    * committing version. See [[ChangelogScan]] for the per-commit cost
+    * model (O(touched files), never O(table)). */
+  def readChanges(fromV: Long, toV: Long): DataFrame =
+    ChangelogScan.changes(this, fromV, toV)
 
   /** Snapshot-history metadata table (Iceberg's `snapshots` analogue):
     * one row per retained version with its commit summary totals. Built

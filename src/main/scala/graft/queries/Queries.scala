@@ -1062,6 +1062,7 @@ object Queries {
     q30Dir(s)
     q31Dir(s)
     q32Dir(s)
+    q33Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1354,6 +1355,107 @@ object Queries {
     s"""SELECT image_id, w, h, fmt, caption, phash
        |FROM read_parquet('$Q32Root/src/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  /** Root of the build-once changelog (CDC) fixture: a qtable takes an
+    * append, a compact (layout-only — must contribute NO change rows), a
+    * generalized MERGE (updates + deletes + inserts), and a second
+    * append; table state is exported at the range start and end. Each
+    * key changes at most once in the range by construction (disjoint
+    * c-/n-/b2- id prefixes), so the per-commit changelog equals the net
+    * pre/post diff — which DuckDB recomputes from the exports with three
+    * joins. That puts the whole [[graft.format.ChangelogScan]] path —
+    * append manifest-diff fast path, rewrite skipping, merge file-set
+    * diff with copied-row suppression — under an exact external oracle.
+    * Bump the version suffix when the fixture shape changes. */
+  private val Q33Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_changelog_v1"
+  private val Q33N1 = 160L
+  private val Q33N2 = 40L
+
+  private def q33Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q33Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q33Root
+    val lockPath = Paths.get(Q33Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ33(s)
+    } finally { lock.release(); ch.close() }
+    Q33Root
+  }
+
+  private def buildQ33(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q33Root)
+    val t = graft.format.QTable.create(s"$Q33Root/table", s, buckets = 4)
+    def batch(seed: Long, n: Long, tag: String) =
+      graft.synth.DataGen.generate(s, n, seed).toDF()
+        .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+    graft.jobs.AppendJob.append(t, batch(21L, Q33N1, "c"),
+      filesPerBucket = 2)                                            // v1
+    new graft.jobs.CompactJob(t, targetFileBytes = 64L << 20).run()  // v2
+    val fromV = t.currentVersion
+    val base = t.read()
+    base.coalesce(1).write.mode("overwrite").parquet(s"$Q33Root/exp/pre")
+    val hmod = pmod(mdHash64(col("image_id")), lit(10))
+    val placeholder = Seq(
+      lit(Array[Byte](0)).as("bytes"), lit(1).as("w"), lit(1).as("h"),
+      lit("png").as("fmt"), lit(0L).as("phash"))
+    val upd = base.where(hmod.isin(0, 1, 2)).select(
+      Seq(col("image_id"),
+        concat(lit("q33-upd: "), col("image_id")).as("caption"),
+        lit(false).as("is_delete")) ++ placeholder: _*)
+    val del = base.where(hmod === lit(4)).select(
+      Seq(col("image_id"), lit("q33-del").as("caption"),
+        lit(true).as("is_delete")) ++ placeholder: _*)
+    val ins = graft.synth.DataGen.generate(s, 12, 67L).toDF()
+      .withColumn("image_id", concat(lit("n-"), col("image_id")))
+      .withColumn("is_delete", lit(false))
+      .select("image_id", "caption", "is_delete", "bytes", "w", "h", "fmt", "phash")
+    new graft.jobs.MergeJob(t, updateCols = Seq("caption"),
+      deleteCol = Some("is_delete")).run(upd.union(del).union(ins))   // v3
+    graft.jobs.AppendJob.append(t, batch(31L, Q33N2, "b2"),
+      filesPerBucket = 1)                                             // v4
+    t.read().coalesce(1).write.mode("overwrite").parquet(s"$Q33Root/exp/post")
+    require(fromV == 2L && t.currentVersion == 4L,
+      s"fixture chain drifted: from=$fromV head=${t.currentVersion}")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q33Root, "_FIXTURE_READY"))
+  }
+
+  /** The row-level changelog across compact + merge + append. */
+  def q33Changelog(s: SparkSession, dir: String): DataFrame = {
+    val root = q33Dir(s)
+    graft.format.QTable(s"$root/table", s).readChanges(2L, 4L)
+      .select("image_id", "caption", "w", "h", "fmt", "phash", "_change_type")
+  }
+
+  val q33Sql: String = {
+    val differ = Seq("caption", "bytes", "w", "h", "fmt", "phash")
+      .map(c => s"p.$c IS DISTINCT FROM q.$c").mkString(" OR ")
+    s"""WITH pre AS (SELECT * FROM read_parquet('$Q33Root/exp/pre/*.parquet')),
+       |post AS (SELECT * FROM read_parquet('$Q33Root/exp/post/*.parquet'))
+       |SELECT q.image_id, q.caption, q.w, q.h, q.fmt, q.phash,
+       |       'insert' AS _change_type
+       |FROM post q LEFT JOIN pre p ON q.image_id = p.image_id
+       |WHERE p.image_id IS NULL
+       |UNION ALL
+       |SELECT p.image_id, p.caption, p.w, p.h, p.fmt, p.phash, 'delete'
+       |FROM pre p LEFT JOIN post q ON p.image_id = q.image_id
+       |WHERE q.image_id IS NULL
+       |UNION ALL
+       |SELECT p.image_id, p.caption, p.w, p.h, p.fmt, p.phash,
+       |       'update_preimage'
+       |FROM pre p JOIN post q ON p.image_id = q.image_id
+       |WHERE $differ
+       |UNION ALL
+       |SELECT q.image_id, q.caption, q.w, q.h, q.fmt, q.phash,
+       |       'update_postimage'
+       |FROM pre p JOIN post q ON p.image_id = q.image_id
+       |WHERE $differ""".stripMargin
+  }
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1412,7 +1514,8 @@ object Queries {
     "q29_knn_multiprobe" -> ((q29KnnMultiprobe _, q29Sql)),
     "q30_merge_delete" -> ((q30MergeDelete _, q30Sql)),
     "q31_widen_scan" -> ((q31WidenScan _, q31Sql)),
-    "q32_stream_ingest" -> ((q32StreamIngest _, q32Sql)))
+    "q32_stream_ingest" -> ((q32StreamIngest _, q32Sql)),
+    "q33_changelog" -> ((q33Changelog _, q33Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
