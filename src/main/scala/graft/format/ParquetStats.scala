@@ -34,8 +34,17 @@ object ParquetStats {
       val longs = scala.collection.mutable.Map[String, (Long, Long)]()
       val doubles = scala.collection.mutable.Map[String, (Double, Double)]()
       val strings = scala.collection.mutable.Map[String, (String, String)]()
+      // image_id blooms, one per row group; ALL groups must yield one or
+      // the file records none (a partial bloom set could prune a file
+      // whose uncovered group holds the key — unsound)
+      val blooms = scala.collection.mutable.ArrayBuffer[String]()
+      var bloomsComplete = true
       footer.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
+        if (bloomsComplete) BloomIndex.harvest(reader, block) match {
+          case Some(b) => blooms += b
+          case None => bloomsComplete = false
+        }
         block.getColumns.asScala.foreach { col =>
           val name = col.getPath.toDotString
           val st = col.getStatistics
@@ -98,7 +107,8 @@ object ParquetStats {
         phashMax = phMax,
         imageIdMin = if (idMin == null) "" else idMin,
         imageIdMax = if (idMax == null) "" else idMax,
-        colStats = colStats.toMap)
+        colStats = colStats.toMap,
+        idBlooms = if (bloomsComplete) blooms.toSeq else Nil)
     } finally reader.close()
   }
 

@@ -63,16 +63,39 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
     case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => leMin(a.name, v, e)
     case LessThan(a: AttributeReference, Literal(v, _)) => ltMin(a.name, v, e)
     case EqualTo(a: AttributeReference, Literal(v, _)) =>
-      geMax(a.name, v, e) && leMin(a.name, v, e)
+      geMax(a.name, v, e) && leMin(a.name, v, e) && bloomMay(a.name, v, e)
     // literal-on-left mirrors
     case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => leMin(a.name, v, e)
     case GreaterThan(Literal(v, _), a: AttributeReference) => ltMin(a.name, v, e)
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) => geMax(a.name, v, e)
     case LessThan(Literal(v, _), a: AttributeReference) => gtMax(a.name, v, e)
     case EqualTo(Literal(v, _), a: AttributeReference) =>
-      geMax(a.name, v, e) && leMin(a.name, v, e)
+      geMax(a.name, v, e) && leMin(a.name, v, e) && bloomMay(a.name, v, e)
+    // multi-point lookups: file kept iff SOME key may be present
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) =>
+        geMax(a.name, v, e) && leMin(a.name, v, e) && bloomMay(a.name, v, e) }
+    case InSet(a: AttributeReference, vs) =>
+      vs.exists(v =>
+        geMax(a.name, v, e) && leMin(a.name, v, e) && bloomMay(a.name, v, e))
     case _ => true
   }
+
+  /** Bloom membership for id-equality predicates — the skipping layer
+    * behind min/max where clustering widened per-file id ranges (see
+    * [[BloomIndex]]). A row group may hold the key iff its bloom says so;
+    * the FILE may iff any group may. No blooms recorded = unknown = kept.
+    * Decoded filters are cached per file across the query's predicates. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter]]()
+
+  private def bloomMay(name: String, v: Any, e: DataFileEntry): Boolean =
+    name != "image_id" || v == null || e.blooms.isEmpty || {
+      val filters = bloomCache.computeIfAbsent(e.path,
+        _ => e.blooms.map(BloomIndex.decode))
+      filters.exists(f => BloomIndex.mightContain(f, v.toString))
+    }
 
   /** stats range of column `name` in file `e`, as (min, max) if tracked:
     * the three dedicated key/stat columns, then the generic colStats map

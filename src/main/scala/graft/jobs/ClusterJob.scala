@@ -159,10 +159,9 @@ class ClusterJob(
             keyed.withColumn("__bin", ExactShuffle.binByBounds(col("zkey"), bounds)),
             nOut, col("__bin")).drop("__bin")
         }
-      clustered
+      graft.format.TableWrite.parquet(clustered
         .sortWithinPartitions(col("zkey"), col("tiebreak"))
-        .drop("zkey", "tiebreak")
-        .write.parquet(dir)
+        .drop("zkey", "tiebreak"), dir)
       val t1 = System.nanoTime()
       val files = table.harvest(dir)
       val t2 = System.nanoTime()

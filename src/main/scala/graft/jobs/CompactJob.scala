@@ -72,7 +72,7 @@ class CompactJob(
         cleanDir(dir) // crashed partial attempt is overwritten
         val df = jobTable.readFiles(p.inputs.map(_.path))
         val t0 = System.nanoTime()
-        df.write.parquet(dir)
+        graft.format.TableWrite.parquet(df, dir)
         val t1 = System.nanoTime()
         val files = table.harvest(dir)
         val t2 = System.nanoTime()

@@ -136,7 +136,7 @@ class MergeJob(
           .drop(s"_new_${f.phys}")
       }
       val df = JobPlanning.alignToPhysical(patched, snap)
-      df.coalesce(math.max(1, files.size)).write.parquet(dir)
+      graft.format.TableWrite.parquet(df.coalesce(math.max(1, files.size)), dir)
       val out = table.harvest(dir)
       val entry = LineageEntry(jobId, "merge", group, files.map(_.path), out,
         out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
@@ -155,12 +155,12 @@ class MergeJob(
         case None =>
           val dir = table.newDataDir(jobId, group)
           cleanDir(dir)
-          JobPlanning.alignToPhysical(
-            inserts.withColumn("pbucket",
-              pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int")),
-            snap)
-            .repartition(col("pbucket"))
-            .write.parquet(dir)
+          graft.format.TableWrite.parquet(
+            JobPlanning.alignToPhysical(
+              inserts.withColumn("pbucket",
+                pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int")),
+              snap)
+              .repartition(col("pbucket")), dir)
           val out = table.harvest(dir)
           val entry = LineageEntry(jobId, "merge", group, Nil, out,
             out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)

@@ -55,12 +55,12 @@ class RebucketJob(
       val df = table.readFiles(paths)
         .withColumn("pbucket", bucket)
         .withColumn("__bin", col("pbucket") * subPerBucket + sub)
-      JobPlanning.alignToPhysical(
-        ExactShuffle.repartitionByBin(df, nOut, col("__bin"))
-          .drop("__bin")
-          .sortWithinPartitions("pbucket", "phash"),
-        snap)
-        .write.parquet(dir)
+      graft.format.TableWrite.parquet(
+        JobPlanning.alignToPhysical(
+          ExactShuffle.repartitionByBin(df, nOut, col("__bin"))
+            .drop("__bin")
+            .sortWithinPartitions("pbucket", "phash"),
+          snap), dir)
       val files = table.harvest(dir)
       val entry = LineageEntry(jobId, "rebucket", "all", paths, files,
         files.map(_.rowCount).sum, files.map(_.byteCount).sum, "committed", 1)
