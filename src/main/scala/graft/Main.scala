@@ -30,6 +30,10 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
+  *   spark-submit --class graft.Main <jar> changes --table T --from V [--to V] [--out DIR]
+  *   spark-submit --class graft.Main <jar> tag     --table T --name N [--version V]
+  *   spark-submit --class graft.Main <jar> untag   --table T --name N
+  *   spark-submit --class graft.Main <jar> tags    --table T
   *   spark-submit --class graft.Main <jar> describe --table T
   */
 object Main {
@@ -315,6 +319,44 @@ object Main {
           "added-rows" -> added.map(_.rowCount).sum.toString,
           "added-bytes" -> added.map(_.byteCount).sum.toString))
 
+      case "tag" =>
+        // immutable named snapshot ref; survives expiry until untagged
+        val name = req(opts, "name")
+        val ref = graft.format.Tags.create(table, name,
+          opts.get("version").map(_.toLong).getOrElse(-1L))
+        report("tag", Map("name" -> ref.name,
+          "version" -> ref.version.toString,
+          "created-at-ms" -> ref.createdAtMs.toString))
+
+      case "untag" =>
+        val name = req(opts, "name")
+        val existed = graft.format.Tags.delete(table, name)
+        report("untag", Map("name" -> name, "deleted" -> existed.toString))
+
+      case "tags" =>
+        graft.format.Tags.list(table).foreach(r =>
+          report("tags", Map("name" -> r.name,
+            "version" -> r.version.toString,
+            "created-at-ms" -> r.createdAtMs.toString)))
+
+      case "changes" =>
+        // row-level CDC over (from, to] — follows merges and rollbacks,
+        // unlike `incremental` (which refuses them by design)
+        val t = table
+        val from = req(opts, "from").toLong
+        val to = opts.get("to").map(_.toLong).getOrElse(t.currentVersion)
+        val ch = t.readChanges(from, to)
+        opts.get("out").foreach(dir =>
+          ch.write.mode("overwrite").parquet(dir))
+        val counts = ch.groupBy("_change_type").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        report("changes", Map(
+          "from-version" -> from.toString, "to-version" -> to.toString,
+          "inserts" -> counts.getOrElse("insert", 0L).toString,
+          "deletes" -> counts.getOrElse("delete", 0L).toString,
+          "updates" -> counts.getOrElse("update_postimage", 0L).toString,
+          "written" -> opts.getOrElse("out", "")))
+
       case "describe" =>
         val t = table
         val s = t.currentSnapshot
@@ -357,5 +399,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|tag|untag|tags|describe> --table PATH [options]"""
 }

@@ -36,7 +36,13 @@ class ExpireSnapshotsJob(table: QTable,
   def run(keepLast: Int): Result = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val versions = table.listVersions
-    val (expired, retained) = versions.splitAt(math.max(0, versions.size - keepLast))
+    // retention = the most recent keepLast PLUS every tagged version: a
+    // tag is an explicit promise that its snapshot stays readable (the
+    // files it references are live below), so expiry must never break it
+    val tagged = graft.format.Tags.list(table).map(_.version).toSet
+    val keep = versions.takeRight(keepLast).toSet ++
+      tagged.filter(versions.contains)
+    val (expired, retained) = versions.partition(v => !keep.contains(v))
     if (expired.isEmpty) return Result(Nil, 0, 0)
 
     val retainedSnaps = retained.map(table.snapshotAt)
