@@ -95,12 +95,16 @@ object BloomIndex {
   * uniformly carry the image_id bloom (sized by `spark.graft.bloom.ndv`,
   * default 4096 ≈ rows in a target-sized file — an UNDERestimate only
   * raises the false-positive rate, never unsounds pruning; disable with
-  * `spark.graft.bloom.enabled=false`). */
+  * `spark.graft.bloom.enabled=false`, or env `GRAFT_BLOOM_OFF=1` for
+  * A/B bench runs that cannot thread a conf). Measured free at bench
+  * scale: 100k-row/64-file write and harvest times are identical with
+  * and without the bloom (BENCH/NOTES.md round-4 addendum). */
 object TableWrite {
   def parquet(df: DataFrame, dir: String): Unit = {
     val conf = df.sparkSession.conf
     val w = df.write
-    (if (conf.get("spark.graft.bloom.enabled", "true").toBoolean)
+    (if (conf.get("spark.graft.bloom.enabled", "true").toBoolean &&
+        !sys.env.get("GRAFT_BLOOM_OFF").contains("1"))
       w.option("parquet.bloom.filter.enabled#image_id", "true")
         .option("parquet.bloom.filter.expected.ndv#image_id",
           conf.get("spark.graft.bloom.ndv", "4096"))
