@@ -31,6 +31,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> changes --table T --from V [--to V] [--out DIR]
+  *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
   *   spark-submit --class graft.Main <jar> tag     --table T --name N [--version V]
   *   spark-submit --class graft.Main <jar> untag   --table T --name N
   *   spark-submit --class graft.Main <jar> tags    --table T
@@ -319,6 +320,27 @@ object Main {
           "added-rows" -> added.map(_.rowCount).sum.toString,
           "added-bytes" -> added.map(_.byteCount).sum.toString))
 
+      case "analyze" =>
+        // maintenance-debt report from metadata only — no data reads;
+        // cheap enough for every scheduler tick
+        val r = new AnalyzeJob(table, targetBytes).run()
+        report("analyze", Map(
+          "version" -> r.version.toString,
+          "operation" -> r.operation,
+          "retained-versions" -> r.retainedVersions.toString,
+          "tags" -> r.tags.toString,
+          "files" -> r.files.toString,
+          "total-bytes" -> r.totalBytes.toString,
+          "avg-file-bytes" -> r.avgFileBytes.toString,
+          "small-files" -> r.smallFiles.toString,
+          "small-file-debt-bytes" -> r.smallFileDebtBytes.toString,
+          "manifests" -> r.manifests.toString,
+          "avg-entries-per-manifest" -> r.avgEntriesPerManifest.toString,
+          "bloom-coverage" -> f"${r.bloomCoverage}%.3f",
+          "cluster-overlap" -> f"${r.clusterOverlap}%.2f",
+          "worst-bucket-overlap" -> f"${r.worstBucketOverlap}%.2f",
+          "schema-fields" -> r.schemaFields.toString))
+
       case "tag" =>
         // immutable named snapshot ref; survives expiry until untagged
         val name = req(opts, "name")
@@ -399,5 +421,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|tag|untag|tags|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|tag|untag|tags|describe> --table PATH [options]"""
 }

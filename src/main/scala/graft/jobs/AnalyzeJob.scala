@@ -1,0 +1,85 @@
+package graft.jobs
+
+import graft.format.{QTable, Tags}
+
+/** Maintenance-debt report, computed from snapshot + manifest metadata
+  * ONLY — no data file is opened, so it costs the same on a 10^12-row
+  * table as on a test fixture and can run on every scheduler tick to
+  * decide WHICH maintenance to launch (the observability face of the
+  * `maintain` composite: compact when smallFileDebt is high, cluster
+  * when overlap is high, rewrite-manifests when entries/manifest drifts,
+  * expire when retained versions pile up).
+  *
+  * Clustering overlap is the standard range-overlap metric: for each
+  * bucket, sum(per-file phash span) / bucket phash span ≈ how many files
+  * a random phash-range probe must read. Freshly clustered buckets sit
+  * near 1.0 (disjoint spans); every append stacks another full-span file
+  * on top, pushing it toward the file count.
+  */
+class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
+
+  final case class Report(
+      version: Long,
+      operation: String,
+      retainedVersions: Int,
+      tags: Int,
+      files: Int,
+      totalBytes: Long,
+      avgFileBytes: Long,
+      smallFiles: Int,
+      smallFileDebtBytes: Long,
+      manifests: Int,
+      avgEntriesPerManifest: Int,
+      bloomCoverage: Double,
+      clusterOverlap: Double,
+      worstBucketOverlap: Double,
+      schemaFields: Int)
+
+  def run(): Report = {
+    val snap = table.currentSnapshot
+    val entries = table.entries(snap)
+    val files = entries.size
+    val totalBytes = entries.map(_.byteCount).sum
+    // a file is "small" below half the target: binpack output lands in
+    // [half, full] by construction, so anything below it is real debt
+    val small = entries.filter(_.byteCount < targetFileBytes / 2)
+
+    // per-bucket overlap over files that live in exactly one bucket
+    // (cross-bucket files — pre-rebucket history — count as overlap 1
+    // in each bucket they span is overstated; they are rare and flagged
+    // by the small-file/bucket metrics instead, so they are excluded)
+    val byBucket = entries.filter(e => e.pbucketMin == e.pbucketMax)
+      .groupBy(_.pbucketMin)
+    val overlaps = byBucket.values.toSeq.flatMap { fs =>
+      val lo = fs.map(_.phashMin).min
+      val hi = fs.map(_.phashMax).max
+      val span = hi.toDouble - lo.toDouble
+      if (span <= 0 || fs.size < 2) None
+      else Some((fs.map(f => f.phashMax.toDouble - f.phashMin.toDouble).sum
+        / span, fs.size))
+    }
+    val clusterOverlap =
+      if (overlaps.isEmpty) 1.0
+      else overlaps.map { case (o, n) => o * n }.sum / overlaps.map(_._2).sum
+    val worst = if (overlaps.isEmpty) 1.0 else overlaps.map(_._1).max
+
+    Report(
+      version = snap.version,
+      operation = snap.operation,
+      retainedVersions = table.listVersions.size,
+      tags = Tags.list(table).size,
+      files = files,
+      totalBytes = totalBytes,
+      avgFileBytes = if (files == 0) 0L else totalBytes / files,
+      smallFiles = small.size,
+      smallFileDebtBytes = small.map(_.byteCount).sum,
+      manifests = snap.manifests.size,
+      avgEntriesPerManifest =
+        if (snap.manifests.isEmpty) 0 else files / snap.manifests.size,
+      bloomCoverage =
+        if (files == 0) 1.0 else entries.count(_.blooms.nonEmpty).toDouble / files,
+      clusterOverlap = clusterOverlap,
+      worstBucketOverlap = worst,
+      schemaFields = snap.schemaFields.size)
+  }
+}
