@@ -26,12 +26,15 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--keep K] [--dry-run]
-  *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F]
+  *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
-  *   spark-submit --class graft.Main <jar> changes --table T --from V [--to V] [--out DIR]
+  *   spark-submit --class graft.Main <jar> changes --table T (--from V | --from-tag N) [--to V | --to-tag N] [--out DIR]
   *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
+  *   spark-submit --class graft.Main <jar> <compact|cluster|merge|rebucket|rewrite-manifests|...> --staged   (write-audit-publish)
+  *   spark-submit --class graft.Main <jar> publish --table T
+  *   spark-submit --class graft.Main <jar> abort-staged --table T
   *   spark-submit --class graft.Main <jar> tag     --table T --name N [--version V]
   *   spark-submit --class graft.Main <jar> untag   --table T --name N
   *   spark-submit --class graft.Main <jar> tags    --table T
@@ -59,7 +62,13 @@ object Main {
       else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def table = QTable(req(opts, "table"), spark)
+    // --staged: the job claims its commit but the version hint stays put
+    // (write-audit-publish) — audit with `verify --against <staged>`,
+    // then `publish` or `abort-staged`
+    def table = {
+      val t = QTable(req(opts, "table"), spark)
+      if (opts.contains("staged")) t.staged else t
+    }
     def targetBytes = opts.get("target-mb").map(_.toLong << 20).getOrElse(128L << 20)
     // val, not def: CommitRetry re-enters the job body on conflict, and a
     // fresh UUID per attempt would orphan the losing attempt's checkpoint
@@ -230,8 +239,14 @@ object Main {
             "manifests-after" -> snap.manifests.size.toString))
 
       case "verify" =>
-        val t = table
-        val cur = t.currentSnapshot
+        val t = QTable(req(opts, "table"), spark)
+        // --staged: audit the claimed-but-unpublished snapshot (the WAP
+        // gate) instead of the published head
+        val cur =
+          if (opts.contains("staged"))
+            t.snapshotAt(t.stagedVersion.getOrElse(
+              throw new IllegalStateException("nothing staged to verify")))
+          else t.currentSnapshot
         val against = opts.get("against").map(_.toLong)
           .getOrElse(cur.parentVersion)
         require(against >= 0, "no parent snapshot to verify against; pass --against V")
@@ -250,6 +265,11 @@ object Main {
         if (!ok) sys.exit(1)
 
       case "maintain" =>
+        // the composite chains commits; a staged first commit would hold
+        // the claim the second needs — stage individual jobs instead
+        require(!opts.contains("staged"),
+          "maintain does not compose with --staged (its own verify gate " +
+            "audits before the destructive tail); stage individual jobs")
         // composite maintenance pass (the reference's EP1 flow shape, and
         // the OPTIMIZE+VACUUM analogue): compact -> cluster ->
         // rewrite-manifests -> [gate] -> expire -> orphan sweep, each
@@ -320,6 +340,17 @@ object Main {
           "added-rows" -> added.map(_.rowCount).sum.toString,
           "added-bytes" -> added.map(_.byteCount).sum.toString))
 
+      case "publish" =>
+        val snap = QTable(req(opts, "table"), spark).publishStaged()
+        report("publish", snap.summary ++ Map(
+          "version" -> snap.version.toString,
+          "operation" -> snap.operation))
+
+      case "abort-staged" =>
+        val aborted = QTable(req(opts, "table"), spark).abortStaged()
+        report("abort-staged", Map(
+          "aborted-version" -> aborted.map(_.toString).getOrElse("none")))
+
       case "analyze" =>
         // maintenance-debt report from metadata only — no data reads;
         // cheap enough for every scheduler tick
@@ -363,10 +394,17 @@ object Main {
 
       case "changes" =>
         // row-level CDC over (from, to] — follows merges and rollbacks,
-        // unlike `incremental` (which refuses them by design)
+        // unlike `incremental` (which refuses them by design); endpoints
+        // address by version or by tag name ("what changed since the
+        // last training release")
         val t = table
-        val from = req(opts, "from").toLong
-        val to = opts.get("to").map(_.toLong).getOrElse(t.currentVersion)
+        val from = opts.get("from-tag")
+          .map(n => graft.format.Tags.ref(t, n).version)
+          .getOrElse(req(opts, "from").toLong)
+        val to = opts.get("to-tag")
+          .map(n => graft.format.Tags.ref(t, n).version)
+          .orElse(opts.get("to").map(_.toLong))
+          .getOrElse(t.currentVersion)
         val ch = t.readChanges(from, to)
         opts.get("out").foreach(dir =>
           ch.write.mode("overwrite").parquet(dir))
@@ -421,5 +459,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|tag|untag|tags|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|tag|untag|tags|publish|abort-staged|describe> --table PATH [options]"""
 }

@@ -309,8 +309,67 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       System.currentTimeMillis(), schema, lastFieldId)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
-    io.writeAtomic(hintFile, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    publishHint(v)
     snap
+  }
+
+  /** Final step of the commit protocol: flip the version hint so readers
+    * see the new snapshot. [[staged]] views override this to a no-op —
+    * the write-audit-publish gate. */
+  protected def publishHint(v: Long): Unit =
+    io.writeAtomic(hintFile, v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  // --------------------------------------------- write-audit-publish
+
+  /** A view of this table whose commits STAGE instead of publish: the
+    * job claims `v<head+1>.json` like any commit (so concurrent writers
+    * conflict and wait — staging owns the single-writer window, which is
+    * exactly what a maintenance audit gate wants) but the version hint
+    * is not flipped, so every reader still resolves the pre-job
+    * snapshot. Audit the staged snapshot explicitly (`snapshotAt`,
+    * `verify --against`), then [[publishStaged]] to make it live or
+    * [[abortStaged]] to discard it — Iceberg's WAP pattern re-derived
+    * over the hint/claim commit protocol. */
+  def staged: QTable = new QTable(root, spark) {
+    override protected def publishHint(v: Long): Unit = ()
+  }
+
+  /** The claimed-but-unpublished version, if any (at most head+1: the
+    * claim on `v<head+1>` is exclusive while the hint stays behind). */
+  def stagedVersion: Option[Long] = {
+    val head = currentVersion
+    listVersions.filter(_ > head).maxOption
+  }
+
+  /** Make the staged snapshot live. One atomic hint flip: readers that
+    * resolved the old head keep their snapshot (isolation as usual). */
+  def publishStaged(): Snapshot = {
+    val v = stagedVersion.getOrElse(
+      throw new IllegalStateException("nothing staged to publish"))
+    publishHint(v)
+    snapshotAt(v)
+  }
+
+  /** Discard the staged snapshot: delete the data files and manifests it
+    * ADDED relative to its parent (shared/reused ones survive), then
+    * release the version claim so writers can proceed. Safe after a
+    * crashed audit: everything deleted is unreachable from the published
+    * chain by construction. */
+  def abortStaged(): Option[Long] = stagedVersion.map { v =>
+    val snap = snapshotAt(v)
+    val parent = snapshotAt(snap.parentVersion)
+    val parentFiles = entries(parent).map(_.path).toSet
+    val parentManifests = parent.manifests.map(_.path).toSet
+    entries(snap).map(_.path).filterNot(parentFiles.contains)
+      .foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hadoopConf)
+        if (fs.exists(hp)) fs.delete(hp, false)
+      }
+    snap.manifests.map(_.path).filterNot(parentManifests.contains)
+      .foreach(m => io.delete(s"$metadataDir/$m"))
+    io.delete(versionFile(v))
+    v
   }
 
   /** Snapshot operations that preserve the logical row set (pure layout /
