@@ -1063,6 +1063,7 @@ object Queries {
     q31Dir(s)
     q32Dir(s)
     q33Dir(s)
+    q34Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1456,6 +1457,66 @@ object Queries {
        |WHERE $differ""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q34
+  /** Root of the build-once bloom-lookup fixture: a qtable is appended
+    * and Z-order clustered (so per-file image_id min/max ranges span the
+    * id domain and range stats alone cannot prune), then read back
+    * through the stats-skipping FileIndex with a point + IN-list + miss
+    * predicate. The full table is exported so DuckDB recomputes the
+    * lookup — the bloom branch (manifest-carried per-row-group blooms,
+    * [[graft.format.BloomIndex]]) sits under an exact external oracle
+    * for CORRECTNESS (no false negatives drop a hit, the absent id
+    * returns nothing); the PRUNING itself is asserted by BloomSkipSpec,
+    * which the oracle cannot see. Bump the suffix on shape changes. */
+  private val Q34Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lookup_v1"
+  private val Q34Ids = Seq("pl-img000000000123", "pl-img000000000321",
+    "pl-img000000000007", "pl-img000000000404-absent")
+
+  private def q34Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q34Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q34Root
+    val lockPath = Paths.get(Q34Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ34(s)
+    } finally { lock.release(); ch.close() }
+    Q34Root
+  }
+
+  private def buildQ34(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q34Root)
+    val t = graft.format.QTable.create(s"$Q34Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, 600, 13L).toDF()
+        .withColumn("image_id", concat(lit("pl-"), col("image_id"))),
+      filesPerBucket = 3)
+    new graft.jobs.ClusterJob(t, targetFileBytes = 1L << 20).run()
+    t.read().select("image_id", "caption", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q34Root/exp/all")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q34Root, "_FIXTURE_READY"))
+  }
+
+  /** IN-list point lookup through the bloom-tested FileIndex over a
+    * clustered table (one listed id is absent by construction). */
+  def q34PointLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = q34Dir(s)
+    val (df, _) = graft.format.QTable(s"$root/table", s).readIndexed()
+    df.where(col("image_id").isin(Q34Ids: _*))
+      .select("image_id", "caption", "w")
+  }
+
+  val q34Sql: String = {
+    val inList = Q34Ids.map(id => s"'$id'").mkString(", ")
+    s"""SELECT image_id, caption, w
+       |FROM read_parquet('$Q34Root/exp/all/*.parquet')
+       |WHERE image_id IN ($inList)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1515,7 +1576,8 @@ object Queries {
     "q30_merge_delete" -> ((q30MergeDelete _, q30Sql)),
     "q31_widen_scan" -> ((q31WidenScan _, q31Sql)),
     "q32_stream_ingest" -> ((q32StreamIngest _, q32Sql)),
-    "q33_changelog" -> ((q33Changelog _, q33Sql)))
+    "q33_changelog" -> ((q33Changelog _, q33Sql)),
+    "q34_point_lookup" -> ((q34PointLookup _, q34Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
