@@ -12,8 +12,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   spark-submit --class graft.Main <jar> synth   --table T --rows N [--buckets B] [--files-per-bucket F] [--seed S]
-  *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J]
-  *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J]
+  *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J] [--scope B1,B2]
+  *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--job-id J]
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
@@ -78,6 +78,11 @@ object Main {
     // semaphore caps, SURVEY 2.7 D1, re-expressed over Spark jobs)
     def concurrency = opts.get("concurrency").map(_.toInt)
       .getOrElse(math.max(2, spark.sparkContext.defaultParallelism))
+    // --scope 0,3,5: restrict a rewrite to the named buckets (rolling
+    // maintenance — at 100 TB the whole table is never one run; distinct
+    // from --buckets, which is a bucket COUNT on synth/rebucket)
+    def bucketScope = opts.get("scope")
+      .map(_.split(",").map(_.trim.toInt).toSet)
 
     try cmd match {
       case "synth" =>
@@ -94,13 +99,14 @@ object Main {
 
       case "compact" =>
         val snap = CommitRetry.withCommitRetry()(new CompactJob(table, targetBytes,
-          jobId = jobId, concurrency = concurrency).run())
+          jobId = jobId, concurrency = concurrency,
+          bucketScope = bucketScope).run())
         report("compact", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "cluster" =>
         val snap = CommitRetry.withCommitRetry()(new ClusterJob(table, targetBytes,
           hilbert = opts.contains("hilbert"), jobId = jobId,
-          concurrency = concurrency).run())
+          concurrency = concurrency, bucketScope = bucketScope).run())
         report("cluster", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "merge" =>

@@ -38,14 +38,20 @@ class ClusterJob(
     jobId: String = java.util.UUID.randomUUID().toString,
     concurrency: Int = 4,
     minGroupBytes: Long = -1L,
-    gridBatchGroups: Int = ClusterJob.GridBatchGroups) {
+    gridBatchGroups: Int = ClusterJob.GridBatchGroups,
+    bucketScope: Option[Set[Int]] = None) {
 
   final case class Plan(group: String, inputs: Seq[DataFileEntry]) {
     def bytes: Long = inputs.map(_.byteCount).sum
   }
 
+  /** `bucketScope` restricts the rewrite to the named buckets — the
+    * rolling-maintenance control (see [[CompactJob.plan]]); out-of-scope
+    * files carry into the new snapshot by reference. */
   def plan(snap: Snapshot): Seq[Plan] = {
-    val perBucket = table.entries(snap).groupBy(_.pbucketMin).toSeq.sortBy(_._1)
+    val perBucket = table.entries(snap)
+      .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
+      .groupBy(_.pbucketMin).toSeq.sortBy(_._1)
     JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
       .map { case (name, fs) => Plan(name, fs) }
   }
@@ -113,8 +119,13 @@ class ClusterJob(
       runBatch(batch, grids, ckpt, jobTable, failAfterGroups)
     }.toSeq
 
+    // out-of-scope files (bucketScope) carry by reference — an unscoped
+    // run's plan covers every entry, making this the empty set
+    val rewrittenInputs = plans.flatMap(_.inputs.map(_.path)).toSet
+    val untouched = table.entries(snap)
+      .filterNot(f => rewrittenInputs.contains(f.path))
     val committed = table.commit(Some(snap), jobType,
-      outputs.flatMap(_.outputFiles), Map(
+      untouched ++ outputs.flatMap(_.outputFiles), Map(
         "job-id" -> jobId,
         "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
         "groups" -> plans.size.toString))

@@ -28,7 +28,8 @@ class CompactJob(
     smallFileFraction: Double = 0.75,
     jobId: String = java.util.UUID.randomUUID().toString,
     concurrency: Int = 4,
-    minGroupBytes: Long = -1L) {
+    minGroupBytes: Long = -1L,
+    bucketScope: Option[Set[Int]] = None) {
 
   private val threshold = (targetFileBytes * smallFileFraction).toLong
 
@@ -40,9 +41,16 @@ class CompactJob(
     * >= 2 small files have compaction work. Adjacent bucket groups are
     * coalesced until each carries enough bytes that per-group job
     * overhead amortizes — group count adapts to table size, so the same
-    * planner works at 40 MB and at 100 TB. */
+    * planner works at 40 MB and at 100 TB.
+    *
+    * `bucketScope` restricts planning to the named buckets (files
+    * outside ride into the new snapshot untouched, by reference): at
+    * 100 TB nobody compacts the whole table in one run — maintenance
+    * rolls bucket ranges across scheduler windows, and the analyze
+    * report says which buckets carry the debt. */
   def plan(snap: Snapshot): Seq[Plan] = {
     val small = table.entries(snap).filter(_.byteCount < threshold)
+      .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
     val perBucket = small.groupBy(_.pbucketMin).toSeq
       .filter(_._2.size >= 2)
       .sortBy(_._1)
