@@ -113,16 +113,26 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * pruning/joins/AQE, and listing never touches the filesystem.
     * Returns the DataFrame and the index (whose `lastSelection` exposes
     * the skip ratio for tests/metrics). */
-  def readIndexed(s: Snapshot): (DataFrame, QTableFileIndex) = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  /** The Catalyst relation behind [[readIndexed]] and the `qtable`
+    * DataSource ([[graft.spark.QTableSource]]): a parquet
+    * HadoopFsRelation whose file listing is the manifest-backed
+    * stats-skipping index. */
+  private[graft] def relationFor(s: Snapshot)
+      : (org.apache.spark.sql.execution.datasources.HadoopFsRelation, QTableFileIndex) = {
     val index = new QTableFileIndex(entries(s))
-    val rel = HadoopFsRelation(
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
       dataSchema = s.physicalSchema,
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       options = Map.empty)(spark)
+    (rel, index)
+  }
+
+  def readIndexed(s: Snapshot): (DataFrame, QTableFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val (rel, index) = relationFor(s)
     val df = org.apache.spark.sql.GraftBridge.ofRows(spark, LogicalRelation(rel))
     // renamed columns surface under logical names via a projection the
     // optimizer collapses into the scan (alias pushdown keeps the stats

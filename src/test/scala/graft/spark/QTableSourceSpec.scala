@@ -1,0 +1,89 @@
+package graft.spark
+
+import graft.TestSpark
+import graft.format.{QTable, Tags}
+import graft.jobs.{AppendJob, ClusterJob, MergeJob}
+import graft.synth.DataGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** spark.read.format("qtable"): equality with the library read path,
+  * version/tag time travel, SQL USING views, pushdown through the
+  * manifest index, and the documented renamed-table refusal. */
+class QTableSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(n: Long): QTable = {
+    val t = QTable.create(TestSpark.tmpDir("dsrc"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, n, 42L, 2).toDF(), 2)
+    t
+  }
+
+  test("format(qtable) head read equals QTable.read; version and tag time-travel") {
+    val t = fresh(300)
+    Tags.create(t, "rel-1")                                    // pins v1
+    val corr = DataGen.correctionsDF(spark, 300, 42L, inserts = 4)
+    new MergeJob(t).run(corr)                                  // v2
+
+    val head = spark.read.format("qtable").load(t.root)
+    assert(head.count() == 304)
+    assert(head.select("image_id").except(
+      t.read().select("image_id")).count() == 0)
+
+    val v1 = spark.read.format("qtable").option("version", "1").load(t.root)
+    assert(v1.count() == 300)
+    val byTag = spark.read.format("qtable").option("tag", "rel-1").load(t.root)
+    assert(byTag.count() == 300)
+    assert(byTag.select("image_id").except(v1.select("image_id")).count() == 0)
+
+    intercept[IllegalArgumentException] {
+      spark.read.format("qtable").option("tag", "rel-1")
+        .option("version", "1").load(t.root)
+    }
+  }
+
+  test("SQL: CREATE TEMPORARY VIEW USING qtable, snapshot-isolated") {
+    val t = fresh(200)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qsrc_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    assert(spark.sql("SELECT count(*) FROM qsrc_imgs").head().getLong(0) == 200)
+    // the view resolved its snapshot at creation: a later append is not
+    // visible through it (snapshot isolation), but is through a re-read
+    import spark.implicits._
+    AppendJob.append(t, DataGen.generate(spark, 10, 7L, 2)
+      .map(r => r.copy(image_id = "z-" + r.image_id)).toDF(), 1)
+    assert(spark.sql("SELECT count(*) FROM qsrc_imgs").head().getLong(0) == 200)
+    assert(spark.read.format("qtable").load(t.root).count() == 210)
+    spark.catalog.dropTempView("qsrc_imgs")
+  }
+
+  test("pushdown: id-equality through the source prunes files via the manifest index") {
+    val t = fresh(2000)
+    new ClusterJob(t, targetFileBytes = 1L << 20).run()
+    import spark.implicits._
+    val id = t.read().select("image_id").orderBy("image_id")
+      .limit(1000).as[String].collect().last
+    val df = spark.read.format("qtable").load(t.root)
+      .where(col("image_id") === id)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.metrics("numFiles").value
+    val total = t.entries(t.currentSnapshot).size
+    assert(total >= 4, s"fixture needs several files, got $total")
+    assert(read < total,
+      s"source scan read $read of $total files — manifest index not engaged")
+  }
+
+  test("renamed tables are refused with a pointer to the library API") {
+    val t = fresh(50)
+    t.addColumn("alt", "string")
+    t.renameColumn("alt", "alt_text")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("qtable").load(t.root).count()
+    }
+    assert(e.getMessage.contains("renamed"))
+  }
+}
