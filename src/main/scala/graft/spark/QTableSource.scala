@@ -1,8 +1,8 @@
 package graft.spark
 
 import graft.format.{QTable, Tags}
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
 /** The idiomatic Spark read surface for qtables:
   *
@@ -28,9 +28,31 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * only; base columns never rename); such tables read through the
   * library API.
   */
-class QTableSource extends RelationProvider with DataSourceRegister {
+class QTableSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "qtable"
+
+  /** Write side: `df.write.format("qtable").mode("append").save(path)`
+    * is an [[graft.jobs.AppendJob]] commit — snapshot-isolated, O(append)
+    * metadata, optimistic-concurrency-retried. Only Append is supported:
+    * Overwrite would be a whole-table replace (use the maintenance jobs
+    * or rollback), and ErrorIfExists/Ignore predicate on table existence,
+    * which `QTable.create` owns. The `files-per-bucket` option sizes the
+    * append's range partitioning (default 1). */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    require(mode == SaveMode.Append,
+      s"qtable sink supports SaveMode.Append only, got $mode " +
+        "(create tables with QTable.create / the synth CLI)")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("qtable sink requires a path"))
+    val t = QTable(path, ctx.sparkSession)
+    val fpb = parameters.getOrElse("files-per-bucket", "1").toInt
+    graft.jobs.CommitRetry.withCommitRetry()(
+      graft.jobs.AppendJob.append(t, data, filesPerBucket = fpb))
+    createRelation(ctx, parameters)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

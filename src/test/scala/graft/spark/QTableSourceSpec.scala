@@ -77,6 +77,23 @@ class QTableSourceSpec extends AnyFunSuite {
       s"source scan read $read of $total files — manifest index not engaged")
   }
 
+  test("write side: mode(append).save is an AppendJob commit; other modes refused") {
+    val t = fresh(100)                                         // v1
+    import spark.implicits._
+    DataGen.generate(spark, 30, 9L, 2)
+      .map(r => r.copy(image_id = "w-" + r.image_id)).toDF()
+      .write.format("qtable").mode("append").save(t.root)      // v2
+    assert(t.currentVersion == 2)
+    assert(t.currentSnapshot.operation == "append")
+    assert(t.read().count() == 130)
+    assert(spark.read.format("qtable").load(t.root)
+      .where(col("image_id").startsWith("w-")).count() == 30)
+    intercept[IllegalArgumentException] {
+      DataGen.generate(spark, 1, 1L, 1).toDF()
+        .write.format("qtable").mode("overwrite").save(t.root)
+    }
+  }
+
   test("renamed tables are refused with a pointer to the library API") {
     val t = fresh(50)
     t.addColumn("alt", "string")
