@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
-  *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--keep K] [--dry-run]
+  *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--keep K] [--dry-run] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
@@ -289,11 +289,14 @@ object Main {
         // counts.
         val t = table
         val pre = t.currentSnapshot
+        // --scope rolls the whole pass over a bucket subset: both
+        // rewrites take it, the verify gate still checks the full table
         val snapC = CommitRetry.withCommitRetry()(new CompactJob(t, targetBytes,
-          jobId = s"$jobId-compact", concurrency = concurrency).run())
+          jobId = s"$jobId-compact", concurrency = concurrency,
+          bucketScope = bucketScope).run())
         val snapZ = CommitRetry.withCommitRetry()(new ClusterJob(t, targetBytes,
           hilbert = opts.contains("hilbert"), jobId = s"$jobId-cluster",
-          concurrency = concurrency).run())
+          concurrency = concurrency, bucketScope = bucketScope).run())
         val snapM = CommitRetry.withCommitRetry()(new RewriteManifestsJob(t).run(
           opts.getOrElse("entries-per-manifest", "512").toInt))
         val (okV, badV) = ScanEquivalence.check(t.read(pre), t.read(snapM))
