@@ -2,7 +2,9 @@ package graft.spark
 
 import graft.format.{QTable, Tags}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 
 /** The idiomatic Spark read surface for qtables:
   *
@@ -29,7 +31,39 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * library API.
   */
 class QTableSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
+
+  /** Streaming sink: `df.writeStream.format("qtable").option(
+    * "checkpointLocation", ...).start(path)` — each micro-batch lands
+    * through [[graft.streaming.StreamingAppend]]'s idempotent sink, so
+    * the exactly-once batch-id dedup, snapshot isolation, and
+    * maintenance-under-live-stream guarantees all apply without
+    * foreachBatch wiring. `query-name` option keys the dedup (defaults
+    * to the path's last segment); Append output mode only (a qtable is
+    * an append-log of snapshots; aggregations complete their state
+    * before a merge job upserts them). */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"qtable streaming sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "qtable manages its own bucket partitioning; partitionBy is not supported")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("qtable sink requires a path"))
+    val queryName = parameters.getOrElse("query-name",
+      path.split('/').filter(_.nonEmpty).lastOption.getOrElse("qtable-sink"))
+    val fpb = parameters.getOrElse("files-per-bucket", "1").toInt
+    val ingest = new graft.streaming.StreamingAppend(
+      QTable(path, ctx.sparkSession), queryName, fpb)
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit =
+        // the V1 addBatch frame carries a streaming plan; rebatch it so
+        // the append's ordinary transformations can run (foreachBatch —
+        // the StreamingAppend.start path — receives batch frames already)
+        ingest.sink(org.apache.spark.sql.GraftBridge.rebatch(data), batchId)
+      override def toString: String = s"QTableSink($path)"
+    }
+  }
 
   override def shortName(): String = "qtable"
 

@@ -16,4 +16,18 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Rebatch a V1 streaming Sink's addBatch DataFrame: its logical plan
+    * is streaming-tagged, so ordinary transformations on it re-analyze
+    * and fail ("streaming sources must be executed with
+    * writeStream.start()"). The standard sink pattern: run the already-
+    * planned query once via toRdd and wrap the InternalRows as a plain
+    * batch DataFrame (no driver materialization — rows stay
+    * distributed; the copy detaches rows from codegen's reused
+    * buffers). */
+  def rebatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
+  }
 }

@@ -94,6 +94,37 @@ class QTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sink: writeStream.format(qtable) lands exactly-once appends") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t = QTable.create(TestSpark.tmpDir("dsink"), spark, buckets = 2)
+    val src = MemoryStream[graft.model.ImageRow]
+    val q = src.toDF().writeStream
+      .format("qtable")
+      .option("checkpointLocation", TestSpark.tmpDir("dsink-ckpt"))
+      .option("query-name", "dsink-spec")
+      .start(t.root)
+    try {
+      src.addData(DataGen.generate(spark, 25, 3L, 2)
+        .as[graft.model.ImageRow](
+          org.apache.spark.sql.Encoders.product[graft.model.ImageRow])
+        .collect().toSeq: _*)
+      q.processAllAvailable()
+      assert(t.read().count() == 25)
+      val appends = t.listVersions.map(t.snapshotAt)
+        .filter(_.summary.get("job-id").exists(_.startsWith("stream-dsink-spec-b")))
+      assert(appends.size == 1, "one micro-batch, one snapshot")
+    } finally q.stop()
+    // unsupported shapes are refused up front
+    intercept[IllegalArgumentException] {
+      src.toDF().writeStream.format("qtable")
+        .outputMode("complete")
+        .option("checkpointLocation", TestSpark.tmpDir("dsink-ckpt2"))
+        .start(t.root)
+    }
+  }
+
   test("renamed tables are refused with a pointer to the library API") {
     val t = fresh(50)
     t.addColumn("alt", "string")
