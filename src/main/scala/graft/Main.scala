@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> synth   --table T --rows N [--buckets B] [--files-per-bucket F] [--seed S]
   *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J] [--scope B1,B2]
-  *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--job-id J]
+  *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--job-id J]
+  *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
@@ -123,8 +124,18 @@ object Main {
           .getOrElse(Seq("caption"))
         val snap = CommitRetry.withCommitRetry()(
           new MergeJob(table, jobId, concurrency = concurrency,
-            updateCols = setCols, deleteCol = opts.get("delete-col")).run(corr))
+            updateCols = setCols, deleteCol = opts.get("delete-col"),
+            mergeOnRead = opts.contains("mor")).run(corr))
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "delete" =>
+        // merge-on-read row deletes: --where is a SQL predicate over the
+        // table's logical columns; commit cost is O(matched rows) — the
+        // data files holding them are untouched until a compact folds
+        val cond = org.apache.spark.sql.functions.expr(req(opts, "where"))
+        val snap = CommitRetry.withCommitRetry()(
+          new DeleteJob(table, jobId).run(cond))
+        report("delete", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "stream" =>
         // Structured Streaming ingest: tail --source DIR of parquet row
@@ -379,7 +390,9 @@ object Main {
           "bloom-coverage" -> f"${r.bloomCoverage}%.3f",
           "cluster-overlap" -> f"${r.clusterOverlap}%.2f",
           "worst-bucket-overlap" -> f"${r.worstBucketOverlap}%.2f",
-          "schema-fields" -> r.schemaFields.toString))
+          "schema-fields" -> r.schemaFields.toString,
+          "delete-files" -> r.deleteFiles.toString,
+          "delete-rows" -> r.deleteRows.toString))
 
       case "tag" =>
         // immutable named snapshot ref; survives expiry until untagged

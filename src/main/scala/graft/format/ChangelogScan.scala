@@ -68,13 +68,27 @@ object ChangelogScan {
           Some(t.readFiles(paths, phys)
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
-        case _ => // merge, rollback, anything row-changing: file-set diff
+        case _ => // merge, rollback, delete — anything row-changing:
+          // file-set diff, widened by position-delete changes
           val parent = t.snapshotAt(s.parentVersion)
           val before = t.entries(parent).map(_.path).toSet
           val after = t.entries(s).map(_.path).toSet
-          Some(rowDiff(t,
-            removed = (before -- after).toSeq.sorted,
-            added = (after -- before).toSeq.sorted,
+          // data files present on BOTH sides whose applicable
+          // position-delete set changed (a merge-on-read DELETE commit,
+          // or a rollback across one, changes no data file at all):
+          // their live rows differ, so they join the diff on both sides
+          // — reads below are delete-applied per side, and the
+          // identical-row suppression in rowDiff drops the untouched
+          // majority. O(delete rows) metadata work, never O(table).
+          val delBefore = t.deletePairs(parent).groupMap(_._2)(_._1)
+          val delAfter = t.deletePairs(s).groupMap(_._2)(_._1)
+          val delChanged = (before intersect after).filter { p =>
+            val n = QTable.fileName(p)
+            delBefore.getOrElse(n, Nil).toSet != delAfter.getOrElse(n, Nil).toSet
+          }.toSeq.sorted
+          Some(rowDiff(t, parent, s,
+            removed = (before -- after).toSeq.sorted ++ delChanged,
+            added = (after -- before).toSeq.sorted ++ delChanged,
             phys, v))
       }
     }
@@ -90,18 +104,21 @@ object ChangelogScan {
     } else parts.map(_.select(logical: _*)).reduce(_ union _)
   }
 
-  /** Row-level diff of one commit: pre-image rows (files it removed)
-    * full-outer-joined on the primary key against post-image rows (files
-    * it added). image_id is a base field, so its physical name is stable
+  /** Row-level diff of one commit: pre-image rows (files it removed, read
+    * under the PARENT's delete set) full-outer-joined on the primary key
+    * against post-image rows (files it added, under the commit's delete
+    * set). image_id is a base field, so its physical name is stable
     * across every schema evolution. */
-  private def rowDiff(t: QTable, removed: Seq[String], added: Seq[String],
+  private def rowDiff(t: QTable, parent: graft.model.Snapshot,
+      s: graft.model.Snapshot, removed: Seq[String], added: Seq[String],
       phys: StructType, v: Long): DataFrame = {
     val allCols = phys.fieldNames.toSeq
-    def packed(paths: Seq[String], key: String, row: String) =
-      t.readFiles(paths, phys)
+    def packed(paths: Seq[String], snap: graft.model.Snapshot,
+        key: String, row: String) =
+      t.applyDeletes(t.readFiles(paths, phys), snap, paths)
         .select(col("image_id").as(key), struct(allCols.map(col): _*).as(row))
-    val j = packed(removed, "k_pre", "pre_row")
-      .join(packed(added, "k_post", "post_row"),
+    val j = packed(removed, parent, "k_pre", "pre_row")
+      .join(packed(added, s, "k_post", "post_row"),
         col("k_pre") === col("k_post"), "full_outer")
       // copied-on-write untouched rows: same key, bit-identical row
       .where(col("k_pre").isNull || col("k_post").isNull ||

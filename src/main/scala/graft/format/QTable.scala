@@ -96,9 +96,114 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * nulls for it (Iceberg-style metadata-only evolution). Files are read
     * under their PHYSICAL (creation-time) names and aliased to the
     * current logical names, so a renamed column reads old and new files
-    * alike — the projection is a no-op when nothing was renamed. */
-  def read(s: Snapshot): DataFrame =
-    toLogical(readFiles(entries(s).map(_.path), s.physicalSchema), s)
+    * alike — the projection is a no-op when nothing was renamed. Live
+    * position deletes (merge-on-read) are applied — see [[applyDeletes]]. */
+  def read(s: Snapshot): DataFrame = {
+    val paths = entries(s).map(_.path)
+    toLogical(applyDeletes(readFiles(paths, s.physicalSchema), s, paths), s)
+  }
+
+  // ------------------------------------------ merge-on-read position deletes
+
+  /** Row shape of a position-delete file: one row per deleted data row. */
+  val deleteSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Scheme-insensitive path key for delete-file range pruning:
+    * authority + URI path. Scan flavors render the SAME file as
+    * `file:///x`, `file:/x` or `/x` — lexicographic compares must not
+    * see the scheme prefix. */
+  private def pathKey(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    Option(u.getAuthority).getOrElse("") + u.getPath
+  }
+
+  /** The delete files that can reference any of `readPaths` (range
+    * prune on the scheme-normalized referenced-path bounds). */
+  private def neededDeletes(s: Snapshot, readPaths: Seq[String]): Seq[DeleteFileEntry] = {
+    val dels = s.deleteFiles
+    if (dels.isEmpty || readPaths.isEmpty) return Nil
+    val qp = readPaths.map(pathKey)
+    val (lo, hi) = (qp.min, qp.max)
+    dels.filter(d => pathKey(d.dataPathMax) >= lo && pathKey(d.dataPathMin) <= hi)
+  }
+
+  /** Apply a snapshot's live position deletes to a frame scanned from
+    * (a subset of) its data files: anti-join on `(_metadata.file_path,
+    * _metadata.row_index)` — the merge-on-read path. The join key is
+    * the file NAME (UUID-unique part files), not the full path: the
+    * flavors of scan behind read/readIndexed render the same file with
+    * different scheme qualification, and names are immune. The delete
+    * side is O(deleted-since-last-fold rows) and AQE broadcasts it when
+    * small (the steady-state case); `readPaths` prunes delete files
+    * whose referenced-path range cannot overlap the scan, so a scoped
+    * rewrite of one bucket never reads other buckets' delete files.
+    * No-op (the unchanged `df`, preserving existing plans
+    * byte-for-byte) when no delete can apply. */
+  def applyDeletes(df: DataFrame, s: Snapshot, readPaths: Seq[String]): DataFrame = {
+    if (neededDeletes(s, readPaths).isEmpty) df
+    else applyDeletesWithPos(df, s, readPaths)
+      .drop("__gpath", "__gpos")
+  }
+
+  /** [[applyDeletes]] variant that also materializes the scan address
+    * columns `__gpath` (= `_metadata.file_path`) and `__gpos`
+    * (= `_metadata.row_index`) for callers that need row positions —
+    * delete writers (DeleteJob, merge-on-read MERGE). The metadata
+    * column must be captured BEFORE the anti-join: Spark does not
+    * resolve `_metadata` through a join. */
+  def applyDeletesWithPos(df: DataFrame, s: Snapshot, readPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val withPos = df
+      .withColumn("__gpath", col("_metadata.file_path"))
+      .withColumn("__gpos", col("_metadata.row_index"))
+    val needed = neededDeletes(s, readPaths)
+    if (needed.isEmpty) return withPos
+    val delDf = df.sparkSession.read.schema(deleteSchema)
+      .parquet(needed.map(_.path): _*)
+      .select(substring_index(col("file_path"), "/", -1).as("__gname"),
+        col("pos").as("__gpos"))
+    withPos.withColumn("__gname", substring_index(col("__gpath"), "/", -1))
+      .join(delDf, Seq("__gname", "__gpos"), "left_anti")
+      .drop("__gname")
+  }
+
+  /** Distinct (delete-file name, referenced data-file name) pairs of a
+    * snapshot's live delete set — the exact fold/planning input for
+    * rewrite jobs (which data files carry deletes; which delete entries
+    * still reference a surviving file). One small Spark job over the
+    * delete files, O(delete rows); empty without a scan when there are
+    * none. File NAMES (UUID-unique part files) sidestep scheme/slash
+    * differences between stored URIs and manifest paths. */
+  def deletePairs(s: Snapshot): Seq[(String, String)] = {
+    val dels = s.deleteFiles
+    if (dels.isEmpty) return Nil
+    import org.apache.spark.sql.functions.col
+    spark.read.schema(deleteSchema).parquet(dels.map(_.path): _*)
+      .select(col("_metadata.file_path").as("d"), col("file_path").as("f"))
+      .distinct().collect()
+      .map(r => (QTable.fileName(r.getString(0)), QTable.fileName(r.getString(1))))
+      .toSeq
+  }
+
+  /** The delete entries still needed once only `survivingPaths` remain
+    * live (a rewrite job's fold rule): an entry is dropped when every
+    * data file it references was rewritten — its rows were materialized
+    * away by the delete-applied rewrite read. `pairs` is
+    * [[deletePairs]] of the snapshot being rewritten. */
+  def retainDeletes(s: Snapshot, pairs: Seq[(String, String)],
+      survivingPaths: Iterable[String]): Seq[DeleteFileEntry] = {
+    if (s.deleteFiles.isEmpty) return Nil
+    val surviving = survivingPaths.map(QTable.fileName).toSet
+    val liveDeleteNames = pairs.collect {
+      case (d, f) if surviving.contains(f) => d
+    }.toSet
+    s.deleteFiles.filter(d => liveDeleteNames.contains(QTable.fileName(d.path)))
+  }
 
   /** Alias a physical-schema frame to the snapshot's logical names. */
   private def toLogical(df: DataFrame, s: Snapshot): DataFrame =
@@ -133,7 +238,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def readIndexed(s: Snapshot): (DataFrame, QTableFileIndex) = {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val (rel, index) = relationFor(s)
-    val df = org.apache.spark.sql.GraftBridge.ofRows(spark, LogicalRelation(rel))
+    val df0 = org.apache.spark.sql.GraftBridge.ofRows(spark, LogicalRelation(rel))
+    // merge-on-read: anti-join live position deletes above the indexed
+    // scan (pushed filters and stats skipping still reach the scan node
+    // below the join; a no-op when the snapshot carries no deletes)
+    val df = applyDeletes(df0, s, entries(s).map(_.path))
     // renamed columns surface under logical names via a projection the
     // optimizer collapses into the scan (alias pushdown keeps the stats
     // skipping on phash/pbucket/image_id intact — those are base fields
@@ -176,7 +285,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       entriesPerManifest: Int = 512,
       reuseManifests: Seq[ManifestMeta] = Nil,
       bucketsOverride: Option[Int] = None,
-      schemaOverride: Option[Seq[FieldDef]] = None): Snapshot = {
+      schemaOverride: Option[Seq[FieldDef]] = None,
+      deletesOverride: Option[Seq[DeleteFileEntry]] = None): Snapshot = {
     val sorted = files.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
     val newManifests = sorted.grouped(math.max(1, entriesPerManifest)).map { group =>
       val name = s"manifest-${java.util.UUID.randomUUID()}.json"
@@ -194,10 +304,23 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val manifests = reuseManifests ++ newManifests
 
     val parentV = parent.map(_.version).getOrElse(-1L)
+    // position deletes: carried from the parent by default (appends and
+    // metadata-only commits never touch them); rewrite jobs override with
+    // their folded set; DeleteJob/MOR merge with parent's ++ new entries.
+    // "total-rows" stays the FILE row total — live rows = it minus
+    // "total-delete-rows" (zero in steady state, maintenance folds them)
+    val deletes = deletesOverride
+      .orElse(parent.map(_.deleteFiles)).getOrElse(Nil)
+    val deleteSummary =
+      if (deletes.isEmpty) Map.empty[String, String]
+      else Map(
+        "total-delete-files" -> deletes.size.toString,
+        "total-delete-rows" -> deletes.map(_.rowCount).sum.toString)
     val summary = Map(
       "total-files" -> manifests.map(_.fileCount).sum.toString,
       "total-rows" -> manifests.map(_.rowCount).sum.toString,
-      "total-bytes" -> manifests.map(_.byteCount).sum.toString) ++ extraSummary
+      "total-bytes" -> manifests.map(_.byteCount).sum.toString) ++
+      deleteSummary ++ extraSummary
     val buckets = bucketsOverride
       .orElse(parent.map(_.buckets)).getOrElse(QTable.DefaultBuckets)
     // schema travels raw: an empty recorded schema (pre-evolution) stays
@@ -207,7 +330,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // highest-ever field id rides every commit so a dropped column's id
     // is never reallocated (see Snapshot.highestFieldId)
     val lastId = parent.map(_.highestFieldId).getOrElse(0)
-    commitSnapshot(parentV, operation, manifests, summary, buckets, schema, lastId)
+    commitSnapshot(parentV, operation, manifests, summary, buckets, schema,
+      lastId, deletes)
   }
 
   /** Metadata-only schema evolution: append a NULLABLE column. Old data
@@ -307,7 +431,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
 
   private[format] def commitSnapshot(parentV: Long, operation: String,
       manifests: Seq[ManifestMeta], summary: Map[String, String],
-      buckets: Int, schema: Seq[FieldDef] = Nil, lastFieldId: Int = 0): Snapshot = {
+      buckets: Int, schema: Seq[FieldDef] = Nil, lastFieldId: Int = 0,
+      deletes: Seq[DeleteFileEntry] = Nil): Snapshot = {
     io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
     val head = currentVersion
@@ -316,7 +441,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
         s"stale commit: parent v$parentV but table is at v$head")
     val v = parentV + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
-      System.currentTimeMillis(), schema, lastFieldId)
+      System.currentTimeMillis(), schema, lastFieldId, deletes)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
     publishHint(v)
@@ -368,9 +493,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def abortStaged(): Option[Long] = stagedVersion.map { v =>
     val snap = snapshotAt(v)
     val parent = snapshotAt(snap.parentVersion)
-    val parentFiles = entries(parent).map(_.path).toSet
+    val parentFiles = entries(parent).map(_.path).toSet ++
+      parent.deleteFiles.map(_.path)
     val parentManifests = parent.manifests.map(_.path).toSet
-    entries(snap).map(_.path).filterNot(parentFiles.contains)
+    (entries(snap).map(_.path) ++ snap.deleteFiles.map(_.path))
+      .filterNot(parentFiles.contains)
       .foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(hadoopConf)
@@ -479,6 +606,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
 
 object QTable {
   val DefaultBuckets = 8
+
+  /** Data/delete file names are UUID-unique Spark part files, so the
+    * NAME identifies a file regardless of scheme/qualification — the
+    * normalization every path-set comparison in the engine uses. */
+  def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   def apply(root: String, spark: SparkSession): QTable = new QTable(root, spark)
 

@@ -33,7 +33,9 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
       bloomCoverage: Double,
       clusterOverlap: Double,
       worstBucketOverlap: Double,
-      schemaFields: Int)
+      schemaFields: Int,
+      deleteFiles: Int,
+      deleteRows: Long)
 
   def run(): Report = {
     val snap = table.currentSnapshot
@@ -80,6 +82,11 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
         if (files == 0) 1.0 else entries.count(_.blooms.nonEmpty).toDouble / files,
       clusterOverlap = clusterOverlap,
       worstBucketOverlap = worst,
-      schemaFields = snap.schemaFields.size)
+      schemaFields = snap.schemaFields.size,
+      // merge-on-read debt: every scan anti-joins this many delete rows
+      // until a compact folds them (compact plans delete-referenced
+      // files as mandatory work, so launching it clears this)
+      deleteFiles = snap.deleteFiles.size,
+      deleteRows = snap.deleteFiles.map(_.rowCount).sum)
   }
 }

@@ -92,6 +92,11 @@ class ClusterJob(
     val snap = table.currentSnapshot
     val plans = plan(snap)
     if (plans.isEmpty) return snap
+    // position-delete fold input: which delete entries reference which
+    // files (cluster rewrites every in-scope file, so in-scope deletes
+    // fold; quantile sampling stays delete-oblivious — dead rows skew
+    // boundary estimates marginally, never correctness)
+    val delPairs = table.deletePairs(snap)
 
     val ckpt = new Checkpoint(table, jobId)
     // isolated session with AQE off for the group rewrites: the exact-bin
@@ -116,7 +121,7 @@ class ClusterJob(
       val grids = boundsByGroup(batch)
       if (sys.env.contains("GRAFT_TIMING"))
         System.err.println(f"[timing] cluster-bounds ${(System.nanoTime() - tB0) / 1e9}%6.2fs (${batch.size} groups)")
-      runBatch(batch, grids, ckpt, jobTable, failAfterGroups)
+      runBatch(snap, batch, grids, ckpt, jobTable, failAfterGroups)
     }.toSeq
 
     // out-of-scope files (bucketScope) carry by reference — an unscoped
@@ -128,12 +133,15 @@ class ClusterJob(
       untouched ++ outputs.flatMap(_.outputFiles), Map(
         "job-id" -> jobId,
         "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
-        "groups" -> plans.size.toString))
+        "groups" -> plans.size.toString),
+      deletesOverride =
+        Some(table.retainDeletes(snap, delPairs, untouched.map(_.path))))
     ckpt.clear()
     committed
   }
 
-  private def runBatch(batch: Seq[Plan], grids: Map[String, Array[Long]],
+  private def runBatch(snap: Snapshot, batch: Seq[Plan],
+      grids: Map[String, Array[Long]],
       ckpt: Checkpoint, jobTable: graft.format.QTable,
       failAfterGroups: Int): Seq[LineageEntry] =
     GroupRunner.run[Plan](batch, _.group, _.inputs.map(_.path),
@@ -145,7 +153,9 @@ class ClusterJob(
       cleanDir(dir)
       val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
       val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
-      val keyed = jobTable.readFiles(p.inputs.map(_.path))
+      // delete-applied read: the rewrite folds position deletes away
+      val keyed = jobTable.applyDeletes(
+          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs.map(_.path))
         .withColumn("zkey", zkeyCol)
         .withColumn("tiebreak", xxhash64(col("image_id")))
 

@@ -48,11 +48,23 @@ class CompactJob(
     * 100 TB nobody compacts the whole table in one run — maintenance
     * rolls bucket ranges across scheduler windows, and the analyze
     * report says which buckets carry the debt. */
-  def plan(snap: Snapshot): Seq[Plan] = {
-    val small = table.entries(snap).filter(_.byteCount < threshold)
+  def plan(snap: Snapshot): Seq[Plan] = plan(snap, table.deletePairs(snap))
+
+  /** `delPairs` = [[QTable.deletePairs]] of `snap`: files carrying
+    * position deletes are MANDATORY compaction work regardless of size —
+    * rewriting them (delete-applied) is what folds merge-on-read deletes
+    * back into clean data files, so every read stops paying the
+    * anti-join (Iceberg's delete-file-threshold rewrite criterion). A
+    * group containing such a file runs even with a single member. */
+  def plan(snap: Snapshot, delPairs: Seq[(String, String)]): Seq[Plan] = {
+    val delRef = delPairs.map(_._2).toSet
+    def hasDeletes(e: DataFileEntry) =
+      delRef.contains(graft.format.QTable.fileName(e.path))
+    val small = table.entries(snap)
+      .filter(e => e.byteCount < threshold || hasDeletes(e))
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
     val perBucket = small.groupBy(_.pbucketMin).toSeq
-      .filter(_._2.size >= 2)
+      .filter { case (_, fs) => fs.size >= 2 || fs.exists(hasDeletes) }
       .sortBy(_._1)
     JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
       .map { case (name, fs) => Plan(name, fs) }
@@ -62,7 +74,8 @@ class CompactJob(
     * driver after k committed groups. Returns the new snapshot. */
   def run(failAfterGroups: Int = Int.MaxValue): Snapshot = {
     val snap = table.currentSnapshot
-    val plans = plan(snap)
+    val delPairs = table.deletePairs(snap)
+    val plans = plan(snap, delPairs)
     if (plans.isEmpty) return snap
 
     val ckpt = new Checkpoint(table, jobId)
@@ -78,7 +91,10 @@ class CompactJob(
         sizeOf = _.bytes) { p =>
         val dir = table.newDataDir(jobId, p.group)
         cleanDir(dir) // crashed partial attempt is overwritten
-        val df = jobTable.readFiles(p.inputs.map(_.path))
+        // delete-applied read: rewriting a file folds its position
+        // deletes into the output (a no-op join when the set is empty)
+        val df = jobTable.applyDeletes(
+          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs.map(_.path))
         val t0 = System.nanoTime()
         graft.format.TableWrite.parquet(df, dir)
         val t1 = System.nanoTime()
@@ -101,11 +117,16 @@ class CompactJob(
     val rewrittenInputs = plans.flatMap(_.inputs.map(_.path)).toSet
     val untouched = table.entries(snap).filterNot(f => rewrittenInputs.contains(f.path))
     val newFiles = untouched ++ outputs.flatMap(_.outputFiles)
+    // fold position deletes: every delete-referenced file in scope was
+    // rewritten (delete-applied), so only entries still referencing a
+    // surviving out-of-scope file stay — an unscoped run clears the set
     val committed = table.commit(Some(snap), "compact", newFiles, Map(
       "job-id" -> jobId,
       "files-rewritten" -> rewrittenInputs.size.toString,
       "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
-      "groups" -> plans.size.toString))
+      "groups" -> plans.size.toString),
+      deletesOverride =
+        Some(table.retainDeletes(snap, delPairs, untouched.map(_.path))))
     ckpt.clear() // finished jobIds must not be resumable against later snapshots
     committed
   }

@@ -1,0 +1,100 @@
+package graft.jobs
+
+import graft.format.QTable
+import graft.model.{DeleteFileEntry, Snapshot}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read DELETE: mark the rows matching a predicate deleted by
+  * writing POSITION-DELETE files — `(file_path, pos)` rows — instead of
+  * rewriting the data files that contain them (the copy-on-write path
+  * MergeJob takes by default). Commit cost is O(matched rows), not
+  * O(matched files' bytes): deleting 40 rows spread over 400 half-GB
+  * files writes a few-KB delete file where CoW would rewrite 200 GB —
+  * the difference between an interactive DELETE and a maintenance
+  * window at 100 TB.
+  *
+  * The read side pays instead: every scan anti-joins the live delete
+  * set ([[QTable.applyDeletes]]) until a rewrite job folds the deletes
+  * into fresh data files (CompactJob plans delete-referenced files as
+  * mandatory work; any full rewrite clears the set). That read/write
+  * trade is exactly Iceberg v2's merge-on-read contract.
+  *
+  * The predicate sees LOGICAL column names (schema evolution applies)
+  * and runs against the delete-applied live view, so re-deleting an
+  * already-deleted row is a no-op and recorded counts stay exact. The
+  * scan pushes the predicate into parquet (row-group skipping);
+  * `_metadata.row_index` positions remain absolute under pushdown.
+  */
+class DeleteJob(
+    table: QTable,
+    jobId: String = java.util.UUID.randomUUID().toString) {
+
+  def run(condition: Column): Snapshot = {
+    val snap = table.currentSnapshot
+    val paths = table.entries(snap).map(_.path)
+    if (paths.isEmpty) return snap
+
+    // scan with positions, apply EXISTING deletes (already-dead rows must
+    // not be re-recorded), then evaluate the predicate over logical names
+    val base = table.readFiles(paths, snap.physicalSchema)
+    val live = table.applyDeletesWithPos(base, snap, paths)
+    val logical = snap.schemaFields.map(f => col(f.phys).as(f.name)) ++
+      Seq(col("__gpath"), col("__gpos"))
+    val hits = live.select(logical: _*).where(condition)
+      .select(col("__gpath").as("file_path"), col("__gpos").as("pos"))
+
+    val (written, n) = DeleteJob.writeDeleteFiles(table,
+      hits, table.newDataDir(jobId, "deletes"))
+    if (n == 0) return snap
+    table.commit(Some(snap), "delete", Nil,
+      Map("job-id" -> jobId,
+        "deleted-rows" -> n.toString,
+        "new-delete-files" -> written.size.toString),
+      reuseManifests = snap.manifests,
+      deletesOverride = Some(snap.deleteFiles ++ written))
+  }
+}
+
+object DeleteJob {
+
+  /** Target rows per position-delete file (a (path,pos) row is ~100 B —
+    * files land well under data-file size). */
+  val TargetDeleteFileRows: Long = 4L * 1000 * 1000
+
+  /** Write a `(file_path, pos)` frame as position-delete files under
+    * `dir`, sorted by (file_path, pos) so a pruned read touches few row
+    * groups, and return (entries, total rows). Per-file stats (rows +
+    * referenced-path range) come from one small job over the written
+    * files — O(delete rows), metadata-sized result. Writes nothing and
+    * returns (Nil, 0) for an empty frame. */
+  def writeDeleteFiles(table: QTable, hits0: DataFrame, dir: String,
+      targetRows: Long = TargetDeleteFileRows): (Seq[DeleteFileEntry], Long) = {
+    val hits = hits0.cache()
+    try {
+      val n = hits.count()
+      if (n == 0) return (Nil, 0L)
+      val nOut = math.max(1, (n / targetRows).toInt)
+      graft.format.TableWrite.parquet(
+        hits.repartitionByRange(nOut, col("file_path"), col("pos"))
+          .sortWithinPartitions("file_path", "pos"), dir)
+
+      val conf = table.hadoopConf
+      val sizes = graft.format.ParquetStats
+        .listParquetWithMtime(dir, conf).map(_._1)
+        .map(p => QTable.fileName(p) -> p).toMap
+      val entries = table.spark.read.schema(table.deleteSchema).parquet(dir)
+        .groupBy(col("_metadata.file_path").as("p"))
+        .agg(count(lit(1)).as("n"), min("file_path").as("lo"),
+          max("file_path").as("hi"))
+        .collect().map { r =>
+          val path = sizes(QTable.fileName(r.getString(0)))
+          val hp = new org.apache.hadoop.fs.Path(path)
+          DeleteFileEntry(path = path, rowCount = r.getLong(1),
+            byteCount = hp.getFileSystem(conf).getFileStatus(hp).getLen,
+            dataPathMin = r.getString(2), dataPathMax = r.getString(3))
+        }.toSeq
+      (entries, n)
+    } finally hits.unpersist()
+  }
+}

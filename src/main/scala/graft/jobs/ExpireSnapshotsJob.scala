@@ -46,7 +46,8 @@ class ExpireSnapshotsJob(table: QTable,
     if (expired.isEmpty) return Result(Nil, 0, 0)
 
     val retainedSnaps = retained.map(table.snapshotAt)
-    val liveFiles = retainedSnaps.flatMap(s => table.entries(s).map(_.path)).toSet
+    val liveFiles = retainedSnaps.flatMap(s =>
+      table.entries(s).map(_.path) ++ s.deleteFiles.map(_.path)).toSet
     val liveManifests = retainedSnaps.flatMap(_.manifests.map(_.path)).toSet
 
     // Expired snapshots routinely SHARE manifests (appends and the
@@ -65,10 +66,15 @@ class ExpireSnapshotsJob(table: QTable,
 
     // distinct: a rewrite-manifests chain can list one file from several
     // dead manifests — the sequential path counted it once (second delete
-    // found nothing), the distributed path must not double-delete either
-    val deadDataPaths = deadManifests.toSeq
-      .flatMap(m => table.readManifest(m).files.map(_.path))
+    // found nothing), the distributed path must not double-delete either.
+    // Position-delete files referenced only by expired snapshots (folded
+    // away or rolled back in every retained one) die with them.
+    val deadDeletePaths = expired.map(table.snapshotAt)
+      .flatMap(_.deleteFiles.map(_.path))
       .filterNot(liveFiles.contains).distinct
+    val deadDataPaths = (deadManifests.toSeq
+      .flatMap(m => table.readManifest(m).files.map(_.path))
+      .filterNot(liveFiles.contains) ++ deadDeletePaths).distinct
 
     val dataDeleted =
       if (deadDataPaths.size < distributeThreshold) deadDataPaths.count(delete)

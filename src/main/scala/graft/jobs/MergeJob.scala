@@ -28,20 +28,31 @@ import org.apache.spark.sql.DataFrame
   * resolves it first with a row_number window over an explicit sequence
   * column (the q11 operator).
   *
-  * Copy-on-write: only data files that actually contain a matched
-  * image_id are rewritten; every other file is carried into the new
-  * snapshot by reference (a file whose matches are ALL deletes and whose
-  * rewrite comes out empty simply contributes no output files). The
-  * matched-file scan broadcasts the (small) source to avoid shuffling
-  * the big table; candidate files are pruned first by manifest image_id
-  * ranges.
+  * Copy-on-write (default): only data files that actually contain a
+  * matched image_id are rewritten; every other file is carried into the
+  * new snapshot by reference (a file whose matches are ALL deletes and
+  * whose rewrite comes out empty simply contributes no output files).
+  * The matched-file scan broadcasts the (small) source to avoid
+  * shuffling the big table; candidate files are pruned first by
+  * manifest image_id ranges.
+  *
+  * Merge-on-read (`mergeOnRead = true`): no data file is rewritten —
+  * matched rows' old versions are POSITION-DELETED ([[DeleteJob]]
+  * machinery) and the patched/inserted rows appended as new files, so
+  * commit cost is O(changed rows) instead of O(matched files' bytes).
+  * The right strategy when matches are sparse across huge files (the
+  * 100 TB steady state); reads pay the delete anti-join until a
+  * compact/cluster run folds the deletes. Both strategies produce the
+  * same logical table (spec-asserted) — the trade is pure write-vs-read
+  * amplification, Iceberg v2's CoW/MOR dial re-derived.
   */
 class MergeJob(
     table: QTable,
     jobId: String = java.util.UUID.randomUUID().toString,
     concurrency: Int = 4,
     updateCols: Seq[String] = Seq("caption"),
-    deleteCol: Option[String] = None) {
+    deleteCol: Option[String] = None,
+    mergeOnRead: Boolean = false) {
 
   def run(source0: DataFrame, failAfterGroups: Int = Int.MaxValue): Snapshot = {
     val snap = table.currentSnapshot
@@ -77,10 +88,24 @@ class MergeJob(
     // keys. `_metadata.file_path` (not input_file_name) — the metadata
     // column changes the scan output so a cached plain scan of the same
     // files can never be substituted in (which would yield empty paths).
+    // every table-side read below is delete-applied: a position-deleted
+    // row must neither count as a match (else its file is needlessly
+    // rewritten) nor suppress an INSERT of the same key (else the source
+    // row would vanish — the merge-on-read resurrect/lose bug)
+    def readLive(files: Seq[DataFileEntry]) = {
+      val paths = files.map(_.path)
+      table.applyDeletes(table.readFiles(paths), snap, paths)
+    }
+    // position-keeping variant: `_metadata` must be captured before the
+    // delete anti-join (Spark does not resolve it through a join)
+    def readLivePos(files: Seq[DataFileEntry]) = {
+      val paths = files.map(_.path)
+      table.applyDeletesWithPos(table.readFiles(paths), snap, paths)
+    }
     val srcKeys = broadcast(source.select(col("image_id")))
     val matchedFiles: Set[String] = if (candidates.isEmpty) Set.empty else {
-      table.readFiles(candidates.map(_.path))
-        .select(col("image_id"), col("_metadata.file_path").as("_file"))
+      readLivePos(candidates)
+        .select(col("image_id"), col("__gpath").as("_file"))
         .join(srcKeys, Seq("image_id"))
         .select("_file").distinct().collect().map(_.getString(0))
         .map(normalizePath).toSet
@@ -96,7 +121,7 @@ class MergeJob(
     val inserts = source.where(notDeleteFlagged)
       .drop(deleteCol.toSeq: _*)
       .join(
-        table.readFiles(affected.map(_.path)).select("image_id"),
+        readLive(affected).select("image_id"),
         Seq("image_id"), "left_anti").cache()
     val insertCount = inserts.count()
     val deleteFlagged =
@@ -117,6 +142,69 @@ class MergeJob(
           deleteCol.map(c =>
             coalesce(col(c).cast("boolean"), lit(false)).as("_del")).toSeq): _*))
 
+    // ------------------------------------------------- merge-on-read
+    // MOR strategy: instead of rewriting every matched file, position-
+    // delete the matched rows' OLD versions and append the patched/
+    // inserted rows as new files — commit cost O(changed rows), the only
+    // viable MERGE shape when matches are sparse across huge files. Data
+    // manifests are carried by reference (append-style); reads pay the
+    // delete anti-join until maintenance folds it. No per-group
+    // checkpoint: the writes are small and the commit atomic — a killed
+    // run leaves only orphans for the sweep.
+    if (mergeOnRead) {
+      // matched rows (with positions) exist only when some file matched;
+      // an inserts-only merge skips straight to the append side
+      val matched = if (affected.isEmpty) None else Some(
+        readLivePos(affected)
+          .join(updatesSrc, Seq("image_id"))
+          .cache())
+      try {
+        val (delEntries, matchedCount) = matched match {
+          case None => (Nil, 0L)
+          case Some(m) => DeleteJob.writeDeleteFiles(table,
+            m.select(col("__gpath").as("file_path"), col("__gpos").as("pos")),
+            table.newDataDir(jobId, "deletes"))
+        }
+        // patched post-images of non-delete-flagged matches (same SET
+        // semantics as the CoW rewrite: null source value keeps target)
+        val patchedOpt = matched.map { m =>
+          var p = (if (deleteCol.isDefined)
+              m.where(!coalesce(col("_del"), lit(false))).drop("_del")
+            else m)
+            .drop("__gpath", "__gpos")
+          setFields.foreach { f =>
+            p = p.withColumn(f.phys, coalesce(col(s"_new_${f.phys}"), col(f.phys)))
+              .drop(s"_new_${f.phys}")
+          }
+          JobPlanning.alignToPhysical(p, snap)
+        }
+        val insertRows = JobPlanning.alignToPhysical(
+          inserts.withColumn("pbucket",
+            pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int")),
+          snap)
+        val newRows = patchedOpt.map(_.unionByName(insertRows)).getOrElse(insertRows)
+        val out = if (matchedCount + insertCount > 0) {
+          val dir = table.newDataDir(jobId, "rows")
+          cleanDir(dir)
+          graft.format.TableWrite.parquet(newRows.repartition(col("pbucket")), dir)
+          table.harvest(dir)
+        } else Nil
+        source.unpersist(); inserts.unpersist()
+        if (matchedCount + insertCount == 0) return snap
+        return table.commit(Some(snap), "merge", out, Map(
+          "job-id" -> jobId,
+          "strategy" -> "merge-on-read",
+          "source-rows" -> srcCount.toString,
+          "rows-updated" -> (srcCount - insertCount - deleteFlagged).toString,
+          "rows-inserted" -> insertCount.toString,
+          "rows-deleted" ->
+            (matchedCount - (srcCount - insertCount - deleteFlagged)).toString,
+          "files-rewritten" -> "0"),
+          reuseManifests = snap.manifests,
+          deletesOverride = Some(snap.deleteFiles ++ delEntries))
+      } finally matched.foreach(_.unpersist())
+    }
+
     val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
       groups, _._1, _._2.map(_.path), already, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, "merge", gf.group,
@@ -126,7 +214,7 @@ class MergeJob(
       // WHEN MATCHED: delete-flagged rows drop out, SET columns take the
       // source value where non-null (left-join null = unmatched row,
       // which the same coalesce leaves untouched)
-      var patched = table.readFiles(files.map(_.path))
+      var patched = readLive(files)
         .join(updatesSrc, Seq("image_id"), "left")
       if (deleteCol.isDefined)
         patched = patched.where(!coalesce(col("_del"), lit(false))).drop("_del")
@@ -173,7 +261,9 @@ class MergeJob(
     val untouched = all.filterNot(f => affectedPaths.contains(f.path))
     source.unpersist(); inserts.unpersist()
     // target rows removed by WHEN MATCHED DELETE = input-vs-output row
-    // delta of the rewritten groups (updates preserve row counts)
+    // delta of the rewritten groups (updates preserve row counts; any
+    // position deletes folded by the rewrite count here too — they left
+    // the physical files in this commit)
     val deletedRows = affected.map(_.rowCount).sum -
       rewritten.flatMap(_.outputFiles).map(_.rowCount).sum
     val committed = table.commit(Some(snap), "merge",
@@ -183,7 +273,9 @@ class MergeJob(
         "rows-updated" -> (srcCount - insertCount - deleteFlagged).toString,
         "rows-inserted" -> insertCount.toString,
         "rows-deleted" -> deletedRows.toString,
-        "files-rewritten" -> affected.size.toString))
+        "files-rewritten" -> affected.size.toString),
+      deletesOverride = Some(table.retainDeletes(snap,
+        table.deletePairs(snap), untouched.map(_.path))))
     ckpt.clear()
     committed
   }

@@ -52,7 +52,9 @@ class RebucketJob(
       cleanDir(dir)
       val bucket = pmod(xxhash64(col("image_id")), lit(newBuckets.toLong)).cast("int")
       val sub = pmod(xxhash64(col("image_id"), lit("sub")), lit(subPerBucket.toLong)).cast("int")
-      val df = table.readFiles(paths)
+      // delete-applied whole-table read: the rewrite folds every live
+      // position delete (the commit below clears the set)
+      val df = table.applyDeletes(table.readFiles(paths), snap, paths)
         .withColumn("pbucket", bucket)
         .withColumn("__bin", col("pbucket") * subPerBucket + sub)
       graft.format.TableWrite.parquet(
@@ -73,7 +75,8 @@ class RebucketJob(
         "job-id" -> jobId,
         "buckets-before" -> snap.buckets.toString,
         "bytes-rewritten" -> totalBytes.toString),
-      bucketsOverride = Some(newBuckets))
+      bucketsOverride = Some(newBuckets),
+      deletesOverride = Some(Nil)) // whole-table rewrite folds all deletes
     ckpt.clear()
     committed
   }

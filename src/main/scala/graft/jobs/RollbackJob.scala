@@ -28,11 +28,15 @@ class RollbackJob(table: QTable) {
     // rollback restores data, not schema): the head schema is kept, and
     // the physical-name invariant (files always store creation-time
     // names) makes any schema/manifest pairing readable.
+    // the position-delete set travels WITH the manifests being restored:
+    // carrying the head's deletes would keep rows dead that the target
+    // snapshot has live (and vice versa after rolling back a delete)
     table.commit(Some(cur), "rollback", Nil,
       Map("rolled-back-to" -> toVersion.toString,
         "rolled-back-from" -> cur.version.toString),
       reuseManifests = target.manifests,
-      bucketsOverride = Some(target.buckets))
+      bucketsOverride = Some(target.buckets),
+      deletesOverride = Some(target.deleteFiles))
   }
 }
 
@@ -69,9 +73,13 @@ class RemoveOrphanFilesJob(table: QTable, graceMs: Long = 24L * 3600 * 1000,
 
     val jobDirs = table.io.listDirNames(table.dataDir).map(n => s"${table.dataDir}/$n")
 
+    // delete files live under data/<jobId>/deletes and are referenced
+    // inline by snapshots — sweeping a live one would resurrect its rows
     val referenced: Seq[String] =
-      table.listVersions.flatMap(v => table.entries(table.snapshotAt(v)))
-        .map(_.path).distinct
+      table.listVersions.flatMap { v =>
+        val s = table.snapshotAt(v)
+        table.entries(s).map(_.path) ++ s.deleteFiles.map(_.path)
+      }.distinct
     // outputs recorded by live (unfinished) job checkpoints
     val inFlight: Seq[String] =
       table.io.listDirNames(s"${table.metadataDir}/checkpoints")

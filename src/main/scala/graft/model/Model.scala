@@ -80,6 +80,28 @@ final case class DataFileEntry(
   def blooms: Seq[String] = Option(idBlooms).getOrElse(Nil)
 }
 
+/** One position-delete file (merge-on-read row deletes, the Iceberg v2
+  * analogue): a parquet file of `(file_path: string, pos: long)` rows,
+  * each marking one row of one DATA file as deleted. Readers apply the
+  * live delete set as an anti-join on `(_metadata.file_path,
+  * _metadata.row_index)`; rewrite jobs fold deletes into the data files
+  * they rewrite and drop entries that no longer reference a live file.
+  *
+  * `dataPathMin`/`dataPathMax` bound the referenced data-file paths
+  * (as stored in the file, i.e. fully-qualified scan URIs) so a scoped
+  * read or rewrite prunes delete files that cannot touch its inputs —
+  * the role Iceberg's delete-manifest partition ranges play. Entries are
+  * held inline in the snapshot (like the manifest list): steady-state
+  * maintenance folds them away, so the list stays O(deletes since the
+  * last rewrite), and a table that lets millions of delete files pile up
+  * unfolded has a maintenance-debt problem no metadata layout fixes. */
+final case class DeleteFileEntry(
+    path: String,
+    rowCount: Long,
+    byteCount: Long,
+    dataPathMin: String,
+    dataPathMax: String)
+
 /** Manifest file metadata held in the snapshot (an inlined manifest list,
   * Iceberg-style): range stats allow skipping whole manifests. */
 final case class ManifestMeta(
@@ -147,7 +169,12 @@ final case class Snapshot(
     buckets: Int,
     timestampMs: Long,
     schema: Seq[FieldDef] = Nil,
-    lastFieldId: Int = 0) {
+    lastFieldId: Int = 0,
+    deletes: Seq[DeleteFileEntry] = Nil) {
+
+  /** Live position-delete files (merge-on-read). Null-safe: snapshots
+    * from before delete tracking deserialize with null here. */
+  def deleteFiles: Seq[DeleteFileEntry] = Option(deletes).getOrElse(Nil)
 
   /** Effective schema fields: recorded ones, else the base schema. */
   def schemaFields: Seq[FieldDef] = {

@@ -1517,6 +1517,152 @@ object Queries {
        |WHERE image_id IN ($inList)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Root of the build-once merge-on-read DELETE fixture: a qtable takes
+    * a position-delete commit ([[graft.jobs.DeleteJob]]) for a
+    * deterministic md5-derived row class — no data file touched — and
+    * then a SCOPED compact that folds only buckets {0,1}, so the read
+    * under test crosses BOTH folded data files and files still carrying
+    * live delete entries (the anti-join path). The pre-delete state is
+    * exported; DuckDB recomputes the survivors with the same md5
+    * predicate — the whole MOR pipeline (position-delete write,
+    * delete-applied scan, partial fold, entry retention) sits under an
+    * exact external oracle. Bump the suffix on shape changes. */
+  private val Q35Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mor_delete_v1"
+  private val Q35N = 500L
+
+  private def q35Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q35Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q35Root
+    val lockPath = Paths.get(Q35Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ35(s)
+    } finally { lock.release(); ch.close() }
+    Q35Root
+  }
+
+  private def buildQ35(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q35Root)
+    val t = graft.format.QTable.create(s"$Q35Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, Q35N, 66L).toDF(), filesPerBucket = 2)
+    t.read().select("image_id", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q35Root/exp/pre")
+    new graft.jobs.DeleteJob(t).run(pmod(mdHash64(col("image_id")), lit(7)) === 3)
+    // partial fold: buckets {0,1} rewrite delete-applied, the rest keep
+    // their live delete entries — both read paths are under the oracle
+    new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20,
+      bucketScope = Some(Set(0, 1))).run()
+    require(t.currentSnapshot.deleteFiles.nonEmpty,
+      "q35 fixture must retain live delete entries after the scoped fold")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q35Root, "_FIXTURE_READY"))
+  }
+
+  /** Survivors of a merge-on-read DELETE, read across folded and
+    * still-deleting files alike. */
+  def q35MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = q35Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "caption")
+  }
+
+  val q35Sql: String =
+    s"""SELECT image_id, caption
+       |FROM read_parquet('$Q35Root/exp/pre/*.parquet')
+       |WHERE ${mdHash64Sql("image_id")} % 7 <> 3""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Root of the build-once merge-on-read MERGE fixture: the q30 shape
+    * (multi-column SET with NULL partial patches, WHEN MATCHED DELETE,
+    * an unmatched delete no-op, fresh inserts) executed with
+    * `mergeOnRead = true` — matched rows position-deleted, patched rows
+    * appended, zero data files rewritten. The same DuckDB full-outer
+    * coalesce recomputes the post-merge state, so CoW (q30) and MOR
+    * (q36) are pinned to ONE external truth: any divergence between the
+    * two strategies breaks one of the two hashes. */
+  private val Q36Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mor_merge_v1"
+  private val Q36N = 400L
+
+  private def q36Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q36Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q36Root
+    val lockPath = Paths.get(Q36Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ36(s)
+    } finally { lock.release(); ch.close() }
+    Q36Root
+  }
+
+  private def buildQ36(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q36Root)
+    val t = graft.format.QTable.create(s"$Q36Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, Q36N, 58L).toDF(), filesPerBucket = 2)
+    val base = t.read()
+    val hmod = pmod(mdHash64(col("image_id")), lit(10))
+    val placeholder = Seq(
+      lit(Array[Byte](0)).as("bytes"), lit(1).as("h"),
+      lit("png").as("fmt"), lit(0L).as("phash"))
+    val upd = base.where(hmod.isin(0, 1, 2)).select(
+      Seq(col("image_id"),
+        concat(lit("q36-upd: "), col("image_id")).as("caption"),
+        when(pmod(mdHash64(col("image_id")), lit(3)) === 0,
+          lit(null).cast("int")).otherwise(col("w") + 7).as("w"),
+        lit(false).as("is_delete")) ++ placeholder: _*)
+    val del = base.where(hmod === lit(4)).select(
+      Seq(col("image_id"), lit("q36-del").as("caption"),
+        lit(null).cast("int").as("w"), lit(true).as("is_delete")) ++
+        placeholder: _*)
+    val ghost = s.range(1).select(
+      Seq(lit("zzz-q36-ghost").as("image_id"), lit("ghost").as("caption"),
+        lit(null).cast("int").as("w"), lit(true).as("is_delete")) ++
+        placeholder: _*)
+    val ins = graft.synth.DataGen.generate(s, 5, 78L).toDF()
+      .withColumn("image_id", concat(lit("q36x-"), col("image_id")))
+      .withColumn("is_delete", lit(false))
+      .select("image_id", "caption", "w", "is_delete", "bytes", "h", "fmt", "phash")
+    val corr = upd.union(del).union(ghost).union(ins)
+
+    base.select("image_id", "caption", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q36Root/exp/pre")
+    corr.select("image_id", "caption", "w", "is_delete")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q36Root/exp/corr")
+    new graft.jobs.MergeJob(t, updateCols = Seq("caption", "w"),
+      deleteCol = Some("is_delete"), mergeOnRead = true).run(corr)
+    require(t.currentSnapshot.deleteFiles.nonEmpty,
+      "q36 fixture must carry live position deletes (MOR commit shape)")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q36Root, "_FIXTURE_READY"))
+  }
+
+  /** Post-merge state after a MERGE-ON-READ merge with updates, partial
+    * updates, deletes and inserts — read through the delete anti-join. */
+  def q36MorMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = q36Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "caption", "w")
+  }
+
+  val q36Sql: String =
+    s"""SELECT COALESCE(p.image_id, c.image_id) AS image_id,
+       |       COALESCE(c.caption, p.caption) AS caption,
+       |       COALESCE(c.w, p.w) AS w
+       |FROM read_parquet('$Q36Root/exp/pre/*.parquet') p
+       |FULL OUTER JOIN read_parquet('$Q36Root/exp/corr/*.parquet') c
+       |ON p.image_id = c.image_id
+       |WHERE NOT COALESCE(c.is_delete, false)""".stripMargin
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1577,7 +1723,9 @@ object Queries {
     "q31_widen_scan" -> ((q31WidenScan _, q31Sql)),
     "q32_stream_ingest" -> ((q32StreamIngest _, q32Sql)),
     "q33_changelog" -> ((q33Changelog _, q33Sql)),
-    "q34_point_lookup" -> ((q34PointLookup _, q34Sql)))
+    "q34_point_lookup" -> ((q34PointLookup _, q34Sql)),
+    "q35_mor_delete" -> ((q35MorDelete _, q35Sql)),
+    "q36_mor_merge" -> ((q36MorMerge _, q36Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

@@ -41,6 +41,65 @@ class FixtureQuerySpec extends AnyFunSuite {
     assert(t.entries(t.currentSnapshot).size > t.entries(widen).size)
   }
 
+  test("q35 fixture: delete commit is metadata-only, fold is partial, read matches recompute") {
+    val df = Queries.q35MorDelete(spark, dir).cache()
+    val t = QTable(s"${System.getProperty("java.io.tmpdir")}/graft_mor_delete_v1/table", spark)
+
+    // the delete snapshot touched no data file
+    val del = t.listVersions.map(t.snapshotAt).find(_.operation == "delete").get
+    val parent = t.snapshotAt(del.parentVersion)
+    assert(t.entries(del).map(_.path).toSet == t.entries(parent).map(_.path).toSet,
+      "MOR delete must not add, drop, or rewrite any data file")
+    assert(del.deleteFiles.nonEmpty)
+    // the scoped compact folded SOME deletes but live entries remain, so
+    // the oracled read crosses both folded files and the anti-join path
+    val head = t.currentSnapshot
+    assert(head.operation == "compact")
+    assert(head.deleteFiles.nonEmpty)
+    assert(head.deleteFiles.map(_.rowCount).sum < del.deleteFiles.map(_.rowCount).sum ||
+      t.entries(head).map(_.path).toSet != t.entries(del).map(_.path).toSet,
+      "scoped compact should have folded part of the table")
+
+    // Spark-side recompute of the oracle semantics (same md5-derived
+    // predicate over the exported pre-state)
+    val pre = spark.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mor_delete_v1/exp/pre")
+    val expected = pre.where(
+      pmod(conv(substring(md5(col("image_id")), 1, 15), 16, 10).cast("long"),
+        lit(7)) =!= 3)
+    assert(df.count() == expected.count())
+    assert(df.join(expected, Seq("image_id", "caption"), "left_anti").count() == 0)
+    assert(expected.join(df, Seq("image_id", "caption"), "left_anti").count() == 0)
+    df.unpersist()
+  }
+
+  test("q36 fixture: MOR merge carried every data file, result matches recompute") {
+    val df = Queries.q36MorMerge(spark, dir).cache()
+    val t = QTable(s"${System.getProperty("java.io.tmpdir")}/graft_mor_merge_v1/table", spark)
+
+    val merge = t.listVersions.map(t.snapshotAt).find(_.operation == "merge").get
+    assert(merge.summary("strategy") == "merge-on-read")
+    assert(merge.summary("files-rewritten") == "0")
+    val parentPaths = t.entries(t.snapshotAt(merge.parentVersion)).map(_.path).toSet
+    assert(parentPaths.subsetOf(t.entries(merge).map(_.path).toSet),
+      "MOR merge must carry every pre-merge data file by reference")
+    assert(merge.deleteFiles.nonEmpty)
+
+    // Spark-side recompute of the oracle's full-outer coalesce
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_mor_merge_v1"
+    val pre = spark.read.parquet(s"$root/exp/pre").as("p")
+    val corr = spark.read.parquet(s"$root/exp/corr").as("c")
+    val expected = pre.join(corr, col("p.image_id") === col("c.image_id"), "full_outer")
+      .where(!coalesce(col("c.is_delete"), lit(false)))
+      .select(coalesce(col("p.image_id"), col("c.image_id")).as("image_id"),
+        coalesce(col("c.caption"), col("p.caption")).as("caption"),
+        coalesce(col("c.w"), col("p.w")).as("w"))
+    assert(df.count() == expected.count())
+    assert(df.join(expected, Seq("image_id", "caption", "w"), "left_anti").count() == 0)
+    assert(expected.join(df, Seq("image_id", "caption", "w"), "left_anti").count() == 0)
+    df.unpersist()
+  }
+
   test("q32 fixture: one snapshot per micro-batch, replayed batch adds none") {
     val df = Queries.q32StreamIngest(spark, dir)
     assert(df.count() == 180)
