@@ -23,8 +23,15 @@ import org.apache.spark.sql.functions._
   * The predicate sees LOGICAL column names (schema evolution applies)
   * and runs against the delete-applied live view, so re-deleting an
   * already-deleted row is a no-op and recorded counts stay exact. The
-  * scan pushes the predicate into parquet (row-group skipping);
-  * `_metadata.row_index` positions remain absolute under pushdown.
+  * scan goes through the manifest-backed stats-skipping
+  * [[graft.format.QTableFileIndex]]: a predicate on
+  * phash/pbucket/image_id pushes through the position projection and
+  * the delete anti-join's left side into the scan node, so a targeted
+  * DELETE opens only the files whose stats ranges (or blooms) can
+  * match — at 10^12 rows, `WHERE image_id = x` must not scan the
+  * table to delete one row. Inside surviving files parquet pushdown
+  * skips row groups; `_metadata.row_index` positions remain absolute
+  * under pushdown.
   */
 class DeleteJob(
     table: QTable,
@@ -35,9 +42,12 @@ class DeleteJob(
     val paths = table.entries(snap).map(_.path)
     if (paths.isEmpty) return snap
 
-    // scan with positions, apply EXISTING deletes (already-dead rows must
-    // not be re-recorded), then evaluate the predicate over logical names
-    val base = table.readFiles(paths, snap.physicalSchema)
+    // stats-skipping scan with positions; apply EXISTING deletes
+    // (already-dead rows must not be re-recorded), then evaluate the
+    // predicate over logical names
+    val (rel, index) = table.relationFor(snap)
+    val base = org.apache.spark.sql.GraftBridge.ofRows(table.spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
     val live = table.applyDeletesWithPos(base, snap, paths)
     val logical = snap.schemaFields.map(f => col(f.phys).as(f.name)) ++
       Seq(col("__gpath"), col("__gpos"))
@@ -47,10 +57,15 @@ class DeleteJob(
     val (written, n) = DeleteJob.writeDeleteFiles(table,
       hits, table.newDataDir(jobId, "deletes"))
     if (n == 0) return snap
+    // observability (and the pruning's test hook): how many files the
+    // stats-skipping index actually opened for this predicate
+    val (scanned, total) = index.lastSelection
     table.commit(Some(snap), "delete", Nil,
       Map("job-id" -> jobId,
         "deleted-rows" -> n.toString,
-        "new-delete-files" -> written.size.toString),
+        "new-delete-files" -> written.size.toString,
+        "files-scanned" -> scanned.toString,
+        "files-total" -> total.toString),
       reuseManifests = snap.manifests,
       deletesOverride = Some(snap.deleteFiles ++ written))
   }

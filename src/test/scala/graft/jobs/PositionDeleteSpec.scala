@@ -214,6 +214,19 @@ class PositionDeleteSpec extends AnyFunSuite {
     assert(t.read().count() == live)
   }
 
+  test("targeted delete prunes the scan via manifest stats") {
+    // appends slice files by (pbucket, image_id) range, so a point
+    // predicate must open only the files whose id range can match —
+    // a one-row DELETE at 10^12 rows cannot be a table scan
+    val t = fresh(600, buckets = 4, filesPerBucket = 4)
+    val s = new DeleteJob(t).run(col("image_id") === "img000000000042")
+    assert(s.summary("deleted-rows") == "1")
+    assert(s.summary("files-scanned").toInt < s.summary("files-total").toInt,
+      s"point delete scanned ${s.summary("files-scanned")}/${s.summary("files-total")} files")
+    assert(t.read().where(col("image_id") === "img000000000042").count() == 0)
+    assert(t.read().count() == 599)
+  }
+
   test("delete anti-join broadcasts the delete side and scans data once") {
     val t = fresh(400)
     new DeleteJob(t).run(col("image_id").endsWith("3"))
