@@ -26,6 +26,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rollback --table T --to V
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
+  *   spark-submit --class graft.Main <jar> rewrite-deletes --table T   (consolidate position-delete files)
   *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--keep K] [--dry-run] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
@@ -254,6 +255,14 @@ object Main {
         report("rewrite-manifests",
           snap.summary ++ Map("version" -> snap.version.toString,
             "manifests-after" -> snap.manifests.size.toString))
+
+      case "rewrite-deletes" =>
+        // consolidate accumulated position-delete files (metadata-only
+        // for the data; O(delete rows) total work)
+        val snap = CommitRetry.withCommitRetry()(
+          new RewriteDeletesJob(table, jobId).run())
+        report("rewrite-deletes",
+          snap.summary ++ Map("version" -> snap.version.toString))
 
       case "verify" =>
         val t = QTable(req(opts, "table"), spark)

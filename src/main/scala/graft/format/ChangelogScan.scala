@@ -45,8 +45,8 @@ object ChangelogScan {
     * with [[QTable]]'s incremental-scan skip list by the changelog spec. */
   private[format] val RowPreserving: Set[String] = Set(
     "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
-    "rewrite-manifests", "add-column", "rename-column", "drop-column",
-    "widen-column")
+    "rewrite-manifests", "rewrite-deletes", "add-column", "rename-column",
+    "drop-column", "widen-column")
 
   def changes(t: QTable, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changelog range reversed: v$fromV > v$toV")

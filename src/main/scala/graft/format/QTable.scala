@@ -172,6 +172,16 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       .drop("__gname")
   }
 
+  /** Paths of the delete files that can reference any of `paths` under
+    * `s` — metadata-only (a range filter over the snapshot's entries).
+    * A rewrite group's checkpoint input identity must include these: the
+    * group's output folds exactly these deletes, so an output written
+    * before a concurrent DELETE landed (same data files, different
+    * delete set) is stale and must not be reused — the commit would
+    * drop the "folded" entries and resurrect the deleted rows. */
+  def deleteInputsFor(s: Snapshot, paths: Seq[String]): Seq[String] =
+    neededDeletes(s, paths).map(_.path)
+
   /** Distinct (delete-file name, referenced data-file name) pairs of a
     * snapshot's live delete set — the exact fold/planning input for
     * rewrite jobs (which data files carry deletes; which delete entries
@@ -513,8 +523,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * metadata rewrites) — an incremental append scan skips them. */
   private val RowPreservingOps: Set[String] = Set(
     "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
-    "rewrite-manifests", "add-column", "rename-column", "drop-column",
-    "widen-column")
+    "rewrite-manifests", "rewrite-deletes", "add-column", "rename-column",
+    "drop-column", "widen-column")
 
   /** Iceberg-style incremental append scan planning: the data files ADDED
     * by each `append` snapshot in the chain (fromV, toV]. Appends commit

@@ -143,8 +143,14 @@ class ClusterJob(
   private def runBatch(snap: Snapshot, batch: Seq[Plan],
       grids: Map[String, Array[Long]],
       ckpt: Checkpoint, jobTable: graft.format.QTable,
-      failAfterGroups: Int): Seq[LineageEntry] =
-    GroupRunner.run[Plan](batch, _.group, _.inputs.map(_.path),
+      failAfterGroups: Int): Seq[LineageEntry] = {
+    // delete files join the checkpoint input identity (see CompactJob):
+    // a group output predating a concurrent DELETE must not be reused
+    def groupInputs(p: Plan): Seq[String] = {
+      val paths = p.inputs.map(_.path)
+      paths ++ table.deleteInputsFor(snap, paths)
+    }
+    GroupRunner.run[Plan](batch, _.group, groupInputs,
       ckpt.committed, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, jobType, gf.group,
         Nil, Nil, 0L, 0L, "failed", gf.attempts)),
@@ -192,12 +198,13 @@ class ClusterJob(
           f"bytes=${p.bytes / (1 << 20)}%5d MiB nOut=$nOut%3d " +
           f"write=${(t1 - t0) / 1e9}%7.2fs harvest=${(t2 - t1) / 1e9}%6.2fs")
       val entry = LineageEntry(jobId, jobType,
-        p.group, p.inputs.map(_.path), files,
+        p.group, groupInputs(p), files,
         files.map(_.rowCount).sum, files.map(_.byteCount).sum,
         "committed", attempt = 1)
       ckpt.commit(entry)
       entry
     }
+  }
 
   private def cleanDir(dir: String): Unit = {
     val hp = new HPath(dir)

@@ -83,8 +83,15 @@ class CompactJob(
     // them here can never race another job planning scans on the shared
     // session (e.g. a concurrent MERGE under CommitRetry)
     val jobTable = new graft.format.QTable(table.root, table.spark.newSession())
+    // checkpoint input identity includes the group's applicable delete
+    // files: a resumed run whose snapshot gained deletes since a group's
+    // output was written must re-run it (the output did not fold them)
+    def groupInputs(p: Plan): Seq[String] = {
+      val paths = p.inputs.map(_.path)
+      paths ++ table.deleteInputsFor(snap, paths)
+    }
     val outputs = JobPlanning.withScanSplitBytes(jobTable.spark, targetFileBytes) {
-      GroupRunner.run[Plan](plans, _.group, _.inputs.map(_.path), ckpt.committed,
+      GroupRunner.run[Plan](plans, _.group, groupInputs, ckpt.committed,
         failAfterGroups, concurrency,
         onFailure = gf => ckpt.commit(LineageEntry(jobId, "compact", gf.group,
           Nil, Nil, 0L, 0L, "failed", gf.attempts)),
@@ -106,7 +113,7 @@ class CompactJob(
             f"bytes=${p.bytes / (1 << 20)}%5d MiB nOut=${files.size}%3d " +
             f"write=${(t1 - t0) / 1e9}%7.2fs harvest=${(t2 - t1) / 1e9}%6.2fs")
         val entry = LineageEntry(jobId, "compact", p.group,
-          p.inputs.map(_.path), files,
+          groupInputs(p), files,
           files.map(_.rowCount).sum, files.map(_.byteCount).sum,
           "committed", attempt = 1)
         ckpt.commit(entry)

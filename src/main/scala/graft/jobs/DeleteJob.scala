@@ -89,6 +89,11 @@ object DeleteJob {
     try {
       val n = hits.count()
       if (n == 0) return (Nil, 0L)
+      // a retried attempt (commit conflict, crash) overwrites its own
+      // job-scoped dir — same contract as every rewrite job's cleanDir
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val fs = hp.getFileSystem(table.hadoopConf)
+      if (fs.exists(hp)) fs.delete(hp, true)
       val nOut = math.max(1, (n / targetRows).toInt)
       graft.format.TableWrite.parquet(
         hits.repartitionByRange(nOut, col("file_path"), col("pos"))

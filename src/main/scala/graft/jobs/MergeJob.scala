@@ -205,8 +205,14 @@ class MergeJob(
       } finally matched.foreach(_.unpersist())
     }
 
+    // delete files join the checkpoint input identity (see CompactJob):
+    // a group output predating a concurrent DELETE must not be reused
+    def groupInputs(files: Seq[DataFileEntry]): Seq[String] = {
+      val paths = files.map(_.path)
+      paths ++ table.deleteInputsFor(snap, paths)
+    }
     val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
-      groups, _._1, _._2.map(_.path), already, failAfterGroups, concurrency,
+      groups, _._1, p => groupInputs(p._2), already, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, "merge", gf.group,
         Nil, Nil, 0L, 0L, "failed", gf.attempts))) { case (group, files) =>
       val dir = table.newDataDir(jobId, group)
@@ -226,7 +232,7 @@ class MergeJob(
       val df = JobPlanning.alignToPhysical(patched, snap)
       graft.format.TableWrite.parquet(df.coalesce(math.max(1, files.size)), dir)
       val out = table.harvest(dir)
-      val entry = LineageEntry(jobId, "merge", group, files.map(_.path), out,
+      val entry = LineageEntry(jobId, "merge", group, groupInputs(files), out,
         out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
       ckpt.commit(entry)
       entry
@@ -238,7 +244,12 @@ class MergeJob(
     val outputs = scala.collection.mutable.ArrayBuffer[LineageEntry](rewritten: _*)
     if (insertCount > 0) {
       val group = "inserts"
-      already.get(group) match {
+      // the insert set depends on the affected files' LIVE rows, so its
+      // checkpoint identity is those files plus their delete files — a
+      // stale inserts output (written against a different live view)
+      // re-runs instead of being silently reused
+      val insertInputs = groupInputs(affected)
+      already.get(group).filter(_.inputFiles.toSet == insertInputs.toSet) match {
         case Some(e) => outputs += e
         case None =>
           val dir = table.newDataDir(jobId, group)
@@ -250,7 +261,7 @@ class MergeJob(
               snap)
               .repartition(col("pbucket")), dir)
           val out = table.harvest(dir)
-          val entry = LineageEntry(jobId, "merge", group, Nil, out,
+          val entry = LineageEntry(jobId, "merge", group, insertInputs, out,
             out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)
           ckpt.commit(entry)
           outputs += entry

@@ -46,7 +46,10 @@ class RebucketJob(
 
     val ckpt = new Checkpoint(table, jobId)
     val inputs = entries.map(_.path)
-    val outputs = GroupRunner.run[Seq[String]](Seq(inputs), _ => "all", identity,
+    // delete files join the checkpoint input identity (see CompactJob)
+    val ckptInputs = inputs ++ table.deleteInputsFor(snap, inputs)
+    val outputs = GroupRunner.run[Seq[String]](Seq(inputs), _ => "all",
+      _ => ckptInputs,
       ckpt.committed, Int.MaxValue, concurrency = 1) { paths =>
       val dir = table.newDataDir(jobId, "all")
       cleanDir(dir)
@@ -64,7 +67,7 @@ class RebucketJob(
             .sortWithinPartitions("pbucket", "phash"),
           snap), dir)
       val files = table.harvest(dir)
-      val entry = LineageEntry(jobId, "rebucket", "all", paths, files,
+      val entry = LineageEntry(jobId, "rebucket", "all", ckptInputs, files,
         files.map(_.rowCount).sum, files.map(_.byteCount).sum, "committed", 1)
       ckpt.commit(entry)
       entry

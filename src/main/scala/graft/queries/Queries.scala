@@ -1064,6 +1064,8 @@ object Queries {
     q32Dir(s)
     q33Dir(s)
     q34Dir(s)
+    q35Dir(s)
+    q36Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {

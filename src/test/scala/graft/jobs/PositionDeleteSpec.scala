@@ -214,6 +214,79 @@ class PositionDeleteSpec extends AnyFunSuite {
     assert(t.read().count() == live)
   }
 
+  test("rewrite-deletes consolidates delete files without changing live rows") {
+    val t = fresh(600)
+    new DeleteJob(t).run(col("image_id").endsWith("0"))
+    new DeleteJob(t).run(col("image_id").endsWith("1"))
+    new DeleteJob(t).run(col("image_id").endsWith("2"))
+    val before = t.currentSnapshot
+    assert(before.deleteFiles.size == 3)
+    val live = t.read().count()
+    assert(live == 420)
+
+    val s = new RewriteDeletesJob(t).run()
+    assert(s.operation == "rewrite-deletes")
+    assert(s.deleteFiles.size == 1)
+    assert(s.summary("total-delete-rows").toLong == 180)
+    assert(t.read(s).count() == live)
+    assert(t.entries(s).map(_.path).toSet == t.entries(before).map(_.path).toSet)
+    // row-preserving: incremental scan and changelog both skip it
+    assert(t.readIncremental(before.version, s.version).count() == 0)
+    assert(t.readChanges(before.version, s.version).count() == 0)
+    // superseded delete files die with their snapshots at expiry
+    val oldPaths = before.deleteFiles.map(_.path)
+    new ExpireSnapshotsJob(t).run(keepLast = 1)
+    oldPaths.foreach(p => assert(!new java.io.File(p).exists(),
+      s"superseded delete file survived expiry: $p"))
+    assert(t.read().count() == live)
+  }
+
+  test("resume after crash does not reuse a group output that predates a delete") {
+    // compact commits one group's checkpoint, driver dies, a DELETE
+    // lands, the SAME jobId resumes: the checkpointed output did not
+    // fold the new deletes, so its reuse would resurrect them — the
+    // delete files in the checkpoint input identity force a re-run
+    val t = fresh(600)
+    // minGroupBytes=1 keeps each bucket its own group so the crash lands
+    // between group commits
+    intercept[RuntimeException] {
+      new CompactJob(t, targetFileBytes = 8L << 20, jobId = "crash-del",
+        minGroupBytes = 1L).run(failAfterGroups = 1)
+    }
+    assert(new Checkpoint(t, "crash-del").committed.nonEmpty)
+
+    new DeleteJob(t).run(col("image_id").endsWith("4"))
+    val live = t.read().count()
+    assert(live == 540)
+
+    val sC = new CompactJob(t, targetFileBytes = 8L << 20, jobId = "crash-del",
+      minGroupBytes = 1L).run()
+    assert(sC.deleteFiles.isEmpty)
+    assert(t.read(sC).count() == live,
+      "resumed compact reused a pre-delete group output — rows resurrected")
+    assert(t.read(sC).where(col("image_id").endsWith("4")).count() == 0)
+  }
+
+  test("concurrent delete + compact: both commit, no resurrection either order") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val t = fresh(600)
+    val fDel = Future(CommitRetry.withCommitRetry(8) {
+      new DeleteJob(t, jobId = "race-del").run(col("image_id").endsWith("1"))
+    })
+    val fCompact = Future(CommitRetry.withCommitRetry(8) {
+      new CompactJob(t, targetFileBytes = 8L << 20, jobId = "race-compact").run()
+    })
+    Await.result(Future.sequence(Seq(fDel, fCompact)), 10.minutes)
+    val ops = t.listVersions.map(v => t.snapshotAt(v).operation)
+    assert(ops.contains("delete") && ops.contains("compact"), s"history: $ops")
+    val post = t.read()
+    assert(post.count() == 540, s"expected 540 live rows, got ${post.count()}")
+    assert(post.where(col("image_id").endsWith("1")).count() == 0)
+    assert(post.groupBy("image_id").count().where(col("count") > 1).count() == 0)
+  }
+
   test("targeted delete prunes the scan via manifest stats") {
     // appends slice files by (pbucket, image_id) range, so a point
     // predicate must open only the files whose id range can match —
