@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--job-id J]
   *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
+  *   spark-submit --class graft.Main <jar> stream  --table T --upsert (--source DIR | --rows N) [--set c1,c2] [--delete-col C] [--seq-col C]   (streaming MOR MERGE per micro-batch)
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
@@ -149,9 +150,16 @@ object Main {
           else QTable.create(root, spark, opts.getOrElse("buckets", "8").toInt)
         val srcDir = opts.get("source").getOrElse {
           val d = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
-          DataGen.generate(spark, req(opts, "rows").toLong,
-            opts.getOrElse("seed", "42").toLong)
-            .toDF().write.mode("overwrite").parquet(d)
+          // append mode streams fresh rows; upsert mode streams a
+          // corrections feed (updates to existing ids + a few inserts)
+          val rows =
+            if (opts.contains("upsert"))
+              DataGen.correctionsDF(spark, req(opts, "rows").toLong,
+                opts.getOrElse("seed", "42").toLong,
+                opts.getOrElse("inserts", "5").toInt)
+            else DataGen.generate(spark, req(opts, "rows").toLong,
+              opts.getOrElse("seed", "42").toLong).toDF()
+          rows.write.mode("overwrite").parquet(d)
           d
         }
         val src = spark.readStream
@@ -159,9 +167,16 @@ object Main {
           .option("maxFilesPerTrigger",
             opts.getOrElse("max-files-per-trigger", "4"))
           .parquet(srcDir)
-        val ingest = new graft.streaming.StreamingAppend(t,
-          opts.getOrElse("name", "cli-stream"),
-          filesPerBucket = opts.getOrElse("files-per-bucket", "1").toInt)
+        val streamName = opts.getOrElse("name", "cli-stream")
+        def mkSink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          if (opts.contains("upsert"))
+            new graft.streaming.StreamingUpsert(t, streamName,
+              updateCols = opts.get("set").map(_.split(",").toSeq.map(_.trim))
+                .getOrElse(Nil),
+              deleteCol = opts.get("delete-col"),
+              seqCol = opts.get("seq-col")).sink
+          else new graft.streaming.StreamingAppend(t, streamName,
+            filesPerBucket = opts.getOrElse("files-per-bucket", "1").toInt).sink
         // resume-able checkpoint only makes sense for a REAL --source; a
         // synthesized one-shot source gets a fresh temp checkpoint
         val ckpt = opts.getOrElse("checkpoint",
@@ -171,7 +186,12 @@ object Main {
           if (opts.contains("follow"))
             org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000L)
           else org.apache.spark.sql.streaming.Trigger.AvailableNow()
-        val q = ingest.start(src, ckpt, trigger)
+        val q = src.writeStream
+          .queryName(streamName)
+          .option("checkpointLocation", ckpt)
+          .trigger(trigger)
+          .foreachBatch(mkSink)
+          .start()
         q.awaitTermination()
         val cur = t.currentSnapshot
         report("stream", cur.summary ++ Map("version" -> cur.version.toString,
