@@ -35,6 +35,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> changes --table T (--from V | --from-tag N) [--to V | --to-tag N] [--out DIR]
   *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
+  *   spark-submit --class graft.Main <jar> agg     --table T [--cols c1,c2]   (metadata-only count/min/max)
   *   spark-submit --class graft.Main <jar> <compact|cluster|merge|rebucket|rewrite-manifests|...> --staged   (write-audit-publish)
   *   spark-submit --class graft.Main <jar> publish --table T
   *   spark-submit --class graft.Main <jar> abort-staged --table T
@@ -423,6 +424,22 @@ object Main {
           "delete-files" -> r.deleteFiles.toString,
           "delete-rows" -> r.deleteRows.toString))
 
+      case "agg" =>
+        // metadata-only COUNT/MIN/MAX from manifest stats; hybrid
+        // scan-fallback keeps it exact (deletes, missing/truncated stats)
+        val cols = opts.get("cols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val r = StatsAggregate.run(table, table.currentSnapshot, cols)
+        val row = r.df.collect().head
+        report("agg", Map(
+          "files-total" -> r.filesTotal.toString,
+          "files-from-stats" -> r.filesFromStats.toString,
+          "files-scanned" -> r.filesScanned.toString) ++
+          r.df.columns.zipWithIndex.map { case (c, i) =>
+            c -> String.valueOf(row.get(i))
+          })
+
       case "tag" =>
         // immutable named snapshot ref; survives expiry until untagged
         val name = req(opts, "name")
@@ -510,5 +527,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|tag|untag|tags|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|tag|untag|tags|publish|abort-staged|describe> --table PATH [options]"""
 }

@@ -120,7 +120,12 @@ object ParquetStats {
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
 
-  private val MaxStatLen = 64
+  /** String-stat truncation bound (Iceberg-style): recorded string
+    * min/max at or above this length are BOUNDS, not exact values —
+    * exactness-sensitive consumers (StatsAggregate's MIN/MAX answering)
+    * must treat them as unusable and scan. Strictly below it they are
+    * exact (truncation only engages past the bound). */
+  private[graft] val MaxStatLen = 64
 
   /** Truncation boundary that never splits a surrogate pair (a lone
     * surrogate would make the manifest JSON unserializable and wedge the

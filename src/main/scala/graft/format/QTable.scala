@@ -103,6 +103,15 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     toLogical(applyDeletes(readFiles(paths, s.physicalSchema), s, paths), s)
   }
 
+  /** Read a SUBSET of a snapshot's data files with position deletes
+    * applied and logical column naming — the hybrid-planner primitive:
+    * a metadata+scan planner ([[graft.jobs.StatsAggregate]]) answers
+    * what it can from manifest stats and reads only the files it
+    * cannot, through the exact same delete/rename semantics as a full
+    * [[read]]. */
+  def readSubset(s: Snapshot, paths: Seq[String]): DataFrame =
+    toLogical(applyDeletes(readFiles(paths, s.physicalSchema), s, paths), s)
+
   // ------------------------------------------ merge-on-read position deletes
 
   /** Row shape of a position-delete file: one row per deleted data row. */

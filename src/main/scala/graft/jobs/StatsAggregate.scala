@@ -1,0 +1,152 @@
+package graft.jobs
+
+import graft.format.{ParquetStats, QTable}
+import graft.model.{DataFileEntry, FieldDef, Snapshot}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Metadata-only COUNT(*) / MIN / MAX: answers table-level aggregates
+  * from the manifest's per-file stats instead of scanning data — the
+  * Iceberg/Trino "optimize metadata queries" move. On a 10^12-row table
+  * a `SELECT count(*), min(w), max(w)` is O(manifest entries) driver
+  * work (metadata the planner already holds) instead of a 100 TB scan.
+  *
+  * Exactness is the contract, so the planner is a HYBRID: every file
+  * whose recorded stats cannot answer the requested columns EXACTLY is
+  * read through [[QTable.readSubset]] (deletes + renames applied) and
+  * its scanned partial is combined with the metadata partials. A file
+  * falls back to scan when any of these hold:
+  *
+  *  - a merge-on-read position delete touches it ([[QTable.deletePairs]]
+  *    names the referenced files exactly): a deleted row may have
+  *    carried the recorded min/max, and the stats know nothing of it;
+  *  - it has no recorded stat for a requested column (all-null file,
+  *    pre-stats manifest, or a column added after the file was written);
+  *  - a requested STRING column's stat hits the Iceberg-style
+  *    truncation bound ([[ParquetStats.MaxStatLen]]): truncated values
+  *    are valid BOUNDS for pruning but not exact values (the truncated
+  *    max is bumped ABOVE the real one). Strictly shorter stats are
+  *    exact. The dedicated image_id range is never truncated;
+  *  - a requested column is FLOAT/DOUBLE: parquet-mr's double stats
+  *    skip NaN (plain `<`/`>` comparisons never admit it), while SQL
+  *    MAX orders NaN greatest — a file holding NaN would answer wrong,
+  *    and no footer field says whether one does. Iceberg solves this by
+  *    writing its own NaN value counts; until this engine's writers do,
+  *    float/double aggregates stay scan-side (stats still PRUNE them
+  *    fine — pruning only needs bounds).
+  *
+  * Partials are combined by Spark itself (a LocalRelation of per-file
+  * metadata rows unioned with the fallback scan's aggregate row, then
+  * one global agg), so string collation, null handling, and numeric
+  * semantics are exactly the engine's — nothing is re-implemented on
+  * the driver. Steady state on a maintained table: zero files scanned
+  * (compaction folds deletes away and rewrites refresh stats).
+  */
+object StatsAggregate {
+
+  final case class Result(
+      df: DataFrame,
+      filesTotal: Int,
+      filesFromStats: Int,
+      filesScanned: Int)
+
+  /** Aggregate `count(*)` plus `min/max` of each named logical column
+    * over the snapshot's live rows. Output row schema:
+    * `count_star: long, <col>_min, <col>_max` (declared logical types). */
+  def run(table: QTable, s: Snapshot, cols: Seq[String]): Result = {
+    val spark = table.spark
+    val fieldsByName = s.schemaFields.map(f => f.name -> f).toMap
+    val fields: Seq[FieldDef] = cols.map { c =>
+      val f = fieldsByName.getOrElse(c,
+        throw new IllegalArgumentException(s"unknown column: $c"))
+      f.sparkType match {
+        case IntegerType | LongType | FloatType | DoubleType | StringType => f
+        case t => throw new IllegalArgumentException(
+          s"unsupported aggregate column type for $c: ${t.simpleString} " +
+            "(orderable primitives only)")
+      }
+    }
+    require(!cols.contains("pbucket"),
+      "pbucket is an internal partition column; aggregate data columns")
+
+    val entries = table.entries(s)
+    // exact set of data files a live position delete references
+    val deleted: Set[String] =
+      table.deletePairs(s).map(_._2).toSet
+
+    val schema = StructType(
+      StructField("count_star", LongType, nullable = false) +:
+        fields.flatMap(f => Seq(
+          StructField(s"${f.name}_min", f.sparkType, nullable = true),
+          StructField(s"${f.name}_max", f.sparkType, nullable = true))))
+
+    val (statFiles, scanFiles) = entries.partition { e =>
+      !deleted.contains(QTable.fileName(e.path)) &&
+        fields.forall(f => statPair(e, f).isDefined)
+    }
+
+    val metaRows: Seq[Row] = statFiles.map { e =>
+      Row.fromSeq(e.rowCount +: fields.flatMap { f =>
+        val (mn, mx) = statPair(e, f).get
+        Seq(mn, mx)
+      })
+    }
+    val metaDf = spark.createDataFrame(metaRows.asJava, schema)
+
+    val parts =
+      if (scanFiles.isEmpty) metaDf
+      else {
+        val scanned = table.readSubset(s, scanFiles.map(_.path))
+        val aggs = count(lit(1)).cast("long").as("count_star") +:
+          fields.flatMap(f => Seq(
+            min(col(f.name)).cast(f.sparkType).as(s"${f.name}_min"),
+            max(col(f.name)).cast(f.sparkType).as(s"${f.name}_max")))
+        metaDf.unionByName(scanned.agg(aggs.head, aggs.tail: _*))
+      }
+
+    val finalAggs = coalesce(sum(col("count_star")), lit(0L)).as("count_star") +:
+      fields.flatMap(f => Seq(
+        min(col(s"${f.name}_min")).as(s"${f.name}_min"),
+        max(col(s"${f.name}_max")).as(s"${f.name}_max")))
+    Result(
+      df = parts.agg(finalAggs.head, finalAggs.tail: _*),
+      filesTotal = entries.size,
+      filesFromStats = statFiles.size,
+      filesScanned = scanFiles.size)
+  }
+
+  /** The EXACT (min, max) of field `f` in file `e` per its recorded
+    * stats, or None when the stats cannot answer exactly (see class
+    * doc). Values are returned as the DECLARED logical type's JVM
+    * representation, ready for a LocalRelation row. */
+  private def statPair(e: DataFileEntry, f: FieldDef): Option[(Any, Any)] = {
+    if (e.rowCount == 0L) return Some((null, null)) // no rows: neutral
+    f.sparkType match {
+      case FloatType | DoubleType => None // NaN-blind parquet stats
+      case _ if f.phys == "phash" =>
+        // Long.MaxValue/MinValue sentinels mean "no stats harvested"
+        if (e.phashMin > e.phashMax) None else Some((e.phashMin, e.phashMax))
+      case _ if f.phys == "image_id" =>
+        // dedicated range, never truncated; "" is the no-stats sentinel
+        if (e.imageIdMin == null || e.imageIdMin.isEmpty ||
+          e.imageIdMax == null || e.imageIdMax.isEmpty) None
+        else Some((e.imageIdMin, e.imageIdMax))
+      case t =>
+        e.stats.get(f.phys).flatMap { st =>
+          (st.kind, t) match {
+            case ("long", LongType) => Some((st.min.toLong, st.max.toLong))
+            case ("long", IntegerType) => Some((st.min.toInt, st.max.toInt))
+            case ("string", StringType)
+              // at the truncation bound the value is a bound, not exact
+              if st.min.length < ParquetStats.MaxStatLen &&
+                st.max.length < ParquetStats.MaxStatLen =>
+              Some((st.min, st.max))
+            case _ => None
+          }
+        }
+    }
+  }
+}

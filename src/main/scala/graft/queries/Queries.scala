@@ -1665,6 +1665,37 @@ object Queries {
        |ON p.image_id = c.image_id
        |WHERE NOT COALESCE(c.is_delete, false)""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Metadata-only aggregates ([[graft.jobs.StatsAggregate]]): COUNT /
+    * MIN / MAX over the timeline table answered from manifest stats —
+    * O(file entries) planner metadata, ZERO data files opened. The
+    * result is GATED on `filesScanned == 0`: if the hybrid planner had
+    * to fall back to scanning (stats missing/truncated/delete-touched),
+    * the row is dropped and the driver's row count records the failure.
+    * The DuckDB oracle recomputes every value from the exported raw
+    * batches, so a single wrong recorded stat hash-mismatches. caption
+    * is deliberately absent (its synthetic values cross the 64-char
+    * stat-truncation bound, which correctly forces a scan — that hybrid
+    * path is spec-covered, not a metadata-only claim). */
+  def q37MetaAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = timelineDir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val r = graft.jobs.StatsAggregate.run(
+      t, t.currentSnapshot, Seq("image_id", "w", "h", "fmt", "phash"))
+    if (r.filesScanned == 0) r.df else r.df.limit(0)
+  }
+
+  val q37Sql: String =
+    s"""SELECT COUNT(*) AS count_star,
+       |  MIN(image_id) AS image_id_min, MAX(image_id) AS image_id_max,
+       |  MIN(w) AS w_min, MAX(w) AS w_max,
+       |  MIN(h) AS h_min, MAX(h) AS h_max,
+       |  MIN(fmt) AS fmt_min, MAX(fmt) AS fmt_max,
+       |  MIN(phash) AS phash_min, MAX(phash) AS phash_max
+       |FROM (SELECT * FROM read_parquet('$TimelineRoot/exp/b1/*.parquet')
+       |      UNION ALL
+       |      SELECT * FROM read_parquet('$TimelineRoot/exp/b2/*.parquet'))""".stripMargin
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1727,7 +1758,8 @@ object Queries {
     "q33_changelog" -> ((q33Changelog _, q33Sql)),
     "q34_point_lookup" -> ((q34PointLookup _, q34Sql)),
     "q35_mor_delete" -> ((q35MorDelete _, q35Sql)),
-    "q36_mor_merge" -> ((q36MorMerge _, q36Sql)))
+    "q36_mor_merge" -> ((q36MorMerge _, q36Sql)),
+    "q37_meta_agg" -> ((q37MetaAgg _, q37Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
