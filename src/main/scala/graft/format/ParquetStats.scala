@@ -39,6 +39,12 @@ object ParquetStats {
       // whose uncovered group holds the key — unsound)
       val blooms = scala.collection.mutable.ArrayBuffer[String]()
       var bloomsComplete = true
+      // exact per-column null counts (top-level columns): recorded only
+      // when EVERY row group's footer set num_nulls — a partial count
+      // could "prove" a column non-null while an uncovered group holds
+      // nulls, the unsound direction for whole-file predicate proofs
+      val nullsKnown = scala.collection.mutable.Map[String, Long]()
+      val nullsUnknown = scala.collection.mutable.Set[String]()
       footer.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
         if (bloomsComplete) BloomIndex.harvest(reader, block) match {
@@ -48,6 +54,10 @@ object ParquetStats {
         block.getColumns.asScala.foreach { col =>
           val name = col.getPath.toDotString
           val st = col.getStatistics
+          if (col.getPath.size == 1) {
+            if (st == null || !st.isNumNullsSet) nullsUnknown += name
+            else nullsKnown(name) = nullsKnown.getOrElse(name, 0L) + st.getNumNulls
+          }
           if (st != null && !st.isEmpty && st.hasNonNullValue) name match {
             case "pbucket" =>
               pbMin = math.min(pbMin, st.genericGetMin.asInstanceOf[Number].intValue())
@@ -108,7 +118,9 @@ object ParquetStats {
         imageIdMin = if (idMin == null) "" else idMin,
         imageIdMax = if (idMax == null) "" else idMax,
         colStats = colStats.toMap,
-        idBlooms = if (bloomsComplete) blooms.toSeq else Nil)
+        idBlooms = if (bloomsComplete) blooms.toSeq else Nil,
+        colNulls = (nullsKnown -- nullsUnknown)
+          .map { case (n, v) => n -> v.toString }.toMap)
     } finally reader.close()
   }
 

@@ -242,8 +242,16 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * HadoopFsRelation whose file listing is the manifest-backed
     * stats-skipping index. */
   private[graft] def relationFor(s: Snapshot)
+      : (org.apache.spark.sql.execution.datasources.HadoopFsRelation, QTableFileIndex) =
+    relationFor(s, entries(s))
+
+  /** [[relationFor]] over a SUBSET of a snapshot's entries — for callers
+    * that already excluded files at a higher level (DeleteJob's
+    * metadata-dropped files) but still want the stats-skipping index
+    * over the remainder. */
+  private[graft] def relationFor(s: Snapshot, subset: Seq[DataFileEntry])
       : (org.apache.spark.sql.execution.datasources.HadoopFsRelation, QTableFileIndex) = {
-    val index = new QTableFileIndex(entries(s))
+    val index = new QTableFileIndex(subset)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * the difference between an interactive DELETE and a maintenance
   * window at 100 TB.
   *
+  * Above the row path sits the METADATA fast path ([[StatsDelete]]):
+  * files whose manifest stats prove every row matches the predicate are
+  * dropped from the manifests without writing a delete row or reading a
+  * byte — only manifests containing dropped entries are rewritten, the
+  * rest carry by reference. A whole-partition DELETE (a date range, a
+  * format class) on a clustered table is then pure metadata work, with
+  * only the range-boundary files paying position deletes.
+  *
   * The read side pays instead: every scan anti-joins the live delete
   * set ([[QTable.applyDeletes]]) until a rewrite job folds the deletes
   * into fresh data files (CompactJob plans delete-referenced files as
@@ -39,35 +47,98 @@ class DeleteJob(
 
   def run(condition: Column): Snapshot = {
     val snap = table.currentSnapshot
-    val paths = table.entries(snap).map(_.path)
-    if (paths.isEmpty) return snap
+    val all = table.entries(snap)
+    if (all.isEmpty) return snap
 
-    // stats-skipping scan with positions; apply EXISTING deletes
-    // (already-dead rows must not be re-recorded), then evaluate the
-    // predicate over logical names
-    val (rel, index) = table.relationFor(snap)
-    val base = org.apache.spark.sql.GraftBridge.ofRows(table.spark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
-    val live = table.applyDeletesWithPos(base, snap, paths)
-    val logical = snap.schemaFields.map(f => col(f.phys).as(f.name)) ++
-      Seq(col("__gpath"), col("__gpos"))
-    val hits = live.select(logical: _*).where(condition)
-      .select(col("__gpath").as("file_path"), col("__gpos").as("pos"))
+    // METADATA-LEVEL fast path first: files whose stats PROVE every row
+    // matches ([[StatsDelete]]) are dropped from the manifests outright
+    // — no delete rows written, no data read. A whole-partition DELETE
+    // (date range, format class) on a clustered 10^12-row table then
+    // costs O(touched manifests); only boundary files pay the
+    // position-delete scan below.
+    val fieldsByName = snap.schemaFields.map(f => f.name -> f).toMap
+    // resolve the predicate once against the LOGICAL schema (a zero-row
+    // probe plan through the analyzer): StatsDelete then sees ordinary
+    // AttributeReference/Literal trees, with the analyzer's type
+    // coercions applied exactly as the scan below will apply them
+    val resolvedPred: org.apache.spark.sql.catalyst.expressions.Expression =
+      table.spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        snap.storedSchema)
+        .where(condition).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral)
+    val (dropped, kept) =
+      all.partition(e => StatsDelete.allMatch(resolvedPred, e, fieldsByName))
+    val droppedNames = dropped.map(e => QTable.fileName(e.path)).toSet
+    // live rows the drops delete = physical rows minus rows an earlier
+    // position delete already killed in those files (counted exactly
+    // from the delete files — O(delete rows), only when both exist)
+    val droppedDead: Long =
+      if (dropped.isEmpty || snap.deleteFiles.isEmpty) 0L
+      else table.spark.read.schema(table.deleteSchema)
+        .parquet(snap.deleteFiles.map(_.path): _*)
+        .where(substring_index(col("file_path"), "/", -1)
+          .isin(droppedNames.toSeq: _*))
+        .count()
+    val droppedLive = dropped.map(_.rowCount).sum - droppedDead
 
-    val (written, n) = DeleteJob.writeDeleteFiles(table,
-      hits, table.newDataDir(jobId, "deletes"))
-    if (n == 0) return snap
-    // observability (and the pruning's test hook): how many files the
-    // stats-skipping index actually opened for this predicate
-    val (scanned, total) = index.lastSelection
-    table.commit(Some(snap), "delete", Nil,
+    // stats-skipping scan of the KEPT files with positions; apply
+    // EXISTING deletes (already-dead rows must not be re-recorded),
+    // then evaluate the predicate over logical names
+    val (written, n, scanned, total) =
+      if (kept.isEmpty) (Nil, 0L, 0, 0)
+      else {
+        val paths = kept.map(_.path)
+        val (rel, index) = table.relationFor(snap, kept)
+        val base = org.apache.spark.sql.GraftBridge.ofRows(table.spark,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+        val live = table.applyDeletesWithPos(base, snap, paths)
+        val logical = snap.schemaFields.map(f => col(f.phys).as(f.name)) ++
+          Seq(col("__gpath"), col("__gpos"))
+        val hits = live.select(logical: _*).where(condition)
+          .select(col("__gpath").as("file_path"), col("__gpos").as("pos"))
+        val (w, cnt) = DeleteJob.writeDeleteFiles(table,
+          hits, table.newDataDir(jobId, "deletes"))
+        // observability (and the pruning's test hook): how many files
+        // the stats-skipping index actually opened for this predicate
+        val (sc, tot) = index.lastSelection
+        (w, cnt, sc, tot)
+      }
+    if (n == 0 && dropped.isEmpty) return snap
+
+    // delete entries whose referenced files ALL dropped fold away with
+    // them; entries still touching a kept file are retained (their rows
+    // against dropped files anti-join nothing — same rule rewrites use)
+    val retained =
+      if (dropped.isEmpty) snap.deleteFiles
+      else table.retainDeletes(snap, table.deletePairs(snap), kept.map(_.path))
+
+    // manifests: reuse every manifest untouched by the drops; rewrite
+    // only touched ones minus their dropped entries — O(touched), the
+    // shape that keeps a surgical DELETE cheap at 10^6 manifests
+    val (reuse, rewritten) =
+      if (dropped.isEmpty) (snap.manifests, Nil)
+      else {
+        val perManifest = snap.manifests.map(m => m -> table.readManifest(m).files)
+        val (clean, touched) = perManifest.partition { case (_, fs) =>
+          !fs.exists(f => droppedNames.contains(QTable.fileName(f.path)))
+        }
+        (clean.map(_._1), touched.flatMap(_._2)
+          .filterNot(f => droppedNames.contains(QTable.fileName(f.path))))
+      }
+
+    table.commit(Some(snap), "delete", rewritten,
       Map("job-id" -> jobId,
-        "deleted-rows" -> n.toString,
+        "deleted-rows" -> (droppedLive + n).toString,
+        "files-dropped" -> dropped.size.toString,
+        "rows-dropped-with-files" -> droppedLive.toString,
         "new-delete-files" -> written.size.toString,
         "files-scanned" -> scanned.toString,
         "files-total" -> total.toString),
-      reuseManifests = snap.manifests,
-      deletesOverride = Some(snap.deleteFiles ++ written))
+      reuseManifests = reuse,
+      deletesOverride = Some(retained ++ written))
   }
 }
 

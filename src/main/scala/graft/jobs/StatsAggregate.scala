@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
 
-/** Metadata-only COUNT(*) / MIN / MAX: answers table-level aggregates
-  * from the manifest's per-file stats instead of scanning data — the
-  * Iceberg/Trino "optimize metadata queries" move. On a 10^12-row table
-  * a `SELECT count(*), min(w), max(w)` is O(manifest entries) driver
-  * work (metadata the planner already holds) instead of a 100 TB scan.
+/** Metadata-only COUNT(*) / COUNT(col) / MIN / MAX: answers table-level
+  * aggregates from the manifest's per-file stats instead of scanning
+  * data — the Iceberg/Trino "optimize metadata queries" move. On a
+  * 10^12-row table a `SELECT count(*), min(w), max(w)` is O(manifest
+  * entries) driver work (metadata the planner already holds) instead of
+  * a 100 TB scan. COUNT(col) comes from the exact per-file null counts
+  * the footer harvest records ([[DataFileEntry.knownNullCount]]).
   *
   * Exactness is the contract, so the planner is a HYBRID: every file
   * whose recorded stats cannot answer the requested columns EXACTLY is
@@ -23,8 +25,11 @@ import scala.jdk.CollectionConverters._
   *  - a merge-on-read position delete touches it ([[QTable.deletePairs]]
   *    names the referenced files exactly): a deleted row may have
   *    carried the recorded min/max, and the stats know nothing of it;
-  *  - it has no recorded stat for a requested column (all-null file,
-  *    pre-stats manifest, or a column added after the file was written);
+  *  - a requested column has no usable stat: no recorded min/max
+  *    (pre-stats manifest, or a column added after the file was
+  *    written) or no recorded null count — EXCEPT when the null count
+  *    alone proves the column all-null in the file (contributes its
+  *    zero count and null min/max with no read);
   *  - a requested STRING column's stat hits the Iceberg-style
   *    truncation bound ([[ParquetStats.MaxStatLen]]): truncated values
   *    are valid BOUNDS for pruning but not exact values (the truncated
@@ -53,9 +58,10 @@ object StatsAggregate {
       filesFromStats: Int,
       filesScanned: Int)
 
-  /** Aggregate `count(*)` plus `min/max` of each named logical column
-    * over the snapshot's live rows. Output row schema:
-    * `count_star: long, <col>_min, <col>_max` (declared logical types). */
+  /** Aggregate `count(*)` plus `count/min/max` of each named logical
+    * column over the snapshot's live rows. Output row schema:
+    * `count_star: long, <col>_count: long, <col>_min, <col>_max`
+    * (min/max in the declared logical types). */
   def run(table: QTable, s: Snapshot, cols: Seq[String]): Result = {
     val spark = table.spark
     val fieldsByName = s.schemaFields.map(f => f.name -> f).toMap
@@ -80,18 +86,19 @@ object StatsAggregate {
     val schema = StructType(
       StructField("count_star", LongType, nullable = false) +:
         fields.flatMap(f => Seq(
+          StructField(s"${f.name}_count", LongType, nullable = false),
           StructField(s"${f.name}_min", f.sparkType, nullable = true),
           StructField(s"${f.name}_max", f.sparkType, nullable = true))))
 
     val (statFiles, scanFiles) = entries.partition { e =>
       !deleted.contains(QTable.fileName(e.path)) &&
-        fields.forall(f => statPair(e, f).isDefined)
+        fields.forall(f => statTriple(e, f).isDefined)
     }
 
     val metaRows: Seq[Row] = statFiles.map { e =>
       Row.fromSeq(e.rowCount +: fields.flatMap { f =>
-        val (mn, mx) = statPair(e, f).get
-        Seq(mn, mx)
+        val (cnt, mn, mx) = statTriple(e, f).get
+        Seq(cnt, mn, mx)
       })
     }
     val metaDf = spark.createDataFrame(metaRows.asJava, schema)
@@ -102,6 +109,7 @@ object StatsAggregate {
         val scanned = table.readSubset(s, scanFiles.map(_.path))
         val aggs = count(lit(1)).cast("long").as("count_star") +:
           fields.flatMap(f => Seq(
+            count(col(f.name)).cast("long").as(s"${f.name}_count"),
             min(col(f.name)).cast(f.sparkType).as(s"${f.name}_min"),
             max(col(f.name)).cast(f.sparkType).as(s"${f.name}_max")))
         metaDf.unionByName(scanned.agg(aggs.head, aggs.tail: _*))
@@ -109,6 +117,7 @@ object StatsAggregate {
 
     val finalAggs = coalesce(sum(col("count_star")), lit(0L)).as("count_star") +:
       fields.flatMap(f => Seq(
+        coalesce(sum(col(s"${f.name}_count")), lit(0L)).as(s"${f.name}_count"),
         min(col(s"${f.name}_min")).as(s"${f.name}_min"),
         max(col(s"${f.name}_max")).as(s"${f.name}_max")))
     Result(
@@ -118,32 +127,39 @@ object StatsAggregate {
       filesScanned = scanFiles.size)
   }
 
-  /** The EXACT (min, max) of field `f` in file `e` per its recorded
-    * stats, or None when the stats cannot answer exactly (see class
-    * doc). Values are returned as the DECLARED logical type's JVM
-    * representation, ready for a LocalRelation row. */
-  private def statPair(e: DataFileEntry, f: FieldDef): Option[(Any, Any)] = {
-    if (e.rowCount == 0L) return Some((null, null)) // no rows: neutral
+  /** The EXACT (non-null count, min, max) of field `f` in file `e` per
+    * its recorded stats, or None when they cannot answer exactly (see
+    * class doc). min/max are returned as the DECLARED logical type's
+    * JVM representation, ready for a LocalRelation row. */
+  private def statTriple(e: DataFileEntry, f: FieldDef): Option[(Long, Any, Any)] = {
+    if (e.rowCount == 0L) return Some((0L, null, null)) // no rows: neutral
+    val nulls = e.knownNullCount(f.phys)
+    // all-null proof: zero non-null values, min/max contribute nothing —
+    // answered even though (correctly) no min/max stat was recorded
+    if (nulls.contains(e.rowCount)) return Some((0L, null, null))
+    if (nulls.isEmpty) return None // COUNT(col) needs the exact null count
+    val cnt = e.rowCount - nulls.get
     f.sparkType match {
       case FloatType | DoubleType => None // NaN-blind parquet stats
       case _ if f.phys == "phash" =>
         // Long.MaxValue/MinValue sentinels mean "no stats harvested"
-        if (e.phashMin > e.phashMax) None else Some((e.phashMin, e.phashMax))
+        if (e.phashMin > e.phashMax) None
+        else Some((cnt, e.phashMin, e.phashMax))
       case _ if f.phys == "image_id" =>
         // dedicated range, never truncated; "" is the no-stats sentinel
         if (e.imageIdMin == null || e.imageIdMin.isEmpty ||
           e.imageIdMax == null || e.imageIdMax.isEmpty) None
-        else Some((e.imageIdMin, e.imageIdMax))
+        else Some((cnt, e.imageIdMin, e.imageIdMax))
       case t =>
         e.stats.get(f.phys).flatMap { st =>
           (st.kind, t) match {
-            case ("long", LongType) => Some((st.min.toLong, st.max.toLong))
-            case ("long", IntegerType) => Some((st.min.toInt, st.max.toInt))
+            case ("long", LongType) => Some((cnt, st.min.toLong, st.max.toLong))
+            case ("long", IntegerType) => Some((cnt, st.min.toInt, st.max.toInt))
             case ("string", StringType)
               // at the truncation bound the value is a bound, not exact
               if st.min.length < ParquetStats.MaxStatLen &&
                 st.max.length < ParquetStats.MaxStatLen =>
-              Some((st.min, st.max))
+              Some((cnt, st.min, st.max))
             case _ => None
           }
         }

@@ -63,11 +63,23 @@ final case class DataFileEntry(
     imageIdMin: String,
     imageIdMax: String,
     colStats: Map[String, ColStat] = Map.empty,
-    idBlooms: Seq[String] = Nil) {
+    idBlooms: Seq[String] = Nil,
+    colNulls: Map[String, String] = Map.empty) {
 
   /** Null-safe accessor: entries from pre-colStats manifests deserialize
     * with null here and resolve to empty (no stats = never pruned). */
   def stats: Map[String, ColStat] = Option(colStats).getOrElse(Map.empty)
+
+  /** EXACT per-column null count (physical name), present only when
+    * every row group's footer recorded one — the soundness input for
+    * whole-file proofs (StatsDelete's "every row matches", a non-null
+    * column being the precondition for range proofs under SQL's
+    * three-valued logic). Values are strings purely for JSON fidelity
+    * (Jackson round-trips Map[String, Long] values as Ints below 2^31,
+    * which erased-map lookups then miss). Absent/null (old manifests,
+    * unset footer field) = unknown = never proven. */
+  def knownNullCount(phys: String): Option[Long] =
+    Option(colNulls).getOrElse(Map.empty).get(phys).map(_.toLong)
 
   /** Base64 split-block Bloom filters over `image_id`, one per row group
     * — point-lookup file skipping where min/max ranges go wide (a

@@ -1029,7 +1029,9 @@ object Queries {
     * exported as parquet DuckDB reads by absolute path (the m1 pattern).
     * Bump the version suffix when the fixture shape changes. */
   private val TimelineRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_timeline_v1"
+    // v2: manifests carry colNulls (the q37 metadata-aggregate gate
+    // needs them) — a v1 fixture from an older build must not be reused
+    s"${System.getProperty("java.io.tmpdir")}/graft_timeline_v2"
   private val TimelineN1 = 120L
   private val TimelineN2 = 80L
   private val TimelineCols = Seq("image_id", "w", "h", "fmt", "caption", "phash")
@@ -1066,6 +1068,7 @@ object Queries {
     q34Dir(s)
     q35Dir(s)
     q36Dir(s)
+    q38Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1665,6 +1668,73 @@ object Queries {
        |ON p.image_id = c.image_id
        |WHERE NOT COALESCE(c.is_delete, false)""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Build-once fixture for the metadata-level DELETE: batch1 (mixed
+    * jpeg/png) + batch2 (uniformly 'bmp', its own append so its files
+    * are single-format), full pre-delete state exported, then
+    * `DELETE WHERE fmt = 'bmp'` — which must resolve ENTIRELY at
+    * metadata level ([[graft.jobs.StatsDelete]]): batch2's files drop
+    * from the manifests, batch1's files are excluded by their fmt
+    * stats, zero position-delete rows, zero data files opened. */
+  private val Q38Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q38_v1"
+
+  private def q38Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q38Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q38Root
+    val lockPath = Paths.get(Q38Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ38(s)
+    } finally { lock.release(); ch.close() }
+    Q38Root
+  }
+
+  private def buildQ38(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q38Root)
+    val t = graft.format.QTable.create(s"$Q38Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, 250, 81L, 4).toDF(), filesPerBucket = 2)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, 150, 82L, 4).toDF()
+        .withColumn("image_id", concat(lit("zz-"), col("image_id")))
+        .withColumn("fmt", lit("bmp")),
+      filesPerBucket = 2)
+    t.read().select("image_id", "fmt", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q38Root/exp/pre")
+    new graft.jobs.DeleteJob(t).run(col("fmt") === "bmp")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q38Root, "_FIXTURE_READY"))
+  }
+
+  /** Post-delete state after a METADATA-level DELETE. GATED on the
+    * commit summary proving the fast path actually fired: files were
+    * dropped, NO position-delete rows were written, and the boundary
+    * scan opened ZERO files (batch1's fmt stats exclude 'bmp'). A
+    * regression that silently degrades to row deletes (or scans) still
+    * deletes the right rows — the gate makes the driver's row count
+    * catch it anyway. */
+  def q38MetaDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = q38Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val snap = t.currentSnapshot
+    val out = t.read().select("image_id", "fmt", "caption")
+    val metadataOnly = snap.operation == "delete" &&
+      snap.summary.get("files-dropped").exists(_.toInt > 0) &&
+      snap.summary.get("new-delete-files").contains("0") &&
+      snap.summary.get("files-scanned").contains("0") &&
+      snap.deleteFiles.isEmpty
+    if (metadataOnly) out else out.limit(0)
+  }
+
+  val q38Sql: String =
+    s"""SELECT image_id, fmt, caption
+       |FROM read_parquet('$Q38Root/exp/pre/*.parquet')
+       |WHERE fmt <> 'bmp'""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** Metadata-only aggregates ([[graft.jobs.StatsAggregate]]): COUNT /
     * MIN / MAX over the timeline table answered from manifest stats —
@@ -1687,10 +1757,12 @@ object Queries {
 
   val q37Sql: String =
     s"""SELECT COUNT(*) AS count_star,
+       |  COUNT(image_id) AS image_id_count,
        |  MIN(image_id) AS image_id_min, MAX(image_id) AS image_id_max,
-       |  MIN(w) AS w_min, MAX(w) AS w_max,
-       |  MIN(h) AS h_min, MAX(h) AS h_max,
-       |  MIN(fmt) AS fmt_min, MAX(fmt) AS fmt_max,
+       |  COUNT(w) AS w_count, MIN(w) AS w_min, MAX(w) AS w_max,
+       |  COUNT(h) AS h_count, MIN(h) AS h_min, MAX(h) AS h_max,
+       |  COUNT(fmt) AS fmt_count, MIN(fmt) AS fmt_min, MAX(fmt) AS fmt_max,
+       |  COUNT(phash) AS phash_count,
        |  MIN(phash) AS phash_min, MAX(phash) AS phash_max
        |FROM (SELECT * FROM read_parquet('$TimelineRoot/exp/b1/*.parquet')
        |      UNION ALL
@@ -1759,7 +1831,8 @@ object Queries {
     "q34_point_lookup" -> ((q34PointLookup _, q34Sql)),
     "q35_mor_delete" -> ((q35MorDelete _, q35Sql)),
     "q36_mor_merge" -> ((q36MorMerge _, q36Sql)),
-    "q37_meta_agg" -> ((q37MetaAgg _, q37Sql)))
+    "q37_meta_agg" -> ((q37MetaAgg _, q37Sql)),
+    "q38_meta_delete" -> ((q38MetaDelete _, q38Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

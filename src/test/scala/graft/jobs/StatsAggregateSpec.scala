@@ -18,7 +18,7 @@ class StatsAggregateSpec extends AnyFunSuite {
 
   private def scanAgg(t: QTable, cs: Seq[String]): Seq[Any] = {
     val aggs = count(lit(1)).cast("long").as("count_star") +:
-      cs.flatMap(c => Seq(min(col(c)), max(col(c))))
+      cs.flatMap(c => Seq(count(col(c)).cast("long"), min(col(c)), max(col(c))))
     t.read().agg(aggs.head, aggs.tail: _*).collect().head.toSeq
   }
 
@@ -89,7 +89,8 @@ class StatsAggregateSpec extends AnyFunSuite {
     assert(r.filesScanned < r.filesTotal, "untouched files stay metadata-side")
     assert(got == scanAgg(t, cols))
     assert(got.head == 799L)
-    assert(got(2) != maxId, "stale stats max must not surface")
+    // (count_star, image_id_count, image_id_min, image_id_max, ...)
+    assert(got(3) != maxId, "stale stats max must not surface")
 
     // folding the deletes away restores the pure-metadata path
     new CompactJob(t, targetFileBytes = 8L << 20).run()
@@ -120,10 +121,22 @@ class StatsAggregateSpec extends AnyFunSuite {
     assert(got2 == scanAgg(t, Seq("score")))
   }
 
+  test("all-null column files answer from the null count alone, no scan") {
+    val t = QTable.create(TestSpark.tmpDir("agg-allnull"), spark, buckets = 2)
+    t.addColumn("note", "string")
+    AppendJob.append(t, DataGen.generate(spark, 120, 17L, 4).toDF()
+      .withColumn("note", lit(null).cast("string")), filesPerBucket = 1)
+    val (got, r) = metaAgg(t, Seq("note"))
+    assert(r.filesScanned == 0,
+      "a column that is provably all-null (nulls == rows) needs no scan")
+    assert(got == Seq(120L, 0L, null, null))
+    assert(got == scanAgg(t, Seq("note")))
+  }
+
   test("count-only and empty table edges") {
     val t = QTable.create(TestSpark.tmpDir("agg-empty"), spark, buckets = 2)
     val (got0, r0) = metaAgg(t, Seq("w"))
-    assert(r0.filesTotal == 0 && got0 == Seq(0L, null, null))
+    assert(r0.filesTotal == 0 && got0 == Seq(0L, 0L, null, null))
     AppendJob.append(t, DataGen.generate(spark, 50, 15L, 4).toDF(),
       filesPerBucket = 1)
     val (got1, r1) = metaAgg(t, Nil)
