@@ -152,6 +152,25 @@ object ParquetStats {
   private def truncMin(s: String): String =
     if (s.length <= MaxStatLen) s else s.substring(0, safeCut(s))
 
+  /** The least string ABOVE every string starting with prefix `p` (in
+    * UTF-8 byte order = Spark's string comparison order), if one
+    * exists: increment p's last incrementable char — skipping
+    * surrogates, with the same U+D7FF -> U+E000 jump the stat-max bump
+    * uses — and drop the tail. None when no char is incrementable
+    * (prefix of all U+FFFF): callers then have no upper window bound.
+    * Shared by prefix (LIKE 'P%' / startsWith) scan pruning and
+    * whole-file delete proofs. */
+  private[graft] def prefixSuccessor(p: String): Option[String] = {
+    val t = p.toCharArray
+    var i = t.length - 1
+    while (i >= 0 && (t(i) == Char.MaxValue || Character.isSurrogate(t(i)))) i -= 1
+    if (i < 0) None
+    else {
+      val next = if (t(i) == 0xD7FF.toChar) 0xE000.toChar else (t(i) + 1).toChar
+      Some(new String(t, 0, i) + next)
+    }
+  }
+
   /** Upper bound after truncation: increment the last incrementable char
     * of the prefix — skipping the surrogate range (incrementing U+D7FF
     * must jump to U+E000, never produce a lone high surrogate) — or None if no

@@ -57,7 +57,25 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
   private def mayMatch(f: Expression, e: DataFileEntry): Boolean = f match {
     case And(l, r) => mayMatch(l, e) && mayMatch(r, e)
     case Or(l, r) => mayMatch(l, e) || mayMatch(r, e)
+    // exact null counts (when harvested) prune null-ness predicates: a
+    // file with zero nulls cannot match IS NULL; an all-null file
+    // cannot match IS NOT NULL. Unknown count = kept (sound).
+    case IsNull(a: AttributeReference) =>
+      !e.knownNullCount(a.name).contains(0L)
+    case IsNotNull(a: AttributeReference) =>
+      !e.knownNullCount(a.name).contains(e.rowCount)
     case IsNotNull(_) => true
+    // prefix predicate (LIKE 'P%' arrives as StartsWith after the
+    // optimizer's LikeSimplification): matching strings occupy exactly
+    // [P, succ(P)) in UTF-8 byte order, so the file may match iff its
+    // range intersects that window. Truncated stats are outer bounds —
+    // they only widen the window (sound).
+    case StartsWith(a: AttributeReference, Literal(v, _)) if v != null =>
+      range(a.name, e).forall { case (mn, mx) =>
+        val p = v.toString
+        cmp(mx, p).forall(_ >= 0) &&
+          ParquetStats.prefixSuccessor(p).forall(up => cmp(mn, up).forall(_ < 0))
+      }
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => geMax(a.name, v, e)
     case GreaterThan(a: AttributeReference, Literal(v, _)) => gtMax(a.name, v, e)
     case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => leMin(a.name, v, e)

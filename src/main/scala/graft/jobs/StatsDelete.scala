@@ -64,6 +64,28 @@ object StatsDelete {
       case (_, _, Some(f), Some(v)) => prove(c, f, v, e, mirrored = true)
       case _ => false
     }
+    // prefix proofs: if both file bounds start with P, every value in
+    // [min, max] starts with P (strings with prefix P are the interval
+    // [P, succ(P)) in byte order) — one-sided truncated bounds only
+    // WIDEN [min, max], so the proof stays sound on them
+    case StartsWith(a, p) => (field(a, fields), constOf(p)) match {
+      case (Some(f), Some(u)) => provenPrefix(f, u.toString, e)
+      case _ => false
+    }
+    // LIKE over the default escape: a pattern with no wildcards is
+    // equality; a trailing-%-only pattern is a prefix; anything else
+    // (inner %/_/escapes) yields no proof
+    case lk: Like if lk.escapeChar == '\\' =>
+      (field(lk.left, fields), constOf(lk.right)) match {
+        case (Some(f), Some(u)) =>
+          val p = u.toString
+          def wild(s: String) = s.exists(c => c == '%' || c == '_' || c == '\\')
+          if (!wild(p)) provenConstant(f, p, e)
+          else if (p.endsWith("%") && !wild(p.dropRight(1)))
+            provenPrefix(f, p.dropRight(1), e)
+          else false
+        case _ => false
+      }
     case In(a, vs) if vs.forall(_.foldable) =>
       field(a, fields).exists(f => provenNonNull(e, f) &&
         vs.flatMap(constOf).exists(v => provenConstant(f, v, e)))
@@ -164,6 +186,14 @@ object StatsDelete {
   private def provenConstant(f: FieldDef, v: Any, e: DataFileEntry): Boolean =
     provenNonNull(e, f) && bounds(e, f).exists(b => b.minExact && b.maxExact &&
       cmp(b.min, v).contains(0) && cmp(b.max, v).contains(0))
+
+  /** Prefix proof: every non-null row starts with `p` iff both bounds
+    * do (see allMatch); the empty prefix matches every non-null row. */
+  private def provenPrefix(f: FieldDef, p: String, e: DataFileEntry): Boolean =
+    provenNonNull(e, f) && (p.isEmpty || bounds(e, f).exists(b => (b.min, b.max) match {
+      case (mn: String, mx: String) => mn.startsWith(p) && mx.startsWith(p)
+      case _ => false
+    }))
 
   /** Stat-vs-constant ordering; None = incomparable = no proof. Stat
     * values are Long or String; constants are Catalyst-internal (boxed

@@ -60,6 +60,45 @@ class FileIndexSpec extends AnyFunSuite {
     assert(selected < all)
   }
 
+  test("prefix predicate (LIKE 'P%' / startsWith) prunes by id range") {
+    // two appends with disjoint id prefixes: the aa- scan must not open
+    // the zz- files (the optimizer rewrites prefix-LIKE to StartsWith,
+    // which prunes on the [P, succ(P)) window against id min/max)
+    val t = QTable.create(TestSpark.tmpDir("qfi-prefix"), spark, buckets = 2)
+    def batch(seed: Long, tag: String) =
+      DataGen.generate(spark, 300, seed, 4).toDF()
+        .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+    AppendJob.append(t, batch(1L, "aa"), filesPerBucket = 2)
+    AppendJob.append(t, batch(2L, "zz"), filesPerBucket = 2)
+    val (df, index) = t.readIndexed()
+    assert(df.where(col("image_id").like("aa-%")).count() == 300L)
+    val (selected, all) = index.lastSelection
+    assert(all == 8 && selected == 4,
+      s"prefix filter must open only the aa- files: $selected/$all")
+    // matches the plain read exactly
+    assert(df.where(col("image_id").startsWith("zz-")).count() ==
+      t.read().where(col("image_id").startsWith("zz-")).count())
+  }
+
+  test("null-count pruning: IS NULL skips null-free files and vice versa") {
+    val t = QTable.create(TestSpark.tmpDir("qfi-null"), spark, buckets = 2)
+    t.addColumn("note", "string")
+    // one append all-null notes, one all-set: IS NULL must open only the
+    // first append's files, IS NOT NULL only the second's
+    AppendJob.append(t, DataGen.generate(spark, 200, 3L, 4).toDF()
+      .withColumn("note", lit(null).cast("string")), filesPerBucket = 2)
+    AppendJob.append(t, DataGen.generate(spark, 200, 4L, 4).toDF()
+      .withColumn("image_id", concat(lit("b-"), col("image_id")))
+      .withColumn("note", lit("set")), filesPerBucket = 2)
+    val (df, index) = t.readIndexed()
+    assert(df.where(col("note").isNull).count() == 200L)
+    val (s1, a1) = index.lastSelection
+    assert(a1 == 8 && s1 == 4, s"IS NULL must skip null-free files: $s1/$a1")
+    assert(df.where(col("note").isNotNull).count() == 200L)
+    val (s2, a2) = index.lastSelection
+    assert(s2 == 4, s"IS NOT NULL must skip all-null files: $s2/$a2")
+  }
+
   test("unsupported predicates fall back to keeping every file (sound)") {
     val t = clusteredTable(600)
     val (df, index) = t.readIndexed()

@@ -113,6 +113,22 @@ class MetadataDeleteSpec extends AnyFunSuite {
     assert(t.read().count() == 0L)
   }
 
+  test("prefix predicates (LIKE 'P%', startsWith) drop whole files") {
+    val t = QTable.create(TestSpark.tmpDir("mdel-prefix"), spark, buckets = 2)
+    AppendJob.append(t, batch(150, 71L, "aa", "png"), filesPerBucket = 2)
+    AppendJob.append(t, batch(150, 72L, "zz", "png"), filesPerBucket = 2)
+    val s1 = new DeleteJob(t).run(expr("image_id LIKE 'zz-%'"))
+    assert(s1.summary("files-dropped").toInt == 4)
+    assert(s1.summary("new-delete-files").toInt == 0)
+    assert(s1.summary("files-scanned").toInt == 0,
+      "aa- files must be pruned by the prefix window, not scanned")
+    assert(t.read().count() == 150L)
+    // LIKE with inner wildcards must NOT be proven (falls to row scan)
+    val s2 = new DeleteJob(t).run(expr("image_id LIKE 'aa-%7'"))
+    assert(s2.summary("files-dropped").toInt == 0)
+    assert(t.read().count() == 150L - 15L)
+  }
+
   test("ranges, untouched-manifest reuse, and CDC visibility") {
     val t = QTable.create(TestSpark.tmpDir("mdel-range"), spark, buckets = 2)
     AppendJob.append(t, batch(150, 61L, "aa", "png"), filesPerBucket = 2)
