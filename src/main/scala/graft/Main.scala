@@ -13,12 +13,12 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   spark-submit --class graft.Main <jar> synth   --table T --rows N [--buckets B] [--files-per-bucket F] [--seed S]
   *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J] [--scope B1,B2]
-  *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--job-id J] [--scope B1,B2]
+  *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--incremental] [--job-id J] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--job-id J]
   *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
   *   spark-submit --class graft.Main <jar> stream  --table T --upsert (--source DIR | --rows N) [--set c1,c2] [--delete-col C] [--seq-col C]   (streaming MOR MERGE per micro-batch)
-  *   spark-submit --class graft.Main <jar> expire  --table T [--keep K]
+  *   spark-submit --class graft.Main <jar> expire  --table T [--keep K] [--older-than-hours H]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
   *   spark-submit --class graft.Main <jar> rename-column --table T --from OLD --to NEW
@@ -28,14 +28,14 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> rewrite-deletes --table T   (consolidate position-delete files)
-  *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--keep K] [--dry-run] [--scope B1,B2]
+  *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--incremental] [--keep K] [--dry-run] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> changes --table T (--from V | --from-tag N) [--to V | --to-tag N] [--out DIR]
   *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
-  *   spark-submit --class graft.Main <jar> agg     --table T [--cols c1,c2]   (metadata-only count/min/max)
+  *   spark-submit --class graft.Main <jar> agg     --table T [--cols c1,c2] [--version V | --tag N]   (metadata-only count/min/max)
   *   spark-submit --class graft.Main <jar> <compact|cluster|merge|rebucket|rewrite-manifests|...> --staged   (write-audit-publish)
   *   spark-submit --class graft.Main <jar> publish --table T
   *   spark-submit --class graft.Main <jar> abort-staged --table T
@@ -108,9 +108,13 @@ object Main {
         report("compact", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "cluster" =>
+        // --incremental: sort only files added since the last cluster
+        // commit into a NEW sorted run (LSM-style); previous runs carry
+        // by reference. A periodic full run merges the runs.
         val snap = CommitRetry.withCommitRetry()(new ClusterJob(table, targetBytes,
           hilbert = opts.contains("hilbert"), jobId = jobId,
-          concurrency = concurrency, bucketScope = bucketScope).run())
+          concurrency = concurrency, bucketScope = bucketScope,
+          incremental = opts.contains("incremental")).run())
         report("cluster", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "merge" =>
@@ -199,7 +203,12 @@ object Main {
           "batches" -> q.recentProgress.length.toString))
 
       case "expire" =>
-        val res = new ExpireSnapshotsJob(table).run(opts.getOrElse("keep", "2").toInt)
+        // --older-than-hours H: age-based retention on top of --keep —
+        // commits younger than the cutoff never expire
+        val cutoff = opts.get("older-than-hours").map(h =>
+          System.currentTimeMillis() - (h.toDouble * 3600 * 1000).toLong)
+        val res = new ExpireSnapshotsJob(table)
+          .run(opts.getOrElse("keep", "2").toInt, cutoff)
         report("expire", Map(
           "expired-versions" -> res.expiredVersions.mkString(","),
           "deleted-data-files" -> res.deletedDataFiles.toString,
@@ -335,9 +344,15 @@ object Main {
         val snapC = CommitRetry.withCommitRetry()(new CompactJob(t, targetBytes,
           jobId = s"$jobId-compact", concurrency = concurrency,
           bucketScope = bucketScope).run())
+        // --incremental composes: compact only touches small/delete-
+        // carrying files, and the incremental cluster then sorts exactly
+        // compact's outputs + other post-cluster debt into a new run,
+        // leaving the previous sorted runs untouched — a rolling
+        // maintenance tick that never re-sorts the table
         val snapZ = CommitRetry.withCommitRetry()(new ClusterJob(t, targetBytes,
           hilbert = opts.contains("hilbert"), jobId = s"$jobId-cluster",
-          concurrency = concurrency, bucketScope = bucketScope).run())
+          concurrency = concurrency, bucketScope = bucketScope,
+          incremental = opts.contains("incremental")).run())
         val snapM = CommitRetry.withCommitRetry()(new RewriteManifestsJob(t).run(
           opts.getOrElse("entries-per-manifest", "512").toInt))
         val (okV, badV) = ScanEquivalence.check(t.read(pre), t.read(snapM))
@@ -430,7 +445,13 @@ object Main {
         val cols = opts.get("cols")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
-        val r = StatsAggregate.run(table, table.currentSnapshot, cols)
+        // --version V / --tag N: aggregate a pinned snapshot (time travel)
+        val t = table
+        val aggSnap = opts.get("version").map(v => t.snapshotAt(v.toLong))
+          .orElse(opts.get("tag").map(n =>
+            t.snapshotAt(graft.format.Tags.ref(t, n).version)))
+          .getOrElse(t.currentSnapshot)
+        val r = StatsAggregate.run(t, aggSnap, cols)
         val row = r.df.collect().head
         report("agg", Map(
           "files-total" -> r.filesTotal.toString,

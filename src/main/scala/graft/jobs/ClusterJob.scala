@@ -39,7 +39,8 @@ class ClusterJob(
     concurrency: Int = 4,
     minGroupBytes: Long = -1L,
     gridBatchGroups: Int = ClusterJob.GridBatchGroups,
-    bucketScope: Option[Set[Int]] = None) {
+    bucketScope: Option[Set[Int]] = None,
+    incremental: Boolean = false) {
 
   final case class Plan(group: String, inputs: Seq[DataFileEntry]) {
     def bytes: Long = inputs.map(_.byteCount).sum
@@ -47,13 +48,44 @@ class ClusterJob(
 
   /** `bucketScope` restricts the rewrite to the named buckets — the
     * rolling-maintenance control (see [[CompactJob.plan]]); out-of-scope
-    * files carry into the new snapshot by reference. */
+    * files carry into the new snapshot by reference.
+    *
+    * `incremental` restricts it further to files ADDED since the last
+    * cluster commit (the LSM compromise): the previous run's outputs —
+    * still sorted and mutually disjoint — carry by reference, and only
+    * the append/merge debt is sorted into a NEW run. At 100 TB this is
+    * the difference between absorbing a day's 1 TB of appends with a
+    * 1 TB rewrite and re-sorting the whole table; the cost is one more
+    * sorted run per tick for range scans to probe (the analyze overlap
+    * metric counts exactly this), until a periodic FULL run merges the
+    * runs back to one. */
   def plan(snap: Snapshot): Seq[Plan] = {
+    val lastRun: Set[String] =
+      if (!incremental) Set.empty
+      else lastClusterOutputs(snap).getOrElse(Set.empty)
     val perBucket = table.entries(snap)
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
+      .filterNot(e => lastRun.contains(QTable.fileName(e.path)))
       .groupBy(_.pbucketMin).toSeq.sortBy(_._1)
     JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
       .map { case (name, fs) => Plan(name, fs) }
+  }
+
+  /** File names live in the most recent cluster-* snapshot on the
+    * parent chain — the files an incremental run may skip (those of
+    * them still live are the previous sorted runs). None when no
+    * cluster commit is reachable (then incremental = full). The walk is
+    * O(chain) metadata and stops defensively at expired versions. */
+  private def lastClusterOutputs(snap: Snapshot): Option[Set[String]] = {
+    var v = snap
+    while (true) {
+      if (v.operation.startsWith("cluster-"))
+        return Some(table.entries(v).map(e => QTable.fileName(e.path)).toSet)
+      if (v.parentVersion < 0) return None
+      v = try table.snapshotAt(v.parentVersion)
+      catch { case _: Exception => return None }
+    }
+    None // unreachable
   }
 
   private def jobType = if (hilbert) "cluster-hilbert" else "cluster-zorder"

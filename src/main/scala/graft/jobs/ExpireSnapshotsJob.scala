@@ -33,15 +33,27 @@ class ExpireSnapshotsJob(table: QTable,
     fs.exists(hp) && fs.delete(hp, false)
   }
 
-  def run(keepLast: Int): Result = {
+  /** Expire snapshots outside the retention window. A version is
+    * retained when ANY of these hold (Iceberg's expire_snapshots
+    * semantics — `retain_last` and `older_than` compose as a union of
+    * protections, tags protect unconditionally):
+    *  - it is among the `keepLast` most recent;
+    *  - it is tagged;
+    *  - `olderThanMs` is set and the version's commit timestamp is at
+    *    or after it (age-based retention: "keep everything from the
+    *    last 7 days, plus at least K snapshots, plus releases"). */
+  def run(keepLast: Int, olderThanMs: Option[Long] = None): Result = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val versions = table.listVersions
     // retention = the most recent keepLast PLUS every tagged version: a
     // tag is an explicit promise that its snapshot stays readable (the
     // files it references are live below), so expiry must never break it
     val tagged = graft.format.Tags.list(table).map(_.version).toSet
+    val young = olderThanMs.map(cut =>
+      versions.filter(v => table.snapshotAt(v).timestampMs >= cut).toSet)
+      .getOrElse(Set.empty)
     val keep = versions.takeRight(keepLast).toSet ++
-      tagged.filter(versions.contains)
+      tagged.filter(versions.contains) ++ young
     val (expired, retained) = versions.partition(v => !keep.contains(v))
     if (expired.isEmpty) return Result(Nil, 0, 0)
 

@@ -120,4 +120,28 @@ class ExpireRewriteSpec extends AnyFunSuite {
     val t = QTable.create(TestSpark.tmpDir("expire2"), spark, buckets = 2)
     intercept[IllegalArgumentException] { new ExpireSnapshotsJob(t).run(0) }
   }
+
+  test("age-based retention: commits younger than the cutoff never expire") {
+    val t = QTable.create(TestSpark.tmpDir("expire-age"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 60, 3L, 4).toDF(), 1)  // v1
+    AppendJob.append(t, DataGen.generate(spark, 60, 4L, 4).toDF()
+      .withColumn("image_id",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("b-"),
+          org.apache.spark.sql.functions.col("image_id"))), 1)         // v2
+    new CompactJob(t, targetFileBytes = 8L << 20).run()                // v3
+    val oldest = t.listVersions.map(v => t.snapshotAt(v).timestampMs).min
+
+    // cutoff at/before the oldest commit: every version is "young",
+    // so even keepLast=1 expires nothing
+    val kept = new ExpireSnapshotsJob(t).run(1, Some(oldest))
+    assert(kept.expiredVersions.isEmpty && t.listVersions.size == 4)
+
+    // cutoff in the future: the age term protects nothing and the
+    // keepLast term governs alone
+    val res = new ExpireSnapshotsJob(t)
+      .run(1, Some(System.currentTimeMillis() + 3600 * 1000))
+    assert(res.expiredVersions == Seq(0L, 1L, 2L))
+    assert(t.listVersions == Seq(3L) && t.read().count() == 120)
+  }
 }
