@@ -1768,6 +1768,64 @@ object Queries {
        |      UNION ALL
        |      SELECT * FROM read_parquet('$TimelineRoot/exp/b2/*.parquet'))""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** MULTIMODAL near-duplicate detection by perceptual hash: banded LSH
+    * over the 64-bit DCT pHash — 4 bands x 16 bits; only pairs sharing
+    * a band cell are scored with the exact Hamming distance
+    * (bit_count(xor)), never all-pairs. The banding guarantee is the
+    * pigeonhole bound: any pair within Hamming distance 3 of each other
+    * differs in at most 3 of the 4 bands, so it MUST share one — recall
+    * is exact for d<=3 and probabilistic above. The timeline fixture's
+    * generator plants near-dup clusters (25% of images from 16 base
+    * patterns) so the query has real positives. At 10^12 images the
+    * same shape holds with the q22/q23 scale controls (wider bands ~
+    * log2(N) bits, super-cell caps); the per-band key is a pure
+    * projection of the already-stored phash — no decode, no extra
+    * scan. Exactly DuckDB-oracled: integer shifts are arithmetic in
+    * both engines and bit_count(xor) agrees bit-for-bit. */
+  def q39PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val root = timelineDir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val e = t.read().select(col("image_id"), col("phash"))
+    val bands = e.select(col("image_id"), col("phash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("phash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("cell"))): _*))
+        .as("bk"))
+      .select(col("image_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.cell").as("cell"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.cell") === col("b.cell") &&
+        col("a.image_id") < col("b.image_id"))
+      .groupBy(col("a.image_id").as("ida"), col("b.image_id").as("idb"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .select(col("ida"), col("idb"), col("n_bands"), col("hamming"),
+        (col("hamming") <= 10).cast("int").as("is_dup"))
+  }
+
+  val q39Sql: String =
+    s"""WITH e AS (
+       |  SELECT image_id, phash
+       |  FROM (SELECT * FROM read_parquet('$TimelineRoot/exp/b1/*.parquet')
+       |        UNION ALL
+       |        SELECT * FROM read_parquet('$TimelineRoot/exp/b2/*.parquet'))),
+       |bands AS (
+       |  SELECT image_id, phash, b.band,
+       |         (phash >> (16 * b.band)) & 65535 AS cell
+       |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (
+       |  SELECT a.image_id AS ida, b.image_id AS idb,
+       |         a.phash AS pa, b.phash AS pb, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.cell = b.cell AND a.image_id < b.image_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT ida, idb, n_bands,
+       |  CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
+       |  CAST(bit_count(xor(pa, pb)) <= 10 AS INT) AS is_dup
+       |FROM cand""".stripMargin
+
   // ---------------------------------------------------------------- m2
   /** Multimodal pipeline over a synthesized image table: decode, validate
     * metadata, thumbnail to 8x8, extract a mean-RGB feature, recompute
@@ -1832,7 +1890,8 @@ object Queries {
     "q35_mor_delete" -> ((q35MorDelete _, q35Sql)),
     "q36_mor_merge" -> ((q36MorMerge _, q36Sql)),
     "q37_meta_agg" -> ((q37MetaAgg _, q37Sql)),
-    "q38_meta_delete" -> ((q38MetaDelete _, q38Sql)))
+    "q38_meta_delete" -> ((q38MetaDelete _, q38Sql)),
+    "q39_phash_neardup" -> ((q39PhashNearDup _, q39Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
