@@ -585,6 +585,45 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     buf.result()
   }
 
+  /** [[addedEntries]]'s STREAMING-source variant: same manifest-level
+    * walk over (fromV, toV], but row-changing commits either fail with
+    * the streaming-specific remedy (restart with skip-change-commits,
+    * or consume the changelog) or — when `skipChangeCommits` — are
+    * skipped entirely, their changes NOT emitted (Delta's
+    * skipChangeCommits semantics). Deterministic for a given range,
+    * which is what makes checkpoint replay exactly-once. */
+  def streamedEntries(fromV: Long, toV: Long,
+      skipChangeCommits: Boolean): Seq[DataFileEntry] = {
+    require(fromV <= toV, s"streaming range reversed: v$fromV > v$toV")
+    val buf = Seq.newBuilder[DataFileEntry]
+    var s = snapshotAt(toV)
+    var done = s.version <= fromV
+    while (!done) {
+      var loadedParent: Option[Snapshot] = None
+      s.operation match {
+        case "append" =>
+          val parent = snapshotAt(s.parentVersion)
+          loadedParent = Some(parent)
+          val parentManifests = parent.manifests.map(_.path).toSet
+          buf ++= s.manifests.filterNot(m => parentManifests.contains(m.path))
+            .flatMap(m => readManifest(m).files)
+        case "create" => ()
+        case op if RowPreservingOps.contains(op) => ()
+        case _ if skipChangeCommits => ()
+        case op =>
+          throw new IllegalStateException(
+            s"streaming read reached a '$op' commit (v${s.version}): rows " +
+              "were changed, not appended. Restart with " +
+              "option(\"skip-change-commits\", true) to skip such commits " +
+              "(their changes are NOT emitted), or consume readChanges " +
+              "(CLI: changes) for full CDC")
+      }
+      done = s.parentVersion < 0 || s.parentVersion <= fromV
+      if (!done) s = loadedParent.getOrElse(snapshotAt(s.parentVersion))
+    }
+    buf.result()
+  }
+
   /** Read exactly the rows appended in (fromV, toV] — see
     * [[addedEntries]]. Uses the `to` snapshot's recorded schema (logical
     * names; files resolve under their physical names as in [[read]]). */

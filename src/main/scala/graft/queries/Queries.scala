@@ -1069,6 +1069,7 @@ object Queries {
     q35Dir(s)
     q36Dir(s)
     q38Dir(s)
+    q40Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1768,6 +1769,75 @@ object Queries {
        |      UNION ALL
        |      SELECT * FROM read_parquet('$TimelineRoot/exp/b2/*.parquet'))""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Streaming-source read: `readStream.format("qtable")` follows the
+    * commit log into a checkpointed parquet sink. The fixture appends
+    * two batches, drains once at build time, then a row-preserving
+    * compact lands — each query invocation re-runs the stream against
+    * the consumed checkpoint (exercising offset recovery + the
+    * emit-nothing rewrite rule live) and returns the sink's content:
+    * exactly the appended rows, exactly once, which DuckDB recomputes
+    * from the exported batches. */
+  private val Q40Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q40_v1"
+
+  private def q40Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q40Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q40Root
+    val lockPath = Paths.get(Q40Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ40(s)
+    } finally { lock.release(); ch.close() }
+    Q40Root
+  }
+
+  private def q40Drain(s: SparkSession): Unit = {
+    val q = s.readStream.format("qtable").load(s"$Q40Root/table")
+      .writeStream.format("parquet")
+      .option("path", s"$Q40Root/out")
+      .option("checkpointLocation", s"$Q40Root/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def buildQ40(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q40Root)
+    val t = graft.format.QTable.create(s"$Q40Root/table", s, buckets = 2)
+    def batch(seed: Long, n: Long, tag: String) =
+      graft.synth.DataGen.generate(s, n, seed, 4).toDF()
+        .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+    val b1 = batch(91L, 130L, "s1"); val b2 = batch(92L, 70L, "s2")
+    b1.select("image_id", "w", "fmt", "caption", "phash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q40Root/exp/b1")
+    b2.select("image_id", "w", "fmt", "caption", "phash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q40Root/exp/b2")
+    graft.jobs.AppendJob.append(t, b1, filesPerBucket = 2)
+    graft.jobs.AppendJob.append(t, b2, filesPerBucket = 1)
+    q40Drain(s)
+    // a row-preserving rewrite AFTER the drain: later invocations'
+    // re-drains must emit nothing for it
+    new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20).run()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q40Root, "_FIXTURE_READY"))
+  }
+
+  def q40StreamSource(s: SparkSession, dir: String): DataFrame = {
+    val root = q40Dir(s)
+    q40Drain(s) // live offset recovery against the consumed checkpoint
+    s.read.parquet(s"$root/out")
+      .select("image_id", "w", "fmt", "caption", "phash")
+  }
+
+  val q40Sql: String =
+    s"""SELECT image_id, w, fmt, caption, phash
+       |FROM (SELECT * FROM read_parquet('$Q40Root/exp/b1/*.parquet')
+       |      UNION ALL
+       |      SELECT * FROM read_parquet('$Q40Root/exp/b2/*.parquet'))""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** MULTIMODAL near-duplicate detection by perceptual hash: banded LSH
     * over the 64-bit DCT pHash — 4 bands x 16 bits; only pairs sharing
@@ -1891,7 +1961,8 @@ object Queries {
     "q36_mor_merge" -> ((q36MorMerge _, q36Sql)),
     "q37_meta_agg" -> ((q37MetaAgg _, q37Sql)),
     "q38_meta_delete" -> ((q38MetaDelete _, q38Sql)),
-    "q39_phash_neardup" -> ((q39PhashNearDup _, q39Sql)))
+    "q39_phash_neardup" -> ((q39PhashNearDup _, q39Sql)),
+    "q40_stream_source" -> ((q40StreamSource _, q40Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

@@ -2,9 +2,10 @@ package graft.spark
 
 import graft.format.{QTable, Tags}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 
 /** The idiomatic Spark read surface for qtables:
   *
@@ -31,7 +32,33 @@ import org.apache.spark.sql.streaming.OutputMode
   * library API.
   */
 class QTableSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
+
+  /** Streaming source: `spark.readStream.format("qtable").load(path)`
+    * follows the table's commit log — each micro-batch is the rows
+    * appended in a version range, resolved at manifest level
+    * ([[graft.streaming.QTableStreamSource]]). Row-preserving
+    * maintenance emits nothing; row-changing commits fail unless
+    * `option("skip-change-commits", true)`. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("qtable source requires a path"))
+    require(schema.isEmpty, "qtable streams its recorded table schema; " +
+      "a user-specified schema is not supported")
+    (shortName(), graft.streaming.QTableStreamSource.schemaFor(
+      QTable(path, ctx.sparkSession)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("qtable source requires a path"))
+    new graft.streaming.QTableStreamSource(ctx, path,
+      skipChangeCommits =
+        parameters.getOrElse("skip-change-commits", "false").toBoolean)
+  }
 
   /** Streaming sink: `df.writeStream.format("qtable").option(
     * "checkpointLocation", ...).start(path)` — each micro-batch lands

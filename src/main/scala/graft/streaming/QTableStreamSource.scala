@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.format.QTable
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** qtable as a Structured Streaming SOURCE —
+  * `spark.readStream.format("qtable").load(path)` — the read-side twin
+  * of the streaming sink: a consumer follows the table's commit log,
+  * each micro-batch carrying exactly the rows APPENDED in a version
+  * range (Delta's streaming-from-a-table pattern re-derived over qtable
+  * snapshots).
+  *
+  * Offsets are table VERSIONS ([[LongOffset]]): `getOffset` is the
+  * current version — an O(1) hint-file read — and `getBatch(a, b)`
+  * resolves the appended files of `(a, b]` at MANIFEST level (the
+  * [[QTable.streamedEntries]] walk, the incremental-scan machinery):
+  * O(appended metadata) per batch, never O(table), and deterministic
+  * for a given range — which is what makes checkpoint replay
+  * exactly-once.
+  *
+  * Commit-type semantics (the contract a table-following consumer
+  * needs, mirroring Delta's source):
+  *  - appends emit their added files' rows;
+  *  - row-preserving rewrites (compact/cluster/rebucket/manifests/
+  *    schema evolution) emit NOTHING — unlike Delta, which re-emits
+  *    compacted files unless told otherwise, the operation tag in the
+  *    snapshot lets this source skip them exactly;
+  *  - row-CHANGING commits (merge/delete/rollback) FAIL the stream by
+  *    default — silently dropping changes would be wrong both ways.
+  *    `option("skip-change-commits", true)` skips them (their changes
+  *    are not emitted); full change propagation is the changelog's job
+  *    ([[QTable.readChanges]]).
+  *
+  * Schema is pinned at source creation (mid-stream column adds surface
+  * after a restart; earlier files read nulls for later columns).
+  * Retention interplay: the walk needs the consumed range's snapshots
+  * retained — size `expire --keep/--older-than-hours` to cover the
+  * slowest consumer's lag. */
+class QTableStreamSource(ctx: SQLContext, path: String,
+    skipChangeCommits: Boolean) extends Source {
+
+  private val table = QTable(path, ctx.sparkSession)
+
+  override val schema: StructType = QTableStreamSource.schemaFor(table)
+
+  override def getOffset: Option[Offset] = {
+    val v = table.currentVersion
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(-1L)
+    val toV = versionOf(end)
+    val files = table.streamedEntries(fromV, toV, skipChangeCommits).map(_.path)
+    // pinned source schema: later-added columns stay invisible until a
+    // restart; files predating an added column read nulls (name-mapped)
+    org.apache.spark.sql.GraftBridge.asStreaming(table.readFiles(files, schema))
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"QTableStreamSource($path)"
+}
+
+object QTableStreamSource {
+  /** The streaming schema of a table at `path` — its current logical
+    * schema, with the same fail-fast constraints as the batch relation
+    * (renamed tables need the aliasing projection only the library API
+    * attaches). */
+  def schemaFor(table: QTable): StructType = {
+    val snap = table.currentSnapshot
+    require(!snap.hasRenames,
+      "this table has renamed columns; stream it via the library API " +
+        "(the DataSource source cannot attach the aliasing projection)")
+    snap.storedSchema
+  }
+}

@@ -25,6 +25,16 @@ object GraftBridge {
     * batch DataFrame (no driver materialization — rows stay
     * distributed; the copy detaches rows from codegen's reused
     * buffers). */
+  /** Tag a batch DataFrame's rows as a STREAMING frame — what a V1
+    * streaming Source's getBatch must return (MicroBatchExecution
+    * splices the plan under the streaming execution). The row copy
+    * detaches from codegen's reused buffers, as in [[rebatch]]. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = true)
+  }
+
   def rebatch(df: DataFrame): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     spark.internalCreateDataFrame(

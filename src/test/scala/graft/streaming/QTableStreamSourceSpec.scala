@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.format.QTable
+import graft.jobs.{AppendJob, CompactJob, DeleteJob, MergeJob}
+import graft.synth.DataGen
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming SOURCE: readStream.format("qtable") follows the
+  * commit log — appends arrive exactly once across checkpointed
+  * restarts, row-preserving maintenance emits nothing, row-changing
+  * commits fail unless skipped explicitly. */
+class QTableStreamSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def batch(n: Long, seed: Long, tag: String) =
+    DataGen.generate(spark, n, seed, 4).toDF()
+      .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+
+  /** Drain the source into a checkpointed parquet FILE sink (the memory
+    * sink cannot recover from a checkpoint) until idle; returns the
+    * TOTAL rows landed in `out` so far — callers assert on deltas. */
+  private def drain(path: String, ckpt: String, out: String,
+      options: Map[String, String] = Map.empty): Long = {
+    var reader = spark.readStream.format("qtable")
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(path).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.read.parquet(out).count()
+  }
+
+  test("appends stream exactly once across checkpointed restarts") {
+    val root = TestSpark.tmpDir("ssrc")
+    val ckpt = TestSpark.tmpDir("ssrc-ckpt")
+    val out = TestSpark.tmpDir("ssrc-out")
+    val t = QTable.create(root, spark, buckets = 2)
+    AppendJob.append(t, batch(60, 1L, "a"), filesPerBucket = 2)
+    AppendJob.append(t, batch(40, 2L, "b"), filesPerBucket = 1)
+
+    assert(drain(root, ckpt, out) == 100L)
+
+    // a row-preserving rewrite emits NOTHING (unlike Delta's re-emit)
+    new CompactJob(t, targetFileBytes = 8L << 20).run()
+    assert(drain(root, ckpt, out) == 100L,
+      "compact must not re-emit rows")
+
+    // a third append after restart arrives alone (exactly once)
+    AppendJob.append(t, batch(25, 3L, "c"), filesPerBucket = 1)
+    assert(drain(root, ckpt, out) == 125L)
+  }
+
+  test("row-changing commits fail the stream unless skipped") {
+    val root = TestSpark.tmpDir("ssrc2")
+    val ckpt = TestSpark.tmpDir("ssrc2-ckpt")
+    val out = TestSpark.tmpDir("ssrc2-out")
+    val t = QTable.create(root, spark, buckets = 2)
+    AppendJob.append(t, batch(50, 5L, "a"), filesPerBucket = 1)
+    assert(drain(root, ckpt, out) == 50L)
+
+    new DeleteJob(t).run(col("image_id").startsWith("a-img0000000000"))
+    val ex = intercept[StreamingQueryException] {
+      drain(root, ckpt, out)
+    }
+    assert(ex.getMessage.contains("skip-change-commits") ||
+      Option(ex.getCause).exists(_.getMessage.contains("skip-change-commits")))
+
+    // skipping: the delete's changes are not emitted; later appends are
+    AppendJob.append(t, batch(20, 6L, "z"), filesPerBucket = 1)
+    assert(drain(root, ckpt, out,
+      Map("skip-change-commits" -> "true")) == 70L)
+  }
+
+  test("renamed tables are refused with a pointer to the library API") {
+    val root = TestSpark.tmpDir("ssrc3")
+    val t = QTable.create(root, spark, buckets = 2)
+    t.addColumn("alt", "string")
+    t.renameColumn("alt", "alt2")
+    val ex = intercept[Exception] {
+      spark.readStream.format("qtable").load(root)
+    }
+    assert(ex.getMessage.contains("renamed"))
+  }
+}
