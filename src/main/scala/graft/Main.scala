@@ -15,9 +15,10 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--incremental] [--job-id J] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--job-id J]
+  *   spark-submit --class graft.Main <jar> upsert  --table T (--source DIR | --rows N [--inserts K]) [--delete-col C] [--job-id J]   (scan-free whole-record upsert via equality deletes)
   *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
-  *   spark-submit --class graft.Main <jar> stream  --table T --upsert (--source DIR | --rows N) [--set c1,c2] [--delete-col C] [--seq-col C]   (streaming MOR MERGE per micro-batch)
+  *   spark-submit --class graft.Main <jar> stream  --table T --upsert [--eq] (--source DIR | --rows N) [--set c1,c2] [--delete-col C] [--seq-col C]   (streaming upsert per micro-batch: MOR MERGE, or scan-free equality deletes with --eq)
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K] [--older-than-hours H]
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
@@ -135,6 +136,21 @@ object Main {
             mergeOnRead = opts.contains("mor")).run(corr))
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
 
+      case "upsert" =>
+        // scan-free whole-record upsert (equality deletes): the batch's
+        // keys land as ONE delete file killing every older row version,
+        // its rows as appended files — commit cost O(batch), zero table
+        // reads; compact folds the key-delete debt
+        val src = opts.get("source") match {
+          case Some(p) => spark.read.parquet(p)
+          case None => DataGen.correctionsDF(spark, req(opts, "rows").toLong,
+            opts.getOrElse("seed", "42").toLong,
+            opts.getOrElse("inserts", "5").toInt)
+        }
+        val snap = CommitRetry.withCommitRetry()(
+          new UpsertJob(table, jobId, deleteCol = opts.get("delete-col")).run(src))
+        report("upsert", snap.summary ++ Map("version" -> snap.version.toString))
+
       case "delete" =>
         // merge-on-read row deletes: --where is a SQL predicate over the
         // table's logical columns; commit cost is O(matched rows) — the
@@ -179,7 +195,8 @@ object Main {
               updateCols = opts.get("set").map(_.split(",").toSeq.map(_.trim))
                 .getOrElse(Nil),
               deleteCol = opts.get("delete-col"),
-              seqCol = opts.get("seq-col")).sink
+              seqCol = opts.get("seq-col"),
+              equality = opts.contains("eq")).sink
           else new graft.streaming.StreamingAppend(t, streamName,
             filesPerBucket = opts.getOrElse("files-per-bucket", "1").toInt).sink
         // resume-able checkpoint only makes sense for a REAL --source; a
@@ -437,7 +454,9 @@ object Main {
           "worst-bucket-overlap" -> f"${r.worstBucketOverlap}%.2f",
           "schema-fields" -> r.schemaFields.toString,
           "delete-files" -> r.deleteFiles.toString,
-          "delete-rows" -> r.deleteRows.toString))
+          "delete-rows" -> r.deleteRows.toString,
+          "eq-delete-files" -> r.eqDeleteFiles.toString,
+          "eq-delete-keys" -> r.eqDeleteKeys.toString))
 
       case "agg" =>
         // metadata-only COUNT/MIN/MAX from manifest stats; hybrid
@@ -548,5 +567,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|tag|untag|tags|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|tag|untag|tags|publish|abort-staged|describe> --table PATH [options]"""
 }

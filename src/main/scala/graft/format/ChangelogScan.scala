@@ -68,11 +68,12 @@ object ChangelogScan {
           Some(t.readFiles(paths, phys)
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
-        case _ => // merge, rollback, delete — anything row-changing:
-          // file-set diff, widened by position-delete changes
+        case _ => // merge, rollback, delete, upsert — anything row-changing:
+          // file-set diff, widened by delete changes of BOTH flavors
           val parent = t.snapshotAt(s.parentVersion)
+          val entAfter = t.entries(s)
           val before = t.entries(parent).map(_.path).toSet
-          val after = t.entries(s).map(_.path).toSet
+          val after = entAfter.map(_.path).toSet
           // data files present on BOTH sides whose applicable
           // position-delete set changed (a merge-on-read DELETE commit,
           // or a rollback across one, changes no data file at all):
@@ -82,13 +83,26 @@ object ChangelogScan {
           // majority. O(delete rows) metadata work, never O(table).
           val delBefore = t.deletePairs(parent).groupMap(_._2)(_._1)
           val delAfter = t.deletePairs(s).groupMap(_._2)(_._1)
+          // same rule for EQUALITY deletes (an upsert commit): a carried
+          // file whose applicable eq-delete set changed has different
+          // live rows. The applicability test is metadata-only (seq +
+          // key-range overlap); the pre-image read this forces is the
+          // honest CDC cost of scan-free upserts — every overlapping
+          // older file is a candidate until identical-row suppression
+          // drops its untouched keys.
           val delChanged = (before intersect after).filter { p =>
             val n = QTable.fileName(p)
             delBefore.getOrElse(n, Nil).toSet != delAfter.getOrElse(n, Nil).toSet
           }.toSeq.sorted
+          val eqChanged = entAfter
+            .filter(e => before.contains(e.path))
+            .filter(e => t.eqDeleteInputsFor(parent, Seq(e)).toSet !=
+              t.eqDeleteInputsFor(s, Seq(e)).toSet)
+            .map(_.path).filterNot(delChanged.contains).sorted
+          val bothSides = delChanged ++ eqChanged
           Some(rowDiff(t, parent, s,
-            removed = (before -- after).toSeq.sorted ++ delChanged,
-            added = (after -- before).toSeq.sorted ++ delChanged,
+            removed = (before -- after).toSeq.sorted ++ bothSides,
+            added = (after -- before).toSeq.sorted ++ bothSides,
             phys, v))
       }
     }

@@ -120,7 +120,8 @@ object ParquetStats {
         colStats = colStats.toMap,
         idBlooms = if (bloomsComplete) blooms.toSeq else Nil,
         colNulls = (nullsKnown -- nullsUnknown)
-          .map { case (n, v) => n -> v.toString }.toMap)
+          .map { case (n, v) => n -> v.toString }.toMap,
+        seq = DataFileEntry.UnstampedSeq)
     } finally reader.close()
   }
 

@@ -141,20 +141,27 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     dels.filter(d => pathKey(d.dataPathMax) >= lo && pathKey(d.dataPathMin) <= hi)
   }
 
-  /** Apply a snapshot's live position deletes to a frame scanned from
-    * (a subset of) its data files: anti-join on `(_metadata.file_path,
-    * _metadata.row_index)` — the merge-on-read path. The join key is
-    * the file NAME (UUID-unique part files), not the full path: the
-    * flavors of scan behind read/readIndexed render the same file with
-    * different scheme qualification, and names are immune. The delete
-    * side is O(deleted-since-last-fold rows) and AQE broadcasts it when
-    * small (the steady-state case); `readPaths` prunes delete files
-    * whose referenced-path range cannot overlap the scan, so a scoped
-    * rewrite of one bucket never reads other buckets' delete files.
-    * No-op (the unchanged `df`, preserving existing plans
-    * byte-for-byte) when no delete can apply. */
+  /** Apply a snapshot's live position AND equality deletes to a frame
+    * scanned from (a subset of) its data files — the merge-on-read path.
+    *
+    * Position deletes anti-join on `(_metadata.file_path,
+    * _metadata.row_index)`. The join key is the file NAME (UUID-unique
+    * part files), not the full path: the flavors of scan behind
+    * read/readIndexed render the same file with different scheme
+    * qualification, and names are immune. The delete side is
+    * O(deleted-since-last-fold rows) and AQE broadcasts it when small
+    * (the steady-state case); `readPaths` prunes delete files whose
+    * referenced-path range cannot overlap the scan, so a scoped rewrite
+    * of one bucket never reads other buckets' delete files.
+    *
+    * Equality deletes anti-join on the key with the Iceberg v2
+    * sequence-number rule — see [[applyEqDeletes]].
+    *
+    * No-op (the unchanged `df`, preserving existing plans byte-for-byte)
+    * when no delete of either flavor can apply. */
   def applyDeletes(df: DataFrame, s: Snapshot, readPaths: Seq[String]): DataFrame = {
-    if (neededDeletes(s, readPaths).isEmpty) df
+    if (readPaths.isEmpty ||
+        (neededDeletes(s, readPaths).isEmpty && s.eqDeleteFiles.isEmpty)) df
     else applyDeletesWithPos(df, s, readPaths)
       .drop("__gpath", "__gpos")
   }
@@ -171,15 +178,95 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       .withColumn("__gpath", col("_metadata.file_path"))
       .withColumn("__gpos", col("_metadata.row_index"))
     val needed = neededDeletes(s, readPaths)
-    if (needed.isEmpty) return withPos
-    val delDf = df.sparkSession.read.schema(deleteSchema)
-      .parquet(needed.map(_.path): _*)
-      .select(substring_index(col("file_path"), "/", -1).as("__gname"),
-        col("pos").as("__gpos"))
-    withPos.withColumn("__gname", substring_index(col("__gpath"), "/", -1))
-      .join(delDf, Seq("__gname", "__gpos"), "left_anti")
-      .drop("__gname")
+    val posApplied =
+      if (needed.isEmpty) withPos
+      else {
+        val delDf = df.sparkSession.read.schema(deleteSchema)
+          .parquet(needed.map(_.path): _*)
+          .select(substring_index(col("file_path"), "/", -1).as("__gname"),
+            col("pos").as("__gpos"))
+        withPos.withColumn("__gname", substring_index(col("__gpath"), "/", -1))
+          .join(delDf, Seq("__gname", "__gpos"), "left_anti")
+          .drop("__gname")
+      }
+    applyEqDeletes(posApplied, s, readPaths)
   }
+
+  // ----------------------------------------------------- equality deletes
+
+  /** Row shape of an equality-delete file: one key per deleted record —
+    * every OLDER row (data-file seq below the delete's seq) of that
+    * image_id is dead. */
+  val eqDeleteSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("image_id",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** True when eq-delete `d` can kill a row of data file `f`: the file
+    * is OLDER (strict seq rule — same-commit appends survive their own
+    * delete, later re-inserts stay live) and the key ranges overlap. */
+  private def eqApplies(d: EqDeleteFileEntry, f: DataFileEntry): Boolean =
+    f.seq < d.seq && QTable.utf8Leq(d.idMin, f.imageIdMax) &&
+      QTable.utf8Leq(f.imageIdMin, d.idMax)
+
+  /** Apply a snapshot's live equality deletes to a frame (which must
+    * carry `__gpath`) scanned from `readPaths`: anti-join on the key
+    * with the per-row file seq strictly below the delete's seq.
+    *
+    * Scale shape: the file-name → seq lookup is bounded by the READ's
+    * file count (the same list scan planning already materializes, never
+    * O(table)); the delete side is O(live eq-delete keys) and AQE
+    * broadcasts it when small — the steady state, since maintenance
+    * folds the debt ([[retainEqDeletes]]). Entirely a no-op — plan
+    * untouched — when no live delete can apply to the read set. */
+  private def applyEqDeletes(df: DataFrame, s: Snapshot,
+      readPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val eq = s.eqDeleteFiles
+    if (eq.isEmpty || readPaths.isEmpty) return df
+    val names = readPaths.map(QTable.fileName).toSet
+    val reads = entries(s).filter(e => names.contains(QTable.fileName(e.path)))
+    val applicable = eq.filter(d => reads.exists(f => eqApplies(d, f)))
+    if (applicable.isEmpty) return df
+    val spark = df.sparkSession
+    // file name -> data seq for the read subset (metadata-sized)
+    val seqDf = broadcast(spark.createDataFrame(
+      reads.map(f => (QTable.fileName(f.path), f.seq))).toDF("__ename", "__eseq"))
+    // key -> delete seq: each key row carries its OWN entry's seq,
+    // attached via the delete-file name (consolidation-safe)
+    val dseqDf = broadcast(spark.createDataFrame(
+      applicable.map(d => (QTable.fileName(d.path), d.seq))).toDF("__dname", "__dseq"))
+    val delKeys = spark.read.schema(eqDeleteSchema)
+      .parquet(applicable.map(_.path): _*)
+      .select(col("image_id").as("__dkey"),
+        substring_index(col("_metadata.file_path"), "/", -1).as("__dname"))
+      .join(dseqDf, "__dname")
+      .select(col("__dkey"), col("__dseq"))
+    df.withColumn("__ename", substring_index(col("__gpath"), "/", -1))
+      .join(seqDf, Seq("__ename"), "left")
+      .join(delKeys,
+        col("image_id") === col("__dkey") &&
+          coalesce(col("__eseq"), lit(0L)) < col("__dseq"),
+        "left_anti")
+      .drop("__ename", "__eseq")
+  }
+
+  /** The equality-delete entries still needed once only `surviving`
+    * data files remain live (a rewrite job's fold rule): an entry drops
+    * when no surviving file is old enough (and key-range-overlapping
+    * enough) for it to kill anything — rewritten outputs carry a fresh
+    * seq above every live delete, so a full rewrite clears the set. */
+  def retainEqDeletes(s: Snapshot,
+      surviving: Seq[DataFileEntry]): Seq[EqDeleteFileEntry] =
+    s.eqDeleteFiles.filter(d => surviving.exists(f => eqApplies(d, f)))
+
+  /** The equality-delete files that can affect any of `reads` under `s`
+    * — a rewrite group's checkpoint input identity must include these
+    * (same contract as [[deleteInputsFor]]): the group's output folds
+    * exactly these deletes, so an output written before a concurrent
+    * upsert landed must not be reused. */
+  def eqDeleteInputsFor(s: Snapshot, reads: Seq[DataFileEntry]): Seq[String] =
+    s.eqDeleteFiles.filter(d => reads.exists(f => eqApplies(d, f))).map(_.path)
 
   /** Paths of the delete files that can reference any of `paths` under
     * `s` — metadata-only (a range filter over the snapshot's entries).
@@ -313,8 +400,17 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       reuseManifests: Seq[ManifestMeta] = Nil,
       bucketsOverride: Option[Int] = None,
       schemaOverride: Option[Seq[FieldDef]] = None,
-      deletesOverride: Option[Seq[DeleteFileEntry]] = None): Snapshot = {
-    val sorted = files.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
+      deletesOverride: Option[Seq[DeleteFileEntry]] = None,
+      eqDeletesOverride: Option[Seq[EqDeleteFileEntry]] = None): Snapshot = {
+    val parentV = parent.map(_.version).getOrElse(-1L)
+    // stamp data sequence numbers BEFORE manifests are written: freshly
+    // harvested entries (seq sentinel) get the version this commit will
+    // claim; carried entries keep their creation seq. A lost commit race
+    // throws below and the retried job re-harvests against the new head.
+    val v = parentV + 1
+    val stamped = files.map(f =>
+      if (f.seq == DataFileEntry.UnstampedSeq) f.copy(seq = v) else f)
+    val sorted = stamped.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
     val newManifests = sorted.grouped(math.max(1, entriesPerManifest)).map { group =>
       val name = s"manifest-${java.util.UUID.randomUUID()}.json"
       io.writeAtomic(s"$metadataDir/$name", Json.toBytes(ManifestData(group)))
@@ -330,7 +426,6 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     }.toSeq
     val manifests = reuseManifests ++ newManifests
 
-    val parentV = parent.map(_.version).getOrElse(-1L)
     // position deletes: carried from the parent by default (appends and
     // metadata-only commits never touch them); rewrite jobs override with
     // their folded set; DeleteJob/MOR merge with parent's ++ new entries.
@@ -338,11 +433,22 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // "total-delete-rows" (zero in steady state, maintenance folds them)
     val deletes = deletesOverride
       .orElse(parent.map(_.deleteFiles)).getOrElse(Nil)
+    // equality deletes: same carry/override contract; fresh entries
+    // (UpsertJob's sentinel) are stamped with this commit's version — the
+    // strict seq rule is what lets the same commit's appended rows
+    // survive their own delete
+    val eqDels = eqDeletesOverride
+      .orElse(parent.map(_.eqDeleteFiles)).getOrElse(Nil)
+      .map(d => if (d.seq == DataFileEntry.UnstampedSeq) d.copy(seq = v) else d)
     val deleteSummary =
-      if (deletes.isEmpty) Map.empty[String, String]
+      (if (deletes.isEmpty) Map.empty[String, String]
       else Map(
         "total-delete-files" -> deletes.size.toString,
-        "total-delete-rows" -> deletes.map(_.rowCount).sum.toString)
+        "total-delete-rows" -> deletes.map(_.rowCount).sum.toString)) ++
+      (if (eqDels.isEmpty) Map.empty[String, String]
+      else Map(
+        "total-eq-delete-files" -> eqDels.size.toString,
+        "total-eq-delete-keys" -> eqDels.map(_.rowCount).sum.toString))
     val summary = Map(
       "total-files" -> manifests.map(_.fileCount).sum.toString,
       "total-rows" -> manifests.map(_.rowCount).sum.toString,
@@ -358,7 +464,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // is never reallocated (see Snapshot.highestFieldId)
     val lastId = parent.map(_.highestFieldId).getOrElse(0)
     commitSnapshot(parentV, operation, manifests, summary, buckets, schema,
-      lastId, deletes)
+      lastId, deletes, eqDels)
   }
 
   /** Metadata-only schema evolution: append a NULLABLE column. Old data
@@ -459,7 +565,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   private[format] def commitSnapshot(parentV: Long, operation: String,
       manifests: Seq[ManifestMeta], summary: Map[String, String],
       buckets: Int, schema: Seq[FieldDef] = Nil, lastFieldId: Int = 0,
-      deletes: Seq[DeleteFileEntry] = Nil): Snapshot = {
+      deletes: Seq[DeleteFileEntry] = Nil,
+      eqDeletes: Seq[EqDeleteFileEntry] = Nil): Snapshot = {
     io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
     val head = currentVersion
@@ -468,7 +575,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
         s"stale commit: parent v$parentV but table is at v$head")
     val v = parentV + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
-      System.currentTimeMillis(), schema, lastFieldId, deletes)
+      System.currentTimeMillis(), schema, lastFieldId, deletes, eqDeletes)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
     publishHint(v)
@@ -521,9 +628,10 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val snap = snapshotAt(v)
     val parent = snapshotAt(snap.parentVersion)
     val parentFiles = entries(parent).map(_.path).toSet ++
-      parent.deleteFiles.map(_.path)
+      parent.deleteFiles.map(_.path) ++ parent.eqDeleteFiles.map(_.path)
     val parentManifests = parent.manifests.map(_.path).toSet
-    (entries(snap).map(_.path) ++ snap.deleteFiles.map(_.path))
+    (entries(snap).map(_.path) ++ snap.deleteFiles.map(_.path) ++
+        snap.eqDeleteFiles.map(_.path))
       .filterNot(parentFiles.contains)
       .foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -677,6 +785,14 @@ object QTable {
     * NAME identifies a file regardless of scheme/qualification — the
     * normalization every path-set comparison in the engine uses. */
   def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Unsigned UTF-8 order — the order the harvested id-range stats are
+    * computed in; java's String.compareTo (UTF-16 code units) diverges
+    * for supplementary characters, which would make eq-delete pruning
+    * and retention unsound. */
+  private[graft] def utf8Leq(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
 
   def apply(root: String, spark: SparkSession): QTable = new QTable(root, spark)
 

@@ -35,7 +35,9 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
       worstBucketOverlap: Double,
       schemaFields: Int,
       deleteFiles: Int,
-      deleteRows: Long)
+      deleteRows: Long,
+      eqDeleteFiles: Int,
+      eqDeleteKeys: Long)
 
   def run(): Report = {
     val snap = table.currentSnapshot
@@ -87,6 +89,10 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
       // until a compact folds them (compact plans delete-referenced
       // files as mandatory work, so launching it clears this)
       deleteFiles = snap.deleteFiles.size,
-      deleteRows = snap.deleteFiles.map(_.rowCount).sum)
+      deleteRows = snap.deleteFiles.map(_.rowCount).sum,
+      // equality-delete debt (scan-free upserts): same fold story —
+      // compact plans eq-affected files as mandatory work
+      eqDeleteFiles = snap.eqDeleteFiles.size,
+      eqDeleteKeys = snap.eqDeleteFiles.map(_.rowCount).sum)
   }
 }

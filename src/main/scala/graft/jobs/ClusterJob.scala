@@ -167,7 +167,8 @@ class ClusterJob(
         "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
         "groups" -> plans.size.toString),
       deletesOverride =
-        Some(table.retainDeletes(snap, delPairs, untouched.map(_.path))))
+        Some(table.retainDeletes(snap, delPairs, untouched.map(_.path))),
+      eqDeletesOverride = Some(table.retainEqDeletes(snap, untouched)))
     ckpt.clear()
     committed
   }
@@ -180,7 +181,8 @@ class ClusterJob(
     // a group output predating a concurrent DELETE must not be reused
     def groupInputs(p: Plan): Seq[String] = {
       val paths = p.inputs.map(_.path)
-      paths ++ table.deleteInputsFor(snap, paths)
+      paths ++ table.deleteInputsFor(snap, paths) ++
+        table.eqDeleteInputsFor(snap, p.inputs)
     }
     GroupRunner.run[Plan](batch, _.group, groupInputs,
       ckpt.committed, failAfterGroups, concurrency,

@@ -55,11 +55,17 @@ class CompactJob(
     * rewriting them (delete-applied) is what folds merge-on-read deletes
     * back into clean data files, so every read stops paying the
     * anti-join (Iceberg's delete-file-threshold rewrite criterion). A
-    * group containing such a file runs even with a single member. */
+    * group containing such a file runs even with a single member.
+    * Files an EQUALITY delete can apply to (older seq, overlapping key
+    * range — [[QTable.eqDeleteInputsFor]]'s rule) are mandatory for the
+    * same reason: the rewrite reads delete-applied and its outputs get
+    * a fresh seq above every live delete, which is what lets
+    * [[QTable.retainEqDeletes]] drop the entries. */
   def plan(snap: Snapshot, delPairs: Seq[(String, String)]): Seq[Plan] = {
     val delRef = delPairs.map(_._2).toSet
     def hasDeletes(e: DataFileEntry) =
-      delRef.contains(graft.format.QTable.fileName(e.path))
+      delRef.contains(graft.format.QTable.fileName(e.path)) ||
+        table.eqDeleteInputsFor(snap, Seq(e)).nonEmpty
     val small = table.entries(snap)
       .filter(e => e.byteCount < threshold || hasDeletes(e))
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
@@ -88,7 +94,8 @@ class CompactJob(
     // output was written must re-run it (the output did not fold them)
     def groupInputs(p: Plan): Seq[String] = {
       val paths = p.inputs.map(_.path)
-      paths ++ table.deleteInputsFor(snap, paths)
+      paths ++ table.deleteInputsFor(snap, paths) ++
+        table.eqDeleteInputsFor(snap, p.inputs)
     }
     val outputs = JobPlanning.withScanSplitBytes(jobTable.spark, targetFileBytes) {
       GroupRunner.run[Plan](plans, _.group, groupInputs, ckpt.committed,
@@ -133,7 +140,8 @@ class CompactJob(
       "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
       "groups" -> plans.size.toString),
       deletesOverride =
-        Some(table.retainDeletes(snap, delPairs, untouched.map(_.path))))
+        Some(table.retainDeletes(snap, delPairs, untouched.map(_.path))),
+      eqDeletesOverride = Some(table.retainEqDeletes(snap, untouched)))
     ckpt.clear() // finished jobIds must not be resumable against later snapshots
     committed
   }

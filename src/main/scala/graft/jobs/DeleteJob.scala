@@ -69,8 +69,13 @@ class DeleteJob(
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
         }.getOrElse(
           org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral)
+    // a file an EQUALITY delete can apply to is excluded from the
+    // metadata drop: its stats count physical rows, but some are eq-dead
+    // — dropping it would misreport "deleted-rows" (the kept path below
+    // reads delete-applied, so those files stay exact)
     val (dropped, kept) =
-      all.partition(e => StatsDelete.allMatch(resolvedPred, e, fieldsByName))
+      all.partition(e => StatsDelete.allMatch(resolvedPred, e, fieldsByName) &&
+        table.eqDeleteInputsFor(snap, Seq(e)).isEmpty)
     val droppedNames = dropped.map(e => QTable.fileName(e.path)).toSet
     // live rows the drops delete = physical rows minus rows an earlier
     // position delete already killed in those files (counted exactly
@@ -138,7 +143,9 @@ class DeleteJob(
         "files-scanned" -> scanned.toString,
         "files-total" -> total.toString),
       reuseManifests = reuse,
-      deletesOverride = Some(retained ++ written))
+      deletesOverride = Some(retained ++ written),
+      // eq entries applicable only to dropped files fold with them
+      eqDeletesOverride = Some(table.retainEqDeletes(snap, kept)))
   }
 }
 

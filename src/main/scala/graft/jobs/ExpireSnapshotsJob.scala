@@ -59,7 +59,8 @@ class ExpireSnapshotsJob(table: QTable,
 
     val retainedSnaps = retained.map(table.snapshotAt)
     val liveFiles = retainedSnaps.flatMap(s =>
-      table.entries(s).map(_.path) ++ s.deleteFiles.map(_.path)).toSet
+      table.entries(s).map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.eqDeleteFiles.map(_.path)).toSet
     val liveManifests = retainedSnaps.flatMap(_.manifests.map(_.path)).toSet
 
     // Expired snapshots routinely SHARE manifests (appends and the
@@ -79,10 +80,10 @@ class ExpireSnapshotsJob(table: QTable,
     // distinct: a rewrite-manifests chain can list one file from several
     // dead manifests — the sequential path counted it once (second delete
     // found nothing), the distributed path must not double-delete either.
-    // Position-delete files referenced only by expired snapshots (folded
-    // away or rolled back in every retained one) die with them.
+    // Delete files (both flavors) referenced only by expired snapshots
+    // (folded away or rolled back in every retained one) die with them.
     val deadDeletePaths = expired.map(table.snapshotAt)
-      .flatMap(_.deleteFiles.map(_.path))
+      .flatMap(s => s.deleteFiles.map(_.path) ++ s.eqDeleteFiles.map(_.path))
       .filterNot(liveFiles.contains).distinct
     val deadDataPaths = (deadManifests.toSeq
       .flatMap(m => table.readManifest(m).files.map(_.path))

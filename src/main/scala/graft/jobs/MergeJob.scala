@@ -209,7 +209,8 @@ class MergeJob(
     // a group output predating a concurrent DELETE must not be reused
     def groupInputs(files: Seq[DataFileEntry]): Seq[String] = {
       val paths = files.map(_.path)
-      paths ++ table.deleteInputsFor(snap, paths)
+      paths ++ table.deleteInputsFor(snap, paths) ++
+        table.eqDeleteInputsFor(snap, files)
     }
     val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
       groups, _._1, p => groupInputs(p._2), already, failAfterGroups, concurrency,
@@ -286,7 +287,8 @@ class MergeJob(
         "rows-deleted" -> deletedRows.toString,
         "files-rewritten" -> affected.size.toString),
       deletesOverride = Some(table.retainDeletes(snap,
-        table.deletePairs(snap), untouched.map(_.path))))
+        table.deletePairs(snap), untouched.map(_.path))),
+      eqDeletesOverride = Some(table.retainEqDeletes(snap, untouched)))
     ckpt.clear()
     committed
   }

@@ -47,7 +47,8 @@ class RebucketJob(
     val ckpt = new Checkpoint(table, jobId)
     val inputs = entries.map(_.path)
     // delete files join the checkpoint input identity (see CompactJob)
-    val ckptInputs = inputs ++ table.deleteInputsFor(snap, inputs)
+    val ckptInputs = inputs ++ table.deleteInputsFor(snap, inputs) ++
+      table.eqDeleteInputsFor(snap, entries)
     val outputs = GroupRunner.run[Seq[String]](Seq(inputs), _ => "all",
       _ => ckptInputs,
       ckpt.committed, Int.MaxValue, concurrency = 1) { paths =>
@@ -79,7 +80,9 @@ class RebucketJob(
         "buckets-before" -> snap.buckets.toString,
         "bytes-rewritten" -> totalBytes.toString),
       bucketsOverride = Some(newBuckets),
-      deletesOverride = Some(Nil)) // whole-table rewrite folds all deletes
+      // whole-table rewrite folds all deletes, both flavors
+      deletesOverride = Some(Nil),
+      eqDeletesOverride = Some(Nil))
     ckpt.clear()
     committed
   }

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * This is the DELETE-side half of maintenance debt; the data-side half
   * (folding deletes into data files) belongs to compact/cluster, which
   * plan delete-referenced files as mandatory work.
+  *
+  * POSITION deletes only: equality-delete files cannot be merged without
+  * tracking per-KEY sequence numbers (two entries at different seqs may
+  * hold the same key, and collapsing them to one seq would change which
+  * data files the key dies in) — their debt folds through compact
+  * instead, which plans eq-affected files as mandatory work and lets
+  * [[QTable.retainEqDeletes]] drop spent entries.
   */
 class RewriteDeletesJob(
     table: QTable,

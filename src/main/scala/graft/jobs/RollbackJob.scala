@@ -36,7 +36,8 @@ class RollbackJob(table: QTable) {
         "rolled-back-from" -> cur.version.toString),
       reuseManifests = target.manifests,
       bucketsOverride = Some(target.buckets),
-      deletesOverride = Some(target.deleteFiles))
+      deletesOverride = Some(target.deleteFiles),
+      eqDeletesOverride = Some(target.eqDeleteFiles))
   }
 }
 
@@ -78,7 +79,8 @@ class RemoveOrphanFilesJob(table: QTable, graceMs: Long = 24L * 3600 * 1000,
     val referenced: Seq[String] =
       table.listVersions.flatMap { v =>
         val s = table.snapshotAt(v)
-        table.entries(s).map(_.path) ++ s.deleteFiles.map(_.path)
+        table.entries(s).map(_.path) ++ s.deleteFiles.map(_.path) ++
+          s.eqDeleteFiles.map(_.path)
       }.distinct
     // outputs recorded by live (unfinished) job checkpoints
     val inFlight: Seq[String] =

@@ -79,9 +79,13 @@ object StatsAggregate {
       "pbucket is an internal partition column; aggregate data columns")
 
     val entries = table.entries(s)
-    // exact set of data files a live position delete references
+    // exact set of data files a live position delete references, plus
+    // files a live EQUALITY delete can apply to (older seq, overlapping
+    // key range) — either flavor means recorded stats overcount live rows
     val deleted: Set[String] =
-      table.deletePairs(s).map(_._2).toSet
+      table.deletePairs(s).map(_._2).toSet ++
+        entries.filter(e => table.eqDeleteInputsFor(s, Seq(e)).nonEmpty)
+          .map(e => QTable.fileName(e.path))
 
     val schema = StructType(
       StructField("count_star", LongType, nullable = false) +:

@@ -64,7 +64,16 @@ final case class DataFileEntry(
     imageIdMax: String,
     colStats: Map[String, ColStat] = Map.empty,
     idBlooms: Seq[String] = Nil,
-    colNulls: Map[String, String] = Map.empty) {
+    colNulls: Map[String, String] = Map.empty,
+    // data sequence number = the version of the commit that WROTE this
+    // file (Iceberg v2's data_sequence_number): equality deletes apply
+    // only to files with a strictly smaller seq. 0 (what pre-eq manifests
+    // deserialize) = "predates every equality delete" — exact, since such
+    // files really were written before the feature existed. Harvest
+    // produces [[DataFileEntry.UnstampedSeq]]; QTable.commit stamps the
+    // claimed version; carried (untouched copy-on-write) entries keep
+    // their original seq.
+    seq: Long = 0L) {
 
   /** Null-safe accessor: entries from pre-colStats manifests deserialize
     * with null here and resolve to empty (no stats = never pruned). */
@@ -92,6 +101,12 @@ final case class DataFileEntry(
   def blooms: Seq[String] = Option(idBlooms).getOrElse(Nil)
 }
 
+object DataFileEntry {
+  /** seq sentinel on freshly-harvested entries: "stamp me with the
+    * committing version" ([[graft.format.QTable.commit]]). */
+  val UnstampedSeq: Long = -1L
+}
+
 /** One position-delete file (merge-on-read row deletes, the Iceberg v2
   * analogue): a parquet file of `(file_path: string, pos: long)` rows,
   * each marking one row of one DATA file as deleted. Readers apply the
@@ -113,6 +128,36 @@ final case class DeleteFileEntry(
     byteCount: Long,
     dataPathMin: String,
     dataPathMax: String)
+
+/** One EQUALITY-delete file (Iceberg v2's second delete flavor): a
+  * parquet file of `image_id` keys, each killing EVERY older row of that
+  * key. "Older" is the sequence-number rule: the delete applies to data
+  * files whose [[DataFileEntry.seq]] is strictly below this entry's
+  * `seq` (the version of the commit that added it).
+  *
+  * This is what makes a streaming UPSERT scan-free: position deletes
+  * need the matched rows' (file, pos) addresses — a per-batch scan of
+  * every candidate file — while an equality delete just records the
+  * keys. [[graft.jobs.UpsertJob]] writes one per batch (delete all
+  * older versions of the batch's keys) alongside the batch's appended
+  * rows, so commit cost is O(batch) no matter how big the table is.
+  *
+  * The read side pays an extra anti-join (key match + seq comparison)
+  * until compaction folds the debt: rewrites read delete-applied, their
+  * outputs get a fresh seq above every live delete, and an entry whose
+  * applicable files were all rewritten is dropped
+  * ([[graft.format.QTable.retainEqDeletes]]).
+  *
+  * `idMin`/`idMax` bound the keys so scoped reads and the retention
+  * rule prune by id-range overlap — the same role
+  * [[DeleteFileEntry]]'s referenced-path bounds play. */
+final case class EqDeleteFileEntry(
+    path: String,
+    rowCount: Long,
+    byteCount: Long,
+    idMin: String,
+    idMax: String,
+    seq: Long)
 
 /** Manifest file metadata held in the snapshot (an inlined manifest list,
   * Iceberg-style): range stats allow skipping whole manifests. */
@@ -182,11 +227,15 @@ final case class Snapshot(
     timestampMs: Long,
     schema: Seq[FieldDef] = Nil,
     lastFieldId: Int = 0,
-    deletes: Seq[DeleteFileEntry] = Nil) {
+    deletes: Seq[DeleteFileEntry] = Nil,
+    eqDeletes: Seq[EqDeleteFileEntry] = Nil) {
 
   /** Live position-delete files (merge-on-read). Null-safe: snapshots
     * from before delete tracking deserialize with null here. */
   def deleteFiles: Seq[DeleteFileEntry] = Option(deletes).getOrElse(Nil)
+
+  /** Live equality-delete files. Null-safe like [[deleteFiles]]. */
+  def eqDeleteFiles: Seq[EqDeleteFileEntry] = Option(eqDeletes).getOrElse(Nil)
 
   /** Effective schema fields: recorded ones, else the base schema. */
   def schemaFields: Seq[FieldDef] = {

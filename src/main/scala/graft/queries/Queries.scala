@@ -1070,6 +1070,7 @@ object Queries {
     q36Dir(s)
     q38Dir(s)
     q40Dir(s)
+    q41Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1669,6 +1670,124 @@ object Queries {
        |ON p.image_id = c.image_id
        |WHERE NOT COALESCE(c.is_delete, false)""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Root of the build-once EQUALITY-delete upsert fixture: the table
+    * takes a 4-step history that exercises every edge of the
+    * sequence-number rule — append base, scan-free whole-record upsert
+    * u1 ([[graft.jobs.UpsertJob]]: replacements + flagged deletes +
+    * inserts), an APPEND a2 re-adding a subset of the keys u1 deleted
+    * (rows NEWER than the delete must survive it), then a second upsert
+    * u2 overriding a mix of original, u1-replaced and re-added keys.
+    * Every stage's input is exported as parquet, so DuckDB recomputes
+    * the final state as nested "replace by key" set algebra — the whole
+    * eq-delete read path (per-file seq lookup, key anti-join, strict-seq
+    * survival) sits under an exact external oracle, with the delete debt
+    * still LIVE (no fold ran). Bump the version suffix when the fixture
+    * shape changes. */
+  private val Q41Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q41_v1"
+  private val Q41N = 400L
+
+  private def q41Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q41Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q41Root
+    val lockPath = Paths.get(Q41Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ41(s)
+    } finally { lock.release(); ch.close() }
+    Q41Root
+  }
+
+  private def buildQ41(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q41Root)
+    val t = graft.format.QTable.create(s"$Q41Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, Q41N, 60L).toDF(), filesPerBucket = 2)
+    // snapshot-pinned base view: immutable across the commits below
+    val base = t.read()
+    def exp(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$Q41Root/exp/$name")
+    exp(base.select("image_id", "caption", "w"), "pre")
+
+    // u1: whole-record replacements (~30%), flagged deletes (~10%),
+    // 4 fresh inserts — deterministic classes from seeded md5 buckets
+    val h1 = pmod(mdHash64(col("image_id")), lit(10))
+    val u1 = base.where(h1.isin(0, 1, 2)).drop("pbucket")
+      .withColumn("caption", concat(lit("q41-u1: "), col("image_id")))
+      .withColumn("w", col("w") + 11)
+      .withColumn("is_delete", lit(false))
+      .unionByName(base.where(h1 === 4).drop("pbucket")
+        .withColumn("is_delete", lit(true)))
+      .unionByName(graft.synth.DataGen.generate(s, 4, 88L).toDF()
+        .withColumn("image_id", concat(lit("q41x-"), col("image_id")))
+        .withColumn("is_delete", lit(false)))
+    exp(u1.select("image_id", "caption", "w", "is_delete"), "u1")
+    new graft.jobs.UpsertJob(t, deleteCol = Some("is_delete")).run(u1)
+
+    // a2: re-APPEND a deterministic subset of the keys u1 deleted — the
+    // sequence-rule probe (rows newer than the delete must stay live)
+    val h2 = pmod(mdHash64(concat(col("image_id"), lit("#2"))), lit(3))
+    val a2 = base.where(h1 === 4 && h2 === 0).drop("pbucket")
+      .withColumn("caption", concat(lit("q41-readd: "), col("image_id")))
+    exp(a2.select("image_id", "caption", "w"), "a2")
+    graft.jobs.AppendJob.append(t, a2)
+
+    // u2: a second upsert overriding a mix of original, u1-replaced and
+    // re-added keys (including re-deleting some a2 rows)
+    val h3 = pmod(mdHash64(concat(col("image_id"), lit("#3"))), lit(10))
+    val u2 = base.where(h3.isin(0, 1)).drop("pbucket")
+      .withColumn("caption", concat(lit("q41-u2: "), col("image_id")))
+      .withColumn("w", col("w") + 23)
+      .withColumn("is_delete", lit(false))
+      .unionByName(base.where(h3 === 5).drop("pbucket")
+        .withColumn("is_delete", lit(true)))
+    exp(u2.select("image_id", "caption", "w", "is_delete"), "u2")
+    new graft.jobs.UpsertJob(t, deleteCol = Some("is_delete")).run(u2)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q41Root, "_FIXTURE_READY"))
+  }
+
+  /** Final table state after upsert -> re-append -> upsert, read THROUGH
+    * the live equality-delete anti-joins (no fold ran — GATED on the
+    * commit shape proving it: upsert commits rewrote zero files and the
+    * key-delete debt is still live). */
+  def q41EqUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = q41Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val snap = t.currentSnapshot
+    val out = t.read().select("image_id", "caption", "w")
+    val eqShape = snap.operation == "upsert" &&
+      snap.summary.get("files-rewritten").contains("0") &&
+      snap.eqDeleteFiles.nonEmpty
+    if (eqShape) out else out.limit(0)
+  }
+
+  val q41Sql: String =
+    s"""WITH s1 AS (
+       |  SELECT p.image_id, p.caption, p.w
+       |  FROM read_parquet('$Q41Root/exp/pre/*.parquet') p
+       |  WHERE p.image_id NOT IN
+       |    (SELECT image_id FROM read_parquet('$Q41Root/exp/u1/*.parquet'))
+       |  UNION ALL
+       |  SELECT image_id, caption, w
+       |  FROM read_parquet('$Q41Root/exp/u1/*.parquet') WHERE NOT is_delete
+       |), s2 AS (
+       |  SELECT * FROM s1
+       |  UNION ALL
+       |  SELECT image_id, caption, w
+       |  FROM read_parquet('$Q41Root/exp/a2/*.parquet')
+       |)
+       |SELECT s2.image_id, s2.caption, s2.w FROM s2
+       |WHERE s2.image_id NOT IN
+       |  (SELECT image_id FROM read_parquet('$Q41Root/exp/u2/*.parquet'))
+       |UNION ALL
+       |SELECT image_id, caption, w
+       |FROM read_parquet('$Q41Root/exp/u2/*.parquet') WHERE NOT is_delete""".stripMargin
+
   // ---------------------------------------------------------------- q38
   /** Build-once fixture for the metadata-level DELETE: batch1 (mixed
     * jpeg/png) + batch2 (uniformly 'bmp', its own append so its files
@@ -1962,6 +2081,7 @@ object Queries {
     "q37_meta_agg" -> ((q37MetaAgg _, q37Sql)),
     "q38_meta_delete" -> ((q38MetaDelete _, q38Sql)),
     "q39_phash_neardup" -> ((q39PhashNearDup _, q39Sql)),
+    "q41_eq_upsert" -> ((q41EqUpsert _, q41Sql)),
     "q40_stream_source" -> ((q40StreamSource _, q40Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -132,10 +132,11 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
     require(!snap.hasRenames,
       "this table has renamed columns; read it via QTable.read/readIndexed " +
         "(the DataSource relation cannot attach the aliasing projection)")
-    require(snap.deleteFiles.isEmpty,
-      "this snapshot has live merge-on-read position deletes; read it via " +
-        "QTable.read/readIndexed (the DataSource relation cannot attach " +
-        "the delete anti-join) or fold them first with a compact run")
+    require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
+      "this snapshot has live merge-on-read deletes (position or " +
+        "equality); read it via QTable.read/readIndexed (the DataSource " +
+        "relation cannot attach the delete anti-joins) or fold them " +
+        "first with a compact run")
     t.relationFor(snap)._1
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.format.QTable
-import graft.jobs.{CommitRetry, MergeJob}
+import graft.jobs.{CommitRetry, MergeJob, UpsertJob}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,11 +34,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * marking CDC deletes. Maintenance (compact folds the accumulating
   * position deletes; rewrite-deletes consolidates them) runs
   * concurrently through optimistic commit retry, like any writer.
+  *
+  * `equality = true` switches the per-batch commit from MOR MERGE to the
+  * SCAN-FREE [[UpsertJob]] (equality deletes): the MOR MERGE still scans
+  * every candidate file per batch to address the matched rows, which at
+  * 10^12 rows dominates the feed's cost — the equality path writes the
+  * batch's keys as one delete file and its rows as appends, O(batch)
+  * total. Whole-record only (there is no old row on hand to patch), so
+  * it rejects a non-empty `updateCols`; compact folds the accumulating
+  * key-delete debt like any other.
   */
 class StreamingUpsert(table: QTable, queryName: String,
     updateCols: Seq[String] = Nil,
     deleteCol: Option[String] = None,
-    seqCol: Option[String] = None) {
+    seqCol: Option[String] = None,
+    equality: Boolean = false) {
+
+  require(!equality || updateCols.isEmpty,
+    "equality upsert replaces whole records (no old row is read to " +
+      "patch); drop updateCols or use the merge-on-read path")
 
   private def jobId(batchId: Long): String = s"upsert-$queryName-b$batchId"
 
@@ -60,13 +74,18 @@ class StreamingUpsert(table: QTable, queryName: String,
             .where(col("__rn") === 1).drop("__rn", sc)
         case None => df0
       }
-      val sets =
-        if (updateCols.nonEmpty) updateCols
-        else table.storedSchema.fieldNames.toSeq
-          .filterNot(c => c == "image_id" || c == "pbucket")
-      CommitRetry.withCommitRetry()(
-        new MergeJob(table, jobId(batchId), updateCols = sets,
-          deleteCol = deleteCol, mergeOnRead = true).run(df))
+      if (equality)
+        CommitRetry.withCommitRetry()(
+          new UpsertJob(table, jobId(batchId), deleteCol = deleteCol).run(df))
+      else {
+        val sets =
+          if (updateCols.nonEmpty) updateCols
+          else table.storedSchema.fieldNames.toSeq
+            .filterNot(c => c == "image_id" || c == "pbucket")
+        CommitRetry.withCommitRetry()(
+          new MergeJob(table, jobId(batchId), updateCols = sets,
+            deleteCol = deleteCol, mergeOnRead = true).run(df))
+      }
     }
   }
 

@@ -320,7 +320,7 @@ class PositionDeleteSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException] {
       spark.read.format("qtable").load(t.root).count()
     }
-    assert(ex.getMessage.contains("position deletes"))
+    assert(ex.getMessage.contains("merge-on-read deletes"))
     new CompactJob(t, targetFileBytes = 8L << 20).run()
     assert(spark.read.format("qtable").load(t.root).count() == t.read().count())
   }
