@@ -43,6 +43,10 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> tag     --table T --name N [--version V]
   *   spark-submit --class graft.Main <jar> untag   --table T --name N
   *   spark-submit --class graft.Main <jar> tags    --table T
+  *   spark-submit --class graft.Main <jar> branch  --table T --name N [--at V]   (writable ref; pass --branch N to any job to commit against it)
+  *   spark-submit --class graft.Main <jar> branches --table T
+  *   spark-submit --class graft.Main <jar> drop-branch --table T --name N
+  *   spark-submit --class graft.Main <jar> fast-forward --table T --branch N   (publish the branch to main; main must be an ancestor)
   *   spark-submit --class graft.Main <jar> describe --table T
   */
 object Main {
@@ -70,8 +74,15 @@ object Main {
     // --staged: the job claims its commit but the version hint stays put
     // (write-audit-publish) — audit with `verify --against <staged>`,
     // then `publish` or `abort-staged`
+    // --branch N: read and commit against the named branch ref instead
+    // of main (create one first with `branch --name N`); --staged gates
+    // the main head (the two do not compose — a branch IS an audited,
+    // unpublished line of history)
     def table = {
-      val t = QTable(req(opts, "table"), spark)
+      val t0 = QTable(req(opts, "table"), spark)
+      val t = opts.get("branch")
+        .filterNot(_ => cmd == "branch" || cmd == "fast-forward")
+        .map(t0.onBranch).getOrElse(t0)
       if (opts.contains("staged")) t.staged else t
     }
     def targetBytes = opts.get("target-mb").map(_.toLong << 20).getOrElse(128L << 20)
@@ -480,6 +491,33 @@ object Main {
             c -> String.valueOf(row.get(i))
           })
 
+      case "branch" =>
+        // writable named ref (Iceberg branch): fork at --at (default:
+        // main head); commit to it by passing --branch N to any job
+        val name = req(opts, "name")
+        val ref = graft.format.Branches.create(table, name,
+          opts.get("at").map(_.toLong).getOrElse(-1L))
+        report("branch", Map("name" -> ref.name,
+          "version" -> ref.version.toString))
+
+      case "branches" =>
+        graft.format.Branches.list(table).foreach(r =>
+          report("branches", Map("name" -> r.name,
+            "version" -> r.version.toString)))
+
+      case "drop-branch" =>
+        val name = req(opts, "name")
+        val existed = graft.format.Branches.delete(table, name)
+        report("drop-branch", Map("name" -> name, "deleted" -> existed.toString))
+
+      case "fast-forward" =>
+        // publish a branch to main (main must be an ancestor of the
+        // branch head — a metadata-only forward commit)
+        val snap = CommitRetry.withCommitRetry()(
+          new FastForwardJob(table).run(req(opts, "branch")))
+        report("fast-forward", snap.summary ++ Map(
+          "version" -> snap.version.toString))
+
       case "tag" =>
         // immutable named snapshot ref; survives expiry until untagged
         val name = req(opts, "name")
@@ -567,5 +605,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|tag|untag|tags|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
 }

@@ -54,10 +54,27 @@ object ChangelogScan {
     val to = t.snapshotAt(toV)
     val phys = to.physicalSchema
 
-    // versions are consecutive (commitSnapshot enforces v = parent+1),
-    // so the chain (fromV, toV] is just the integer range
-    val parts: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
-      val s = t.snapshotAt(v)
+    // the chain (fromV, toV] is the PARENT-POINTER walk from toV down to
+    // fromV (not an integer range: once branches exist, version numbers
+    // are global across refs and a ref's history skips the numbers other
+    // refs claimed). fromV must be an ancestor of toV on this chain.
+    val chain = {
+      val buf = List.newBuilder[graft.model.Snapshot]
+      var s = t.snapshotAt(toV)
+      var done = s.version <= fromV
+      while (!done) {
+        buf += s
+        require(s.parentVersion >= fromV,
+          s"v$fromV is not an ancestor of v$toV (the walk reached " +
+            s"v${s.version} whose parent is v${s.parentVersion}) — " +
+            "changelog endpoints must lie on one ref's chain")
+        done = s.parentVersion == fromV || s.parentVersion < 0
+        if (!done) s = t.snapshotAt(s.parentVersion)
+      }
+      buf.result().reverse
+    }
+    val parts: Seq[DataFrame] = chain.flatMap { s =>
+      val v = s.version
       s.operation match {
         case op if RowPreserving.contains(op) || op == "create" => None
         case "append" =>

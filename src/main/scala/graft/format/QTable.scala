@@ -45,9 +45,38 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   private def hintFile: String = s"$metadataDir/version-hint.text"
   private def versionFile(v: Long): String = s"$metadataDir/v$v.json"
 
+  /** The ref this view reads and commits against ("main", or a branch
+    * name under [[onBranch]]) — recorded in branch commits' summaries so
+    * main's staged-version resolution never confuses a branch tip with a
+    * write-audit-publish claim. */
+  protected def refName: String = "main"
+
   def currentVersion: Long = {
     if (!io.exists(hintFile)) -1L
     else new String(io.readBytes(hintFile)).trim.toLong
+  }
+
+  /** A view of this table whose HEAD is the named branch (Iceberg
+    * branches, [[Branches]]): reads resolve the branch head, commits
+    * claim a global version number and advance the branch pointer —
+    * main's hint (and every main reader) is untouched. Full table
+    * semantics apply on the branch: snapshot isolation, optimistic
+    * commit conflicts against the BRANCH head, checkpointed resume,
+    * maintenance jobs. Publish with [[graft.jobs.FastForwardJob]].
+    * Write-audit-publish staging is a main-head gate and does not
+    * compose (a branch IS the generalized audit surface). */
+  def onBranch(name: String): QTable = {
+    require(Branches.exists(this, name), s"no such branch: $name")
+    new QTable(root, spark) {
+      override protected def refName: String = name
+      override def currentVersion: Long = Branches.head(this, name)
+      override protected def publishHint(v: Long): Unit =
+        Branches.advance(this, name, v)
+      override def staged: QTable =
+        throw new UnsupportedOperationException(
+          "staging gates the MAIN head; commit to the branch directly — " +
+            "a branch is already an audited, unpublished line of history")
+    }
   }
 
   def snapshotAt(v: Long): Snapshot =
@@ -401,7 +430,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       bucketsOverride: Option[Int] = None,
       schemaOverride: Option[Seq[FieldDef]] = None,
       deletesOverride: Option[Seq[DeleteFileEntry]] = None,
-      eqDeletesOverride: Option[Seq[EqDeleteFileEntry]] = None): Snapshot = {
+      eqDeletesOverride: Option[Seq[EqDeleteFileEntry]] = None,
+      lastFieldIdOverride: Option[Int] = None): Snapshot = {
     val parentV = parent.map(_.version).getOrElse(-1L)
     // stamp data sequence numbers BEFORE manifests are written: freshly
     // harvested entries (seq sentinel) get the version this commit will
@@ -449,11 +479,17 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       else Map(
         "total-eq-delete-files" -> eqDels.size.toString,
         "total-eq-delete-keys" -> eqDels.map(_.rowCount).sum.toString))
+    // branch commits carry their ref name; main commits stay unmarked
+    // (stagedVersion relies on the distinction, and main summaries keep
+    // their historical shape)
+    val refSummary =
+      if (refName == "main") Map.empty[String, String]
+      else Map("ref" -> refName)
     val summary = Map(
       "total-files" -> manifests.map(_.fileCount).sum.toString,
       "total-rows" -> manifests.map(_.rowCount).sum.toString,
       "total-bytes" -> manifests.map(_.byteCount).sum.toString) ++
-      deleteSummary ++ extraSummary
+      deleteSummary ++ refSummary ++ extraSummary
     val buckets = bucketsOverride
       .orElse(parent.map(_.buckets)).getOrElse(QTable.DefaultBuckets)
     // schema travels raw: an empty recorded schema (pre-evolution) stays
@@ -461,8 +497,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val schema = schemaOverride
       .orElse(parent.map(p => Option(p.schema).getOrElse(Nil))).getOrElse(Nil)
     // highest-ever field id rides every commit so a dropped column's id
-    // is never reallocated (see Snapshot.highestFieldId)
-    val lastId = parent.map(_.highestFieldId).getOrElse(0)
+    // is never reallocated (see Snapshot.highestFieldId); fast-forward
+    // overrides with the max across BOTH chains — a branch-dropped id
+    // must stay retired on main too
+    val lastId = lastFieldIdOverride
+      .getOrElse(parent.map(_.highestFieldId).getOrElse(0))
     commitSnapshot(parentV, operation, manifests, summary, buckets, schema,
       lastId, deletes, eqDels)
   }
@@ -569,11 +608,28 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       eqDeletes: Seq[EqDeleteFileEntry] = Nil): Snapshot = {
     io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
+    // (against THIS ref's head — a branch commit conflicts on the branch)
     val head = currentVersion
     if (head != parentV)
       throw new CommitConflictException(
-        s"stale commit: parent v$parentV but table is at v$head")
-    val v = parentV + 1
+        s"stale commit: parent v$parentV but ref '$refName' is at v$head")
+    // write-audit-publish exclusivity: while a staged claim sits above
+    // the main head, it owns main's commit window (before branches the
+    // claim on head+1 enforced this for free; with global version
+    // numbers the check is explicit). Branch commits are unaffected —
+    // they advance their own ref, never the gated hint.
+    if (refName == "main")
+      stagedVersion.foreach(sv => throw new CommitConflictException(
+        s"staged v$sv owns the commit window (publish or abort-staged first)"))
+    // version numbers are GLOBAL across refs (branches share the v*.json
+    // namespace): claim one past the highest ever committed, so a branch
+    // tip and a main commit can never collide. On a branch-free table
+    // this is exactly parentV + 1. Data-seq stamps (parentV + 1, applied
+    // in commit() before manifests were written) may sit below the
+    // claimed version — sound, because stamps still increase strictly
+    // along every parent chain and cross-ref entries only meet through
+    // fast-forward, which adopts the branch's files AND deletes wholesale.
+    val v = math.max(parentV, listVersions.lastOption.getOrElse(-1L)) + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
       System.currentTimeMillis(), schema, lastFieldId, deletes, eqDeletes)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
@@ -603,11 +659,16 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     override protected def publishHint(v: Long): Unit = ()
   }
 
-  /** The claimed-but-unpublished version, if any (at most head+1: the
-    * claim on `v<head+1>` is exclusive while the hint stays behind). */
+  /** The claimed-but-unpublished version, if any. Versions above the
+    * main head are either staged claims or BRANCH tips — branch commits
+    * mark their summary with their ref name, so only unmarked ones
+    * resolve here (publishing a branch is [[graft.jobs.FastForwardJob]],
+    * never a hint flip past it). */
   def stagedVersion: Option[Long] = {
     val head = currentVersion
-    listVersions.filter(_ > head).maxOption
+    listVersions.filter(_ > head)
+      .filterNot(v => snapshotAt(v).summary.contains("ref"))
+      .maxOption
   }
 
   /** Make the staged snapshot live. One atomic hint flip: readers that

@@ -45,15 +45,37 @@ class ExpireSnapshotsJob(table: QTable,
   def run(keepLast: Int, olderThanMs: Option[Long] = None): Result = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val versions = table.listVersions
-    // retention = the most recent keepLast PLUS every tagged version: a
-    // tag is an explicit promise that its snapshot stays readable (the
-    // files it references are live below), so expiry must never break it
+    val versionSet = versions.toSet
+    // retention = the union of protections (Iceberg expire_snapshots):
+    //  - the most recent keepLast of the MAIN chain (the parent-pointer
+    //    walk from the head — on a branch-free table this is exactly the
+    //    last K version numbers, but branch commits interleave the
+    //    global numbering and must not eat main's window);
+    //  - every tagged version and every BRANCH HEAD (explicit promises
+    //    that those snapshots stay readable; a branch's non-head
+    //    ancestors age out like any other history);
+    //  - UNMARKED versions above the main head (staged write-audit-
+    //    publish claims — unpublished work is never garbage; branch
+    //    commits are ref-marked and protect themselves via their head);
+    //  - commits younger than the optional age cutoff.
+    val mainChain = {
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      var v = table.currentVersion
+      while (v >= 0 && buf.size < keepLast && versionSet.contains(v)) {
+        buf += v
+        v = table.snapshotAt(v).parentVersion
+      }
+      buf.toSet
+    }
     val tagged = graft.format.Tags.list(table).map(_.version).toSet
+    val branchHeads = graft.format.Branches.list(table).map(_.version).toSet
+    val aboveHead = versionSet.filter(_ > table.currentVersion)
+      .filterNot(v => table.snapshotAt(v).summary.contains("ref"))
     val young = olderThanMs.map(cut =>
       versions.filter(v => table.snapshotAt(v).timestampMs >= cut).toSet)
       .getOrElse(Set.empty)
-    val keep = versions.takeRight(keepLast).toSet ++
-      tagged.filter(versions.contains) ++ young
+    val keep = mainChain ++ tagged.filter(versionSet.contains) ++
+      branchHeads.filter(versionSet.contains) ++ aboveHead ++ young
     val (expired, retained) = versions.partition(v => !keep.contains(v))
     if (expired.isEmpty) return Result(Nil, 0, 0)
 

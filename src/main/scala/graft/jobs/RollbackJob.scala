@@ -41,6 +41,56 @@ class RollbackJob(table: QTable) {
   }
 }
 
+/** Publish a branch to main: a NEW main commit re-pointing at the
+  * branch head's manifests, schema, bucket count, and delete sets —
+  * metadata-only, no data file touched (the same forward-commit shape
+  * as rollback; history stays linear and auditable on main, the branch
+  * keeps its own chain).
+  *
+  * TRUE fast-forward semantics (Iceberg's `fast_forward`): main's
+  * current head must be an ANCESTOR of the branch head — if main
+  * advanced past the fork, blindly adopting the branch would silently
+  * discard main's newer commits; that case needs an explicit merge
+  * (re-run the branch's changes against main, or roll main back first).
+  *
+  * Sequence-number soundness: the branch's data files and delete
+  * entries are adopted WHOLESALE with their original seqs (a chain that
+  * was internally consistent stays so); main's next commits stamp above
+  * the fast-forward version, which exceeds every adopted seq. */
+class FastForwardJob(table: QTable) {
+
+  def run(branch: String): Snapshot = {
+    val cur = table.currentSnapshot
+    val bv = graft.format.Branches.head(table, branch)
+    require(bv != cur.version, s"branch $branch is already at the main head")
+    val target = table.snapshotAt(bv)
+    // ancestry walk from the branch head down: main's head must be on it
+    var s = target
+    var ancestor = false
+    while (!ancestor && s.parentVersion >= 0) {
+      ancestor = s.parentVersion == cur.version
+      if (!ancestor) s = try table.snapshotAt(s.parentVersion)
+        catch { case _: Exception =>
+          throw new IllegalStateException(
+            s"cannot prove v${cur.version} is an ancestor of branch " +
+              s"$branch (v$bv): the chain is expired below v${s.version} — " +
+              "retain more history or merge explicitly") }
+    }
+    require(ancestor,
+      s"main (v${cur.version}) is not an ancestor of branch $branch " +
+        s"(v$bv): main advanced past the fork — merge explicitly instead")
+    table.commit(Some(cur), "fast-forward", Nil,
+      Map("from-branch" -> branch, "fast-forwarded-to" -> bv.toString),
+      reuseManifests = target.manifests,
+      bucketsOverride = Some(target.buckets),
+      schemaOverride = Some(target.schemaFields),
+      deletesOverride = Some(target.deleteFiles),
+      eqDeletesOverride = Some(target.eqDeleteFiles),
+      lastFieldIdOverride =
+        Some(math.max(cur.highestFieldId, target.highestFieldId)))
+  }
+}
+
 /** Delete data files under the table root that no retained snapshot and
   * no live checkpoint references — the leftovers of crashed or abandoned
   * job attempts (a killed driver's half-written group output that was

@@ -1071,6 +1071,7 @@ object Queries {
     q38Dir(s)
     q40Dir(s)
     q41Dir(s)
+    q42Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -1788,6 +1789,100 @@ object Queries {
        |SELECT image_id, caption, w
        |FROM read_parquet('$Q41Root/exp/u2/*.parquet') WHERE NOT is_delete""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Root of the build-once BRANCH + fast-forward fixture: main takes a
+    * base append, a branch forks, the branch takes a scan-free upsert
+    * (whole-record replacements + flagged deletes + inserts) and a
+    * follow-up append — all invisible on main (asserted before the
+    * publish: a gated read would catch an isolation leak) — then
+    * [[graft.jobs.FastForwardJob]] publishes the branch to main. Every
+    * stage's input is exported, so DuckDB recomputes the final main
+    * state with the same key-replace set algebra as q41 — the whole
+    * branch lifecycle (ref-scoped commits, global version claims,
+    * adopted delete sets, ancestry-checked publish) sits under an exact
+    * external oracle. */
+  private val Q42Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q42_v1"
+  private val Q42N = 300L
+
+  private def q42Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q42Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q42Root
+    val lockPath = Paths.get(Q42Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ42(s)
+    } finally { lock.release(); ch.close() }
+    Q42Root
+  }
+
+  private def buildQ42(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q42Root)
+    val t = graft.format.QTable.create(s"$Q42Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, Q42N, 70L).toDF(), filesPerBucket = 2)
+    val base = t.read()
+    def exp(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$Q42Root/exp/$name")
+    exp(base.select("image_id", "caption", "w"), "pre")
+
+    graft.format.Branches.create(t, "fix")
+    val dev = t.onBranch("fix")
+    val h = pmod(mdHash64(col("image_id")), lit(10))
+    val u1 = base.where(h.isin(0, 1)).drop("pbucket")
+      .withColumn("caption", concat(lit("q42-fix: "), col("image_id")))
+      .withColumn("w", col("w") + 5)
+      .withColumn("is_delete", lit(false))
+      .unionByName(base.where(h === 7).drop("pbucket")
+        .withColumn("is_delete", lit(true)))
+      .unionByName(graft.synth.DataGen.generate(s, 3, 99L).toDF()
+        .withColumn("image_id", concat(lit("q42x-"), col("image_id")))
+        .withColumn("is_delete", lit(false)))
+    exp(u1.select("image_id", "caption", "w", "is_delete"), "u1")
+    new graft.jobs.UpsertJob(dev, deleteCol = Some("is_delete")).run(u1)
+    val a2 = graft.synth.DataGen.generate(s, 5, 98L).toDF()
+      .withColumn("image_id", concat(lit("q42a-"), col("image_id")))
+    exp(a2.select("image_id", "caption", "w"), "a2")
+    graft.jobs.AppendJob.append(dev, a2)
+
+    // isolation gate BEFORE publishing: a branch leak onto main would
+    // poison the fixture — refuse to mark it ready instead
+    require(t.read().count() == Q42N,
+      "branch commits leaked onto main before the fast-forward")
+    new graft.jobs.FastForwardJob(t).run("fix")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q42Root, "_FIXTURE_READY"))
+  }
+
+  /** Final MAIN state after branch-upsert -> branch-append ->
+    * fast-forward, read through the adopted equality deletes — GATED on
+    * the publish shape (a fast-forward head carrying live eq debt). */
+  def q42BranchFf(s: SparkSession, dir: String): DataFrame = {
+    val root = q42Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val snap = t.currentSnapshot
+    val out = t.read().select("image_id", "caption", "w")
+    val ffShape = snap.operation == "fast-forward" &&
+      snap.summary.get("from-branch").contains("fix") &&
+      snap.eqDeleteFiles.nonEmpty
+    if (ffShape) out else out.limit(0)
+  }
+
+  val q42Sql: String =
+    s"""SELECT p.image_id, p.caption, p.w
+       |FROM read_parquet('$Q42Root/exp/pre/*.parquet') p
+       |WHERE p.image_id NOT IN
+       |  (SELECT image_id FROM read_parquet('$Q42Root/exp/u1/*.parquet'))
+       |UNION ALL
+       |SELECT image_id, caption, w
+       |FROM read_parquet('$Q42Root/exp/u1/*.parquet') WHERE NOT is_delete
+       |UNION ALL
+       |SELECT image_id, caption, w
+       |FROM read_parquet('$Q42Root/exp/a2/*.parquet')""".stripMargin
+
   // ---------------------------------------------------------------- q38
   /** Build-once fixture for the metadata-level DELETE: batch1 (mixed
     * jpeg/png) + batch2 (uniformly 'bmp', its own append so its files
@@ -2082,6 +2177,7 @@ object Queries {
     "q38_meta_delete" -> ((q38MetaDelete _, q38Sql)),
     "q39_phash_neardup" -> ((q39PhashNearDup _, q39Sql)),
     "q41_eq_upsert" -> ((q41EqUpsert _, q41Sql)),
+    "q42_branch_ff" -> ((q42BranchFf _, q42Sql)),
     "q40_stream_source" -> ((q40StreamSource _, q40Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
