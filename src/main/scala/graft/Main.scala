@@ -108,7 +108,10 @@ object Main {
         val seed = opts.getOrElse("seed", "42").toLong
         val root = req(opts, "table")
         val t0 = QTable(root, spark)
-        val t = if (t0.currentVersion >= 0) t0 else QTable.create(root, spark, buckets)
+        val tc = if (t0.currentVersion >= 0) t0 else QTable.create(root, spark, buckets)
+        // --branch: append against the named ref (synth resolves its own
+        // handle for table creation, so the shared accessor doesn't apply)
+        val t = opts.get("branch").map(tc.onBranch).getOrElse(tc)
         val snap = CommitRetry.withCommitRetry()(
           AppendJob.append(t, DataGen.generate(spark, rows, seed).toDF(), fpb))
         report("synth", snap.summary ++ Map("version" -> snap.version.toString))
@@ -178,8 +181,9 @@ object Main {
         // --rows into a temp dir first so the surface is self-driving.
         val root = req(opts, "table")
         val t0 = QTable(root, spark)
-        val t = if (t0.currentVersion >= 0) t0
+        val tc = if (t0.currentVersion >= 0) t0
           else QTable.create(root, spark, opts.getOrElse("buckets", "8").toInt)
+        val t = opts.get("branch").map(tc.onBranch).getOrElse(tc)
         val srcDir = opts.get("source").getOrElse {
           val d = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
           // append mode streams fresh rows; upsert mode streams a

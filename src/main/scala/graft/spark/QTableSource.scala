@@ -120,13 +120,16 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("qtable source requires a path"))
     val t = QTable(path, ctx.sparkSession)
-    require(!(parameters.contains("version") && parameters.contains("tag")),
-      "pass either version or tag, not both")
+    require(Seq("version", "tag", "branch").count(parameters.contains) <= 1,
+      "pass at most one of version, tag, branch")
     val snap = parameters.get("tag") match {
       case Some(tag) => t.snapshotAt(Tags.ref(t, tag).version)
-      case None => parameters.get("version") match {
-        case Some(v) => t.snapshotAt(v.toLong)
-        case None => t.currentSnapshot
+      case None => parameters.get("branch") match {
+        case Some(b) => t.snapshotAt(graft.format.Branches.head(t, b))
+        case None => parameters.get("version") match {
+          case Some(v) => t.snapshotAt(v.toLong)
+          case None => t.currentSnapshot
+        }
       }
     }
     require(!snap.hasRenames,

@@ -42,6 +42,24 @@ class QTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("branch option reads the branch head; main load is unaffected") {
+    val t = fresh(150)
+    graft.format.Branches.create(t, "exp")
+    AppendJob.append(t.onBranch("exp"),
+      DataGen.generate(spark, 10, 5L, 1).toDF()
+        .withColumn("image_id",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("br-"),
+            org.apache.spark.sql.functions.col("image_id"))))
+    assert(spark.read.format("qtable").load(t.root).count() == 150)
+    val br = spark.read.format("qtable").option("branch", "exp").load(t.root)
+    assert(br.count() == 160)
+    intercept[IllegalArgumentException] {
+      spark.read.format("qtable").option("branch", "exp")
+        .option("version", "1").load(t.root)
+    }
+  }
+
   test("SQL: CREATE TEMPORARY VIEW USING qtable, snapshot-isolated") {
     val t = fresh(200)
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qsrc_imgs USING qtable " +
