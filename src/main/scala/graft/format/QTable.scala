@@ -293,9 +293,31 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * — a rewrite group's checkpoint input identity must include these
     * (same contract as [[deleteInputsFor]]): the group's output folds
     * exactly these deletes, so an output written before a concurrent
-    * upsert landed must not be reused. */
+    * upsert landed must not be reused. Group-sized inputs only — for a
+    * per-file sweep over the whole table use [[eqAffectedNames]]. */
   def eqDeleteInputsFor(s: Snapshot, reads: Seq[DataFileEntry]): Seq[String] =
     s.eqDeleteFiles.filter(d => reads.exists(f => eqApplies(d, f))).map(_.path)
+
+  /** Names of the data files among `files` that any live equality
+    * delete can apply to — ONE pass with the delete bounds pre-decoded
+    * to UTF8String, the shape table-wide planners (compaction's
+    * mandatory-work classifier, the aggregate planner's dirty set) must
+    * use: probing per file through [[eqDeleteInputsFor]] re-decodes
+    * four strings per (file, delete) pair, which at 10^6 files is
+    * planner time a metadata pass has no business spending. */
+  def eqAffectedNames(s: Snapshot, files: Seq[DataFileEntry]): Set[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val eq = s.eqDeleteFiles
+    if (eq.isEmpty) return Set.empty
+    val bounds = eq.map(d => (d.seq,
+      UTF8String.fromString(d.idMin), UTF8String.fromString(d.idMax)))
+    files.iterator.filter { f =>
+      val mn = UTF8String.fromString(f.imageIdMin)
+      val mx = UTF8String.fromString(f.imageIdMax)
+      bounds.exists { case (ds, lo, hi) =>
+        f.seq < ds && lo.compareTo(mx) <= 0 && mn.compareTo(hi) <= 0 }
+    }.map(f => QTable.fileName(f.path)).toSet
+  }
 
   /** Paths of the delete files that can reference any of `paths` under
     * `s` — metadata-only (a range filter over the snapshot's entries).

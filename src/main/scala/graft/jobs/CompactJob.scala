@@ -62,11 +62,12 @@ class CompactJob(
     * a fresh seq above every live delete, which is what lets
     * [[QTable.retainEqDeletes]] drop the entries. */
   def plan(snap: Snapshot, delPairs: Seq[(String, String)]): Seq[Plan] = {
-    val delRef = delPairs.map(_._2).toSet
+    val entries = table.entries(snap)
+    val delRef = delPairs.map(_._2).toSet ++
+      table.eqAffectedNames(snap, entries)
     def hasDeletes(e: DataFileEntry) =
-      delRef.contains(graft.format.QTable.fileName(e.path)) ||
-        table.eqDeleteInputsFor(snap, Seq(e)).nonEmpty
-    val small = table.entries(snap)
+      delRef.contains(graft.format.QTable.fileName(e.path))
+    val small = entries
       .filter(e => e.byteCount < threshold || hasDeletes(e))
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
     val perBucket = small.groupBy(_.pbucketMin).toSeq

@@ -73,9 +73,10 @@ class DeleteJob(
     // metadata drop: its stats count physical rows, but some are eq-dead
     // — dropping it would misreport "deleted-rows" (the kept path below
     // reads delete-applied, so those files stay exact)
+    val eqAffected = table.eqAffectedNames(snap, all)
     val (dropped, kept) =
       all.partition(e => StatsDelete.allMatch(resolvedPred, e, fieldsByName) &&
-        table.eqDeleteInputsFor(snap, Seq(e)).isEmpty)
+        !eqAffected.contains(QTable.fileName(e.path)))
     val droppedNames = dropped.map(e => QTable.fileName(e.path)).toSet
     // live rows the drops delete = physical rows minus rows an earlier
     // position delete already killed in those files (counted exactly

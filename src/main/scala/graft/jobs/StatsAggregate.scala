@@ -84,8 +84,7 @@ object StatsAggregate {
     // key range) — either flavor means recorded stats overcount live rows
     val deleted: Set[String] =
       table.deletePairs(s).map(_._2).toSet ++
-        entries.filter(e => table.eqDeleteInputsFor(s, Seq(e)).nonEmpty)
-          .map(e => QTable.fileName(e.path))
+        table.eqAffectedNames(s, entries)
 
     val schema = StructType(
       StructField("count_star", LongType, nullable = false) +:

@@ -163,6 +163,26 @@ class BranchSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent main and branch writers both land under the global claim") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val t = fresh(100)
+    Branches.create(t, "race")
+    val fMain = Future(CommitRetry.withCommitRetry(8) {
+      AppendJob.append(t, prefixed(10, 51L, "mn"))
+    })
+    val fBranch = Future(CommitRetry.withCommitRetry(8) {
+      AppendJob.append(t.onBranch("race"), prefixed(10, 52L, "br"))
+    })
+    Await.result(Future.sequence(Seq(fMain, fBranch)), 5.minutes)
+    assert(t.read().count() == 110)
+    assert(t.read().where(col("image_id").startsWith("br-")).count() == 0)
+    assert(t.onBranch("race").read().count() == 110)
+    assert(t.onBranch("race").read()
+      .where(col("image_id").startsWith("mn-")).count() == 0)
+  }
+
   test("schema evolution on a branch rides fast-forward; dropped ids stay retired on main") {
     val t = fresh(80)
     Branches.create(t, "schema")
