@@ -254,6 +254,23 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(t.read().count() == 272)
   }
 
+  test("eq anti-join broadcasts both lookup sides and never shuffles the data") {
+    val t = fresh(400)
+    new UpsertJob(t, deleteCol = Some("is_delete"))
+      .run(batch(t, "2", "plan", delSuffix = Some("6")))
+    val df = t.read()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the key-delete set is KB-sized vs a TB-scale data side: the eq
+    // anti-join must broadcast, and the file-seq lookup (metadata-sized)
+    // must broadcast too — shuffling the table for either is the bug
+    // that would not survive 100 TB
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti eq-delete application, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"eq-delete application shuffled the data side:\n$plan")
+  }
+
   test("DataSource reads fail fast on live eq deletes; insert-only upsert skips the delete file") {
     val t = fresh(200, buckets = 2)
     // insert-only batch whose keys overlap NO existing file: the delete
