@@ -33,6 +33,8 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
+  *   spark-submit --class graft.Main <jar> files   --table T [--version V | --tag N] [--branch B] [--out DIR]   (metadata table: one row per live data file)
+  *   spark-submit --class graft.Main <jar> manifests --table T [--version V | --tag N] [--branch B] [--out DIR]
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> changes --table T (--from V | --from-tag N) [--to V | --to-tag N] [--out DIR]
   *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
@@ -412,6 +414,28 @@ object Main {
           "expired-versions" -> ex.map(_.expiredVersions.mkString(",")).getOrElse("(dry-run)"),
           "orphans-deleted" -> orph.deleted.toString))
 
+      case "files" | "manifests" =>
+        // metadata tables (Iceberg table$files / table$manifests): layout
+        // inspection with zero data-file opens — summary line here,
+        // full rows to --out parquet for ad-hoc SQL
+        val t = table
+        val metaSnap = opts.get("version").map(v => t.snapshotAt(v.toLong))
+          .orElse(opts.get("tag").map(n =>
+            t.snapshotAt(graft.format.Tags.ref(t, n).version)))
+          .getOrElse(t.currentSnapshot)
+        val df = if (cmd == "files") t.filesDF(metaSnap) else t.manifestsDF(metaSnap)
+        opts.get("out").foreach(dir => df.write.mode("overwrite").parquet(dir))
+        val agg = df.selectExpr("count(*)", "sum(row_count)", "sum(byte_count)",
+          "min(byte_count)", "max(byte_count)").head()
+        report(cmd, Map(
+          "version" -> metaSnap.version.toString,
+          "entries" -> agg.getLong(0).toString,
+          "total-rows" -> agg.getLong(1).toString,
+          "total-bytes" -> agg.getLong(2).toString,
+          "min-bytes" -> agg.getLong(3).toString,
+          "max-bytes" -> agg.getLong(4).toString,
+          "written" -> opts.getOrElse("out", "")))
+
       case "history" =>
         // snapshot-history metadata table (Iceberg `snapshots` analogue)
         table.historyDF.orderBy("version").collect().foreach { r =>
@@ -609,5 +633,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|files|manifests|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
 }

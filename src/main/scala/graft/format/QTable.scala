@@ -831,6 +831,35 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def readChanges(fromV: Long, toV: Long): DataFrame =
     ChangelogScan.changes(this, fromV, toV)
 
+  /** Files metadata table (Iceberg's `table$files` analogue): one row
+    * per live data file of `s` with its manifest-recorded stats — layout
+    * inspection, skew hunting, and debt queries WITHOUT opening a data
+    * file ("which files hold phash range X", "how fragmented is bucket
+    * 7", "what still predates the last upsert"). Metadata-sized by
+    * construction: the rows ARE the planner's entries. */
+  def filesDF(s: Snapshot): DataFrame = {
+    val rows = entries(s).map(e => (e.path, e.rowCount, e.byteCount,
+      e.pbucketMin, e.pbucketMax, e.phashMin, e.phashMax,
+      e.imageIdMin, e.imageIdMax, e.seq, e.blooms.nonEmpty))
+    spark.createDataFrame(rows).toDF("path", "row_count", "byte_count",
+      "pbucket_min", "pbucket_max", "phash_min", "phash_max",
+      "image_id_min", "image_id_max", "seq", "has_bloom")
+  }
+
+  def filesDF: DataFrame = filesDF(currentSnapshot)
+
+  /** Manifests metadata table (Iceberg's `table$manifests`): one row per
+    * manifest of `s` with its range stats — the manifest-level pruning
+    * inputs, queryable. */
+  def manifestsDF(s: Snapshot): DataFrame = {
+    val rows = s.manifests.map(m => (m.path, m.fileCount, m.rowCount,
+      m.byteCount, m.pbucketMin, m.pbucketMax, m.phashMin, m.phashMax))
+    spark.createDataFrame(rows).toDF("path", "file_count", "row_count",
+      "byte_count", "pbucket_min", "pbucket_max", "phash_min", "phash_max")
+  }
+
+  def manifestsDF: DataFrame = manifestsDF(currentSnapshot)
+
   /** Snapshot-history metadata table (Iceberg's `snapshots` analogue):
     * one row per retained version with its commit summary totals. Built
     * driver-side from version files — metadata-sized by construction

@@ -1,9 +1,9 @@
 package graft.spark
 
 import graft.format.{QTable, Tags}
-import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -131,6 +131,27 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
           case None => t.currentSnapshot
         }
       }
+    }
+    // metadata tables (Iceberg's table$files / table$manifests /
+    // table$snapshots): OPTIONS (meta 'files') serves the snapshot's
+    // manifest entries as a queryable relation — layout inspection in
+    // SQL with zero data-file opens, metadata-sized by construction
+    parameters.get("meta") match {
+      case Some(which) =>
+        val df = which match {
+          case "files" => t.filesDF(snap)
+          case "manifests" => t.manifestsDF(snap)
+          case "history" => t.historyDF
+          case other => throw new IllegalArgumentException(
+            s"unknown meta table '$other' (files | manifests | history)")
+        }
+        return new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = ctx
+          override def schema: org.apache.spark.sql.types.StructType = df.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[Row] = df.rdd
+          override def toString: String = s"QTableMeta($path, $which)"
+        }
+      case None => ()
     }
     require(!snap.hasRenames,
       "this table has renamed columns; read it via QTable.read/readIndexed " +

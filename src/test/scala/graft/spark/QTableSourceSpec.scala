@@ -60,6 +60,41 @@ class QTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("meta tables: files/manifests/history queryable through the source") {
+    val t = fresh(200)
+    new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20).run()
+    val snap = t.currentSnapshot
+    val entries = t.entries(snap)
+
+    assert(t.filesDF.count() == entries.size)
+    assert(t.filesDF.selectExpr("sum(row_count)").head().getLong(0) == 200)
+
+    val files = spark.read.format("qtable").option("meta", "files").load(t.root)
+    assert(files.count() == entries.size)
+    // queryable like any relation: layout questions in SQL, no data opens
+    files.createOrReplaceTempView("qfiles")
+    val hot = spark.sql(
+      "SELECT count(*) FROM qfiles WHERE pbucket_min = 0 AND byte_count > 0")
+    assert(hot.head().getLong(0) == entries.count(_.pbucketMin == 0))
+
+    val manifests = spark.read.format("qtable")
+      .option("meta", "manifests").load(t.root)
+    assert(manifests.count() == snap.manifests.size)
+    val history = spark.read.format("qtable")
+      .option("meta", "history").load(t.root)
+    assert(history.count() == t.listVersions.size)
+
+    // meta respects snapshot addressing (pre-compact layout via version)
+    val old = spark.read.format("qtable").option("meta", "files")
+      .option("version", "1").load(t.root)
+    assert(old.count() == t.entries(t.snapshotAt(1)).size)
+    assert(old.count() > files.count(), "compaction should shrink the file count")
+
+    intercept[IllegalArgumentException] {
+      spark.read.format("qtable").option("meta", "nope").load(t.root).count()
+    }
+  }
+
   test("SQL: CREATE TEMPORARY VIEW USING qtable, snapshot-isolated") {
     val t = fresh(200)
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qsrc_imgs USING qtable " +
