@@ -329,9 +329,11 @@ object Main {
           snap.summary ++ Map("version" -> snap.version.toString))
 
       case "verify" =>
-        val t = QTable(req(opts, "table"), spark)
-        // --staged: audit the claimed-but-unpublished snapshot (the WAP
-        // gate) instead of the published head
+        // --branch: audit a branch head before fast-forwarding it (the
+        // branch workflow's gate); --staged: audit the claimed-but-
+        // unpublished snapshot (the WAP gate) — else the published head
+        val t0 = QTable(req(opts, "table"), spark)
+        val t = opts.get("branch").map(t0.onBranch).getOrElse(t0)
         val cur =
           if (opts.contains("staged"))
             t.snapshotAt(t.stagedVersion.getOrElse(
