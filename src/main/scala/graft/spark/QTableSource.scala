@@ -46,8 +46,9 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException("qtable source requires a path"))
     require(schema.isEmpty, "qtable streams its recorded table schema; " +
       "a user-specified schema is not supported")
-    (shortName(), graft.streaming.QTableStreamSource.schemaFor(
-      QTable(path, ctx.sparkSession)))
+    val t0 = QTable(path, ctx.sparkSession)
+    val t = parameters.get("branch").map(t0.onBranch).getOrElse(t0)
+    (shortName(), graft.streaming.QTableStreamSource.schemaFor(t))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -57,7 +58,8 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException("qtable source requires a path"))
     new graft.streaming.QTableStreamSource(ctx, path,
       skipChangeCommits =
-        parameters.getOrElse("skip-change-commits", "false").toBoolean)
+        parameters.getOrElse("skip-change-commits", "false").toBoolean,
+      branch = parameters.get("branch"))
   }
 
   /** Streaming sink: `df.writeStream.format("qtable").option(

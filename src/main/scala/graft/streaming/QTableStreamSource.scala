@@ -40,9 +40,16 @@ import org.apache.spark.sql.types.StructType
   * retained — size `expire --keep/--older-than-hours` to cover the
   * slowest consumer's lag. */
 class QTableStreamSource(ctx: SQLContext, path: String,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean, branch: Option[String] = None) extends Source {
 
-  private val table = QTable(path, ctx.sparkSession)
+  /** `branch` follows the named ref's head instead of main — streaming
+    * an audit branch (offsets are still global version numbers; the
+    * batch walk is the ref's parent chain, so main's interleaved
+    * commits never leak into it). */
+  private val table = {
+    val t = QTable(path, ctx.sparkSession)
+    branch.map(t.onBranch).getOrElse(t)
+  }
 
   override val schema: StructType = QTableStreamSource.schemaFor(table)
 

@@ -54,6 +54,32 @@ class QTableStreamSourceSpec extends AnyFunSuite {
     assert(drain(root, ckpt, out) == 125L)
   }
 
+  test("branch option follows the branch chain; main commits never leak in") {
+    val root = TestSpark.tmpDir("ssrc-br")
+    val ckpt = TestSpark.tmpDir("ssrc-br-ckpt")
+    val out = TestSpark.tmpDir("ssrc-br-out")
+    val t = QTable.create(root, spark, buckets = 2)
+    AppendJob.append(t, batch(50, 1L, "base"), filesPerBucket = 1)
+    graft.format.Branches.create(t, "feed")
+    val dev = t.onBranch("feed")
+    AppendJob.append(dev, batch(20, 2L, "dev"), filesPerBucket = 1)
+    // interleave a MAIN append: its rows must never reach the branch
+    // stream (the batch walk is the ref's parent chain, not the global
+    // version range)
+    AppendJob.append(t, batch(30, 3L, "mn"), filesPerBucket = 1)
+    AppendJob.append(dev, batch(10, 4L, "dev2"), filesPerBucket = 1)
+
+    val opts = Map("branch" -> "feed")
+    assert(drain(root, ckpt, out, opts) == 80L) // 50 base + 20 + 10
+    val got = spark.read.parquet(out)
+    assert(got.where(col("image_id").startsWith("mn-")).count() == 0,
+      "a main append leaked into the branch stream")
+
+    // further branch appends arrive exactly once on the same checkpoint
+    AppendJob.append(dev, batch(5, 5L, "dev3"), filesPerBucket = 1)
+    assert(drain(root, ckpt, out, opts) == 85L)
+  }
+
   test("row-changing commits fail the stream unless skipped") {
     val root = TestSpark.tmpDir("ssrc2")
     val ckpt = TestSpark.tmpDir("ssrc2-ckpt")
