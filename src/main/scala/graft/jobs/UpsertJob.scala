@@ -109,13 +109,20 @@ class UpsertJob(
 
 object UpsertJob {
 
+  /** Target keys per equality-delete file: a key row is ~12 B, so this
+    * keeps files in the tens of MB — one file for every sane batch,
+    * range-split for a bulk backfill (a reader prunes split files by
+    * their disjoint id ranges; same-commit splits share one seq, which
+    * changes nothing in the strict-seq rule). */
+  val TargetKeysPerFile: Long = 4L * 1000 * 1000
+
   /** Write an `image_id` key frame as equality-delete files under `dir`
-    * (sorted, so a pruned read touches few row groups) and return
+    * (range-sorted, so a pruned read touches few row groups) and return
     * (entries, key count). Entries carry the seq SENTINEL —
     * [[QTable.commit]] stamps the committing version. (Nil, 0) for an
     * empty frame. */
   def writeEqDeleteFiles(table: QTable, keys0: DataFrame,
-      dir: String): (Seq[EqDeleteFileEntry], Long) = {
+      dir: String, targetRows: Long = TargetKeysPerFile): (Seq[EqDeleteFileEntry], Long) = {
     val keys = keys0.cache()
     try {
       val n = keys.count()
@@ -123,11 +130,10 @@ object UpsertJob {
       val hp = new org.apache.hadoop.fs.Path(dir)
       val fs = hp.getFileSystem(table.hadoopConf)
       if (fs.exists(hp)) fs.delete(hp, true)
-      // one file per batch: a key row is ~12 B, and batches large enough
-      // to matter get split by the same targetRows rule as position
-      // deletes if that day comes — keep the common case one sorted file
+      val nOut = math.max(1, (n / targetRows).toInt)
       graft.format.TableWrite.parquet(
-        keys.coalesce(1).sortWithinPartitions("image_id"), dir)
+        keys.repartitionByRange(nOut, org.apache.spark.sql.functions.col("image_id"))
+          .sortWithinPartitions("image_id"), dir)
       val conf = table.hadoopConf
       val byName = graft.format.ParquetStats
         .listParquetWithMtime(dir, conf).map(_._1)

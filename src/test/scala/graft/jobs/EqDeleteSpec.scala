@@ -254,6 +254,30 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(t.read().count() == 272)
   }
 
+  test("bulk key batches split into range-disjoint delete files; reads apply all of them") {
+    val t = fresh(300, buckets = 2)
+    val (entries, n) = UpsertJob.writeEqDeleteFiles(t,
+      t.read().select("image_id"),
+      t.newDataDir("split-test", "eq-deletes"), targetRows = 50)
+    assert(n == 300)
+    assert(entries.size >= 4, s"expected a range split, got ${entries.size} file(s)")
+    val sorted = entries.sortBy(_.idMin)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.idMax <= b.idMin,
+        s"split files overlap: ${a.idMax} vs ${b.idMin}")
+      case _ => ()
+    }
+    // committing them (same-commit seq stamp on every split) kills every
+    // older row through the multi-file read path
+    val snap = t.currentSnapshot
+    val c = t.commit(Some(snap), "upsert", Nil,
+      Map("job-id" -> "split-test"),
+      reuseManifests = snap.manifests,
+      eqDeletesOverride = Some(snap.eqDeleteFiles ++ entries))
+    assert(c.eqDeleteFiles.forall(_.seq == c.version))
+    assert(t.read(c).count() == 0)
+  }
+
   test("eq anti-join broadcasts both lookup sides and never shuffles the data") {
     val t = fresh(400)
     new UpsertJob(t, deleteCol = Some("is_delete"))
