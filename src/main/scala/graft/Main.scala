@@ -30,6 +30,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> rewrite-deletes --table T   (consolidate position-delete files)
   *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--incremental] [--keep K] [--dry-run] [--scope B1,B2]
+  *   spark-submit --class graft.Main <jar> maintain --table T --auto [--small-debt-ratio R] [--delete-row-ratio R] [--max-delete-files N] [--overlap-threshold X] [--max-versions V]   (debt-driven tick: only over-threshold jobs run; clean table = no commits)
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
@@ -355,6 +356,47 @@ object Main {
           "scan-equivalent" -> ok.toString,
           "violations" -> bad.toString))
         if (!ok) sys.exit(1)
+
+      case "maintain" if opts.contains("auto") =>
+        // debt-driven tick: analyze (metadata-only) -> launch ONLY the
+        // jobs whose debt crossed threshold -> gate -> destructive tail.
+        // A clean table commits NOTHING, so this can run every scheduler
+        // tick at 10^12-row scale (each tick costs O(outstanding debt)).
+        require(!opts.contains("staged"),
+          "maintain does not compose with --staged; stage individual jobs")
+        val cfg = AutoMaintain.Config(
+          smallDebtRatio = opts.getOrElse("small-debt-ratio", "0.10").toDouble,
+          deleteRowRatio = opts.getOrElse("delete-row-ratio", "0.02").toDouble,
+          maxDeleteFiles = opts.getOrElse("max-delete-files", "16").toInt,
+          overlapThreshold = opts.getOrElse("overlap-threshold", "1.5").toDouble,
+          entriesPerManifest = opts.getOrElse("entries-per-manifest", "512").toInt,
+          maxRetainedVersions = opts.getOrElse("max-versions", "12").toInt)
+        val res =
+          try AutoMaintain.run(table, targetBytes, cfg, jobId, concurrency,
+            bucketScope, hilbert = opts.contains("hilbert"),
+            keep = opts.getOrElse("keep", "2").toInt,
+            graceMs = opts.getOrElse("grace-hours", "24").toLong * 3600L * 1000L,
+            dryRun = opts.contains("dry-run"))
+          catch {
+            case e: IllegalStateException =>
+              report("maintain", Map("auto" -> "true",
+                "scan-equivalent" -> "false", "note" -> e.getMessage))
+              sys.exit(1)
+          }
+        report("maintain", Map(
+          "auto" -> "true",
+          "actions" -> (if (res.plan.isNoop) "(none)"
+            else res.plan.actions.mkString(",")),
+          "reasons" -> (if (res.plan.reasons.isEmpty) "(table clean)"
+            else res.plan.reasons.mkString("; ")),
+          "pre-version" -> res.preVersion.toString,
+          "version" -> res.postVersion.toString,
+          "scan-equivalent" -> res.scanEquivalent.map(_.toString)
+            .getOrElse("(no rewrites)"),
+          "expired-versions" -> (if (res.expiredVersions.isEmpty) "(none)"
+            else res.expiredVersions.mkString(",")),
+          "orphans-deleted" -> res.orphansDeleted.toString,
+          "dry-run" -> opts.contains("dry-run").toString))
 
       case "maintain" =>
         // the composite chains commits; a staged first commit would hold

@@ -16,14 +16,17 @@ import graft.format.{QTable, Tags}
   * near 1.0 (disjoint spans); every append stacks another full-span file
   * on top, pushing it toward the file count.
   */
-class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
-
+object AnalyzeJob {
+  /** Lives in the companion (not the job instance) so the AutoMaintain
+    * planner can be a pure function of a Report — unit-testable with a
+    * hand-built report, no table or SparkSession required. */
   final case class Report(
       version: Long,
       operation: String,
       retainedVersions: Int,
       tags: Int,
       files: Int,
+      totalRows: Long,
       totalBytes: Long,
       avgFileBytes: Long,
       smallFiles: Int,
@@ -38,6 +41,10 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
       deleteRows: Long,
       eqDeleteFiles: Int,
       eqDeleteKeys: Long)
+}
+
+class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
+  import AnalyzeJob.Report
 
   def run(): Report = {
     val snap = table.currentSnapshot
@@ -73,6 +80,7 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
       retainedVersions = table.listVersions.size,
       tags = Tags.list(table).size,
       files = files,
+      totalRows = entries.map(_.rowCount).sum,
       totalBytes = totalBytes,
       avgFileBytes = if (files == 0) 0L else totalBytes / files,
       smallFiles = small.size,
