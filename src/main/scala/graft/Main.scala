@@ -39,7 +39,8 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> changes --table T (--from V | --from-tag N) [--to V | --to-tag N] [--out DIR]
   *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
-  *   spark-submit --class graft.Main <jar> agg     --table T [--cols c1,c2] [--version V | --tag N]   (metadata-only count/min/max)
+  *   spark-submit --class graft.Main <jar> agg     --table T [--cols c1,c2] [--ndv c1,c2] [--version V | --tag N]   (metadata-only count/min/max; --ndv = approx distinct from manifest HLL sketches)
+  *   spark-submit --class graft.Main <jar> analyze-ndv --table T --cols c1,c2 [--lgk K]   (ANALYZE: attach per-file NDV sketches, reads only unsketched files)
   *   spark-submit --class graft.Main <jar> <compact|cluster|merge|rebucket|rewrite-manifests|...> --staged   (write-audit-publish)
   *   spark-submit --class graft.Main <jar> publish --table T
   *   spark-submit --class graft.Main <jar> abort-staged --table T
@@ -533,6 +534,7 @@ object Main {
           "manifests" -> r.manifests.toString,
           "avg-entries-per-manifest" -> r.avgEntriesPerManifest.toString,
           "bloom-coverage" -> f"${r.bloomCoverage}%.3f",
+          "ndv-coverage" -> f"${r.ndvCoverage}%.3f",
           "cluster-overlap" -> f"${r.clusterOverlap}%.2f",
           "worst-bucket-overlap" -> f"${r.worstBucketOverlap}%.2f",
           "schema-fields" -> r.schemaFields.toString,
@@ -553,15 +555,54 @@ object Main {
           .orElse(opts.get("tag").map(n =>
             t.snapshotAt(graft.format.Tags.ref(t, n).version)))
           .getOrElse(t.currentSnapshot)
-        val r = StatsAggregate.run(t, aggSnap, cols)
-        val row = r.df.collect().head
-        report("agg", Map(
-          "files-total" -> r.filesTotal.toString,
-          "files-from-stats" -> r.filesFromStats.toString,
-          "files-scanned" -> r.filesScanned.toString) ++
-          r.df.columns.zipWithIndex.map { case (c, i) =>
-            c -> String.valueOf(row.get(i))
-          })
+        // --ndv c1,c2: merged approx-distinct from the manifest sketches
+        // (composes with --cols exact aggregates in one report)
+        val ndvCols = opts.get("ndv")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        require(cols.nonEmpty || ndvCols.nonEmpty,
+          "pass --cols (exact count/min/max) and/or --ndv (approx distinct)")
+        val exact =
+          if (cols.isEmpty) Map.empty[String, String]
+          else {
+            val r = StatsAggregate.run(t, aggSnap, cols)
+            val row = r.df.collect().head
+            Map(
+              "files-total" -> r.filesTotal.toString,
+              "files-from-stats" -> r.filesFromStats.toString,
+              "files-scanned" -> r.filesScanned.toString) ++
+              r.df.columns.zipWithIndex.map { case (c, i) =>
+                c -> String.valueOf(row.get(i))
+              }
+          }
+        val approx =
+          if (ndvCols.isEmpty) Map.empty[String, String]
+          else {
+            val n = NdvEstimate.run(t, aggSnap, ndvCols)
+            Map(
+              "ndv-files-from-sketch" -> n.filesFromSketch.toString,
+              "ndv-files-scanned" -> n.filesScanned.toString,
+              "ndv-delete-debt-rows" -> n.deleteDebtRows.toString) ++
+              n.estimates.map { case (c, v) => s"ndv-$c" -> v.toString }
+          }
+        report("agg", exact ++ approx)
+
+      case "analyze-ndv" =>
+        // on-demand ANALYZE: attach per-file HLL sketches for the named
+        // columns; only not-yet-sketched files are read (O(new data))
+        val cols = req(opts, "cols").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val t = table
+        val preV = t.currentVersion
+        val snap = CommitRetry.withCommitRetry()(new NdvSketchJob(t, cols,
+          lgK = opts.getOrElse("lgk", "12").toInt).run())
+        val noop = snap.version == preV
+        report("analyze-ndv", Map(
+          "version" -> snap.version.toString,
+          "files-sketched" -> (if (noop) "0"
+            else snap.summary.getOrElse("files-sketched", "0")),
+          "ndv-cols" -> (if (noop) "(already analyzed)"
+            else snap.summary.getOrElse("ndv-cols", ""))))
 
       case "branch" =>
         // writable named ref (Iceberg branch): fork at --at (default:
@@ -677,5 +718,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|agg|files|manifests|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
 }

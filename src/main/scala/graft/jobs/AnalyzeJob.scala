@@ -34,6 +34,10 @@ object AnalyzeJob {
       manifests: Int,
       avgEntriesPerManifest: Int,
       bloomCoverage: Double,
+      // fraction of live files carrying at least one NDV sketch: < 1.0
+      // means files were written since the last analyze-ndv run (the
+      // signal to re-run it if approx-distinct queries matter)
+      ndvCoverage: Double,
       clusterOverlap: Double,
       worstBucketOverlap: Double,
       schemaFields: Int,
@@ -90,6 +94,8 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
         if (snap.manifests.isEmpty) 0 else files / snap.manifests.size,
       bloomCoverage =
         if (files == 0) 1.0 else entries.count(_.blooms.nonEmpty).toDouble / files,
+      ndvCoverage =
+        if (files == 0) 1.0 else entries.count(_.ndvSketches.nonEmpty).toDouble / files,
       clusterOverlap = clusterOverlap,
       worstBucketOverlap = worst,
       schemaFields = snap.schemaFields.size,

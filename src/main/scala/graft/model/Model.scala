@@ -65,6 +65,11 @@ final case class DataFileEntry(
     colStats: Map[String, ColStat] = Map.empty,
     idBlooms: Seq[String] = Nil,
     colNulls: Map[String, String] = Map.empty,
+    // base64 Datasketches-HLL sketch per PHYSICAL column name, attached
+    // by the on-demand NdvSketchJob (the Iceberg ANALYZE/Puffin
+    // analogue). Mergeable across files (register-wise), so table-level
+    // approx-distinct is O(file entries) with zero data reads.
+    ndv: Map[String, String] = Map.empty,
     // data sequence number = the version of the commit that WROTE this
     // file (Iceberg v2's data_sequence_number): equality deletes apply
     // only to files with a strictly smaller seq. 0 (what pre-eq manifests
@@ -99,6 +104,10 @@ final case class DataFileEntry(
     * Iceberg's puffin-sidecar trade made inline because the entries are
     * chunked 512/manifest anyway. */
   def blooms: Seq[String] = Option(idBlooms).getOrElse(Nil)
+
+  /** Null-safe NDV-sketch accessor (pre-sketch manifests deserialize
+    * with null): physical column name -> base64 compact HLL sketch. */
+  def ndvSketches: Map[String, String] = Option(ndv).getOrElse(Map.empty)
 }
 
 object DataFileEntry {

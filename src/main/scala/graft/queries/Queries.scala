@@ -1072,6 +1072,7 @@ object Queries {
     q40Dir(s)
     q41Dir(s)
     q42Dir(s)
+    q43Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -2136,6 +2137,75 @@ object Queries {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------------------- q43
+  /** NDV-sketch fixture: a 4-bucket table of 2000 rows, fully analyzed
+    * (`analyze-ndv` on image_id/fmt/w), its live rows exported raw for
+    * the DuckDB oracle. Sketches are deterministic for fixed input, so
+    * the within-tolerance flag is stable run-to-run. */
+  private val Q43Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q43_v1"
+
+  private def q43Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q43Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q43Root
+    val lockPath = Paths.get(Q43Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) {
+        new graft.format.LocalCommitIO().deleteRecursive(Q43Root)
+        val t = graft.format.QTable.create(s"$Q43Root/table", s, buckets = 4)
+        graft.jobs.AppendJob.append(t,
+          graft.synth.DataGen.generate(s, 2000, 91L, 4).toDF(), filesPerBucket = 2)
+        new graft.jobs.NdvSketchJob(t, Seq("image_id", "fmt", "w")).run()
+        t.read().select("image_id", "fmt", "w")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q43Root/exp/rows")
+        Files.createFile(Paths.get(Q43Root, "_FIXTURE_READY"))
+      }
+    } finally { lock.release(); ch.close() }
+    Q43Root
+  }
+
+  /** Metadata-only approx-distinct ([[graft.jobs.NdvEstimate]]): merged
+    * per-file HLL sketches from the manifests — ZERO data files opened.
+    * GATED twice: (a) the estimate really came from sketches alone
+    * (`filesScanned == 0` — a scan fallback empties the result), and
+    * (b) every estimate landed within 5% of exact (~3 sigma at lgK=12's
+    * 1.6% RSE; deterministic for the fixed-seed fixture). The row also
+    * carries the EXACT distinct count computed by a real table read, so
+    * DuckDB's recompute from the exported rows hash-checks the table
+    * content itself, not just the constant flag. */
+  def q43NdvSketch(s: SparkSession, dir: String): DataFrame = {
+    val root = q43Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val cols = Seq("image_id", "fmt", "w")
+    val r = graft.jobs.NdvEstimate.run(t, t.currentSnapshot, cols)
+    val exactRow = t.read().agg(
+      countDistinct(col("image_id")), countDistinct(col("fmt")),
+      countDistinct(col("w"))).head
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val exact = exactRow.getLong(i)
+      val est = r.estimates(c)
+      val within = math.abs(est - exact) <= math.max(1L, exact / 20)
+      (c, exact, if (within) 1 else 0)
+    }
+    import s.implicits._
+    val df = rows.toDF("col_name", "exact_ndv", "within_5pct")
+    if (r.filesScanned == 0 && rows.forall(_._3 == 1)) df else df.limit(0)
+  }
+
+  val q43Sql: String =
+    s"""SELECT 'image_id' AS col_name, COUNT(DISTINCT image_id) AS exact_ndv, 1 AS within_5pct
+       |FROM read_parquet('$Q43Root/exp/rows/*.parquet')
+       |UNION ALL
+       |SELECT 'fmt', COUNT(DISTINCT fmt), 1
+       |FROM read_parquet('$Q43Root/exp/rows/*.parquet')
+       |UNION ALL
+       |SELECT 'w', COUNT(DISTINCT w), 1
+       |FROM read_parquet('$Q43Root/exp/rows/*.parquet')""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2178,7 +2248,8 @@ object Queries {
     "q39_phash_neardup" -> ((q39PhashNearDup _, q39Sql)),
     "q41_eq_upsert" -> ((q41EqUpsert _, q41Sql)),
     "q42_branch_ff" -> ((q42BranchFf _, q42Sql)),
-    "q40_stream_source" -> ((q40StreamSource _, q40Sql)))
+    "q40_stream_source" -> ((q40StreamSource _, q40Sql)),
+    "q43_ndv_sketch" -> ((q43NdvSketch _, q43Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

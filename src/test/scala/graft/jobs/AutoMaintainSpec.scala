@@ -17,6 +17,7 @@ class AutoMaintainSpec extends AnyFunSuite {
     files = 10, totalRows = 100000, totalBytes = 10L << 30,
     avgFileBytes = 1L << 30, smallFiles = 0, smallFileDebtBytes = 0,
     manifests = 1, avgEntriesPerManifest = 10, bloomCoverage = 1.0,
+    ndvCoverage = 1.0,
     clusterOverlap = 1.05, worstBucketOverlap = 1.2, schemaFields = 7,
     deleteFiles = 0, deleteRows = 0, eqDeleteFiles = 0, eqDeleteKeys = 0)
 
