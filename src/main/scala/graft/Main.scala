@@ -36,6 +36,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> files   --table T [--version V | --tag N] [--branch B] [--out DIR]   (metadata table: one row per live data file)
   *   spark-submit --class graft.Main <jar> manifests --table T [--version V | --tag N] [--branch B] [--out DIR]
+  *   spark-submit --class graft.Main <jar> partitions --table T [--version V | --tag N] [--branch B] [--out DIR]   (per-bucket totals + phash span — the skew report)
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> changes --table T (--from V | --from-tag N) [--to V | --to-tag N] [--out DIR]
   *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
@@ -459,16 +460,20 @@ object Main {
           "expired-versions" -> ex.map(_.expiredVersions.mkString(",")).getOrElse("(dry-run)"),
           "orphans-deleted" -> orph.deleted.toString))
 
-      case "files" | "manifests" =>
-        // metadata tables (Iceberg table$files / table$manifests): layout
-        // inspection with zero data-file opens — summary line here,
-        // full rows to --out parquet for ad-hoc SQL
+      case "files" | "manifests" | "partitions" =>
+        // metadata tables (Iceberg table$files / table$manifests /
+        // table$partitions): layout inspection with zero data-file opens
+        // — summary line here, full rows to --out parquet for ad-hoc SQL
         val t = table
         val metaSnap = opts.get("version").map(v => t.snapshotAt(v.toLong))
           .orElse(opts.get("tag").map(n =>
             t.snapshotAt(graft.format.Tags.ref(t, n).version)))
           .getOrElse(t.currentSnapshot)
-        val df = if (cmd == "files") t.filesDF(metaSnap) else t.manifestsDF(metaSnap)
+        val df = cmd match {
+          case "files" => t.filesDF(metaSnap)
+          case "manifests" => t.manifestsDF(metaSnap)
+          case _ => t.partitionsDF(metaSnap)
+        }
         opts.get("out").foreach(dir => df.write.mode("overwrite").parquet(dir))
         val agg = df.selectExpr("count(*)", "sum(row_count)", "sum(byte_count)",
           "min(byte_count)", "max(byte_count)").head()
@@ -718,5 +723,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|partitions|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
 }

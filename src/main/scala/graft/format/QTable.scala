@@ -848,6 +848,31 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
 
   def filesDF: DataFrame = filesDF(currentSnapshot)
 
+  /** Partitions metadata table (Iceberg's `table$partitions` analogue):
+    * file/row/byte totals and phash span per BUCKET SPAN from the
+    * manifest entries — the skew/debt question ("which bucket is hot,
+    * which needs maintenance") in one metadata-sized frame, zero data
+    * opens. One row per distinct (pbucket_lo, pbucket_hi): the append
+    * layout is a sorted range split, so boundary files legitimately
+    * span adjacent buckets (pbucket_lo < pbucket_hi) until maintenance
+    * re-bins them — reporting spans keeps every total EXACT and
+    * conserving instead of guessing an attribution. Counts are STORED
+    * rows (live merge-on-read delete debt is not subtracted — it is a
+    * table-level quantity reported by analyze). */
+  def partitionsDF(s: Snapshot): DataFrame = {
+    val rows = entries(s)
+      .groupBy(e => (e.pbucketMin, e.pbucketMax))
+      .toSeq.map { case ((lo, hi), fs) =>
+        (lo, hi, fs.size.toLong, fs.map(_.rowCount).sum,
+          fs.map(_.byteCount).sum, fs.map(_.phashMin).min,
+          fs.map(_.phashMax).max)
+      }.sortBy(r => (r._1, r._2))
+    spark.createDataFrame(rows).toDF("pbucket_lo", "pbucket_hi",
+      "file_count", "row_count", "byte_count", "phash_min", "phash_max")
+  }
+
+  def partitionsDF: DataFrame = partitionsDF(currentSnapshot)
+
   /** Manifests metadata table (Iceberg's `table$manifests`): one row per
     * manifest of `s` with its range stats — the manifest-level pruning
     * inputs, queryable. */

@@ -2143,7 +2143,9 @@ object Queries {
     * the DuckDB oracle. Sketches are deterministic for fixed input, so
     * the within-tolerance flag is stable run-to-run. */
   private val Q43Root: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_q43_v1"
+    // v2: the export carries pbucket+phash too (q44's oracle groups by
+    // bucket) — a v1 fixture from an older build must not be reused
+    s"${System.getProperty("java.io.tmpdir")}/graft_q43_v2"
 
   private def q43Dir(s: SparkSession): String = synchronized {
     import java.nio.file.{Files, Paths, StandardOpenOption}
@@ -2160,7 +2162,7 @@ object Queries {
         graft.jobs.AppendJob.append(t,
           graft.synth.DataGen.generate(s, 2000, 91L, 4).toDF(), filesPerBucket = 2)
         new graft.jobs.NdvSketchJob(t, Seq("image_id", "fmt", "w")).run()
-        t.read().select("image_id", "fmt", "w")
+        t.read().select("image_id", "fmt", "w", "pbucket", "phash")
           .coalesce(1).write.mode("overwrite").parquet(s"$Q43Root/exp/rows")
         Files.createFile(Paths.get(Q43Root, "_FIXTURE_READY"))
       }
@@ -2206,6 +2208,30 @@ object Queries {
        |SELECT 'w', COUNT(DISTINCT w), 1
        |FROM read_parquet('$Q43Root/exp/rows/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Files metadata table ([[graft.format.QTable.filesDF]], Iceberg
+    * `table$files` analogue): per-file row counts and phash ranges
+    * served straight from manifest entries — zero data opens. The
+    * DuckDB oracle RE-DERIVES every row by reading each live parquet
+    * file itself (`filename=true` + group by basename), so one wrong
+    * harvested rowCount or a stale min/max stat hash-mismatches: the
+    * footer-harvest bookkeeping is what is checked. (The fixture's
+    * snapshots never rewrote a file, so the data dir holds exactly the
+    * live files and the glob is the live set.) */
+  def q44FilesStats(s: SparkSession, dir: String): DataFrame = {
+    val root = q43Dir(s)
+    graft.format.QTable(s"$root/table", s).filesDF
+      .selectExpr("regexp_extract(path, '[^/]*$', 0) AS file",
+        "row_count", "phash_min", "phash_max")
+  }
+
+  val q44Sql: String =
+    s"""SELECT regexp_extract(filename, '[^/]*$$') AS file,
+       |  COUNT(*) AS row_count,
+       |  MIN(phash) AS phash_min, MAX(phash) AS phash_max
+       |FROM read_parquet('$Q43Root/table/data/**/*.parquet', filename=true)
+       |GROUP BY 1""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2249,7 +2275,8 @@ object Queries {
     "q41_eq_upsert" -> ((q41EqUpsert _, q41Sql)),
     "q42_branch_ff" -> ((q42BranchFf _, q42Sql)),
     "q40_stream_source" -> ((q40StreamSource _, q40Sql)),
-    "q43_ndv_sketch" -> ((q43NdvSketch _, q43Sql)))
+    "q43_ndv_sketch" -> ((q43NdvSketch _, q43Sql)),
+    "q44_files_stats" -> ((q44FilesStats _, q44Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

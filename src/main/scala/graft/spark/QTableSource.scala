@@ -143,9 +143,10 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
         val df = which match {
           case "files" => t.filesDF(snap)
           case "manifests" => t.manifestsDF(snap)
+          case "partitions" => t.partitionsDF(snap)
           case "history" => t.historyDF
           case other => throw new IllegalArgumentException(
-            s"unknown meta table '$other' (files | manifests | history)")
+            s"unknown meta table '$other' (files | manifests | partitions | history)")
         }
         return new BaseRelation with TableScan {
           override def sqlContext: SQLContext = ctx

@@ -80,6 +80,17 @@ class QTableSourceSpec extends AnyFunSuite {
     val manifests = spark.read.format("qtable")
       .option("meta", "manifests").load(t.root)
     assert(manifests.count() == snap.manifests.size)
+
+    // partitions: one exact row per bucket span, totals conserve (the
+    // per-file bookkeeping itself is q44's DuckDB-oracled check)
+    val parts = spark.read.format("qtable")
+      .option("meta", "partitions").load(t.root)
+    val booked = parts.selectExpr("pbucket_lo", "pbucket_hi", "row_count")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expected = entries.groupBy(e => (e.pbucketMin, e.pbucketMax))
+      .map { case (k, fs) => k -> fs.map(_.rowCount).sum }
+    assert(booked == expected, s"partitions table $booked vs entries $expected")
+    assert(booked.values.sum == 200L)
     val history = spark.read.format("qtable")
       .option("meta", "history").load(t.root)
     assert(history.count() == t.listVersions.size)
