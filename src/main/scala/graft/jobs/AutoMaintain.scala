@@ -56,7 +56,11 @@ object AutoMaintain {
       // rewrite manifests when count exceeds twice the ideal packing
       entriesPerManifest: Int = 512,
       // expire when more versions than this are retained
-      maxRetainedVersions: Int = 12)
+      maxRetainedVersions: Int = 12,
+      // refresh NDV sketches (tables that opted in via analyze-ndv)
+      // when live-file coverage drops below this; rewrites in the same
+      // tick also trigger it, so a tick leaves the table fully analyzed
+      ndvRefreshBelow: Double = 1.0)
 
   final case class Plan(
       compact: Boolean,
@@ -64,16 +68,18 @@ object AutoMaintain {
       rewriteDeletes: Boolean,
       rewriteManifests: Boolean,
       expire: Boolean,
+      refreshNdv: Boolean,
       reasons: Seq[String]) {
     def actions: Seq[String] =
       (if (compact) Seq("compact") else Nil) ++
         (if (clusterIncremental) Seq("cluster-incremental") else Nil) ++
         (if (rewriteDeletes) Seq("rewrite-deletes") else Nil) ++
         (if (rewriteManifests) Seq("rewrite-manifests") else Nil) ++
-        (if (expire) Seq("expire") else Nil)
+        (if (expire) Seq("expire") else Nil) ++
+        (if (refreshNdv) Seq("analyze-ndv") else Nil)
     def rewrites: Boolean =
       compact || clusterIncremental || rewriteDeletes || rewriteManifests
-    def isNoop: Boolean = !rewrites && !expire
+    def isNoop: Boolean = !rewrites && !expire && !refreshNdv
   }
 
   def plan(r: AnalyzeJob.Report, c: Config = Config()): Plan = {
@@ -116,8 +122,16 @@ object AutoMaintain {
     if (expire) reasons += s"${r.retainedVersions} retained versions > " +
       s"${c.maxRetainedVersions}"
 
+    // only tables that opted in (some sketch exists) refresh; a rewrite
+    // this tick will strip its outputs' sketches, so it triggers too
+    val refreshNdv = r.ndvCoverage > 0.0 &&
+      (r.ndvCoverage < c.ndvRefreshBelow ||
+        compact || cluster || rewriteDeletes)
+    if (refreshNdv) reasons += f"ndv coverage ${r.ndvCoverage}%.2f with " +
+      "sketch-tracked columns present"
+
     Plan(compact, cluster, rewriteDeletes, rewriteManifests, expire,
-      reasons.result())
+      refreshNdv, reasons.result())
   }
 
   final case class Result(
@@ -149,6 +163,11 @@ object AutoMaintain {
       dryRun: Boolean = false): Result = {
     val pre = table.currentSnapshot
     val p = plan(new AnalyzeJob(table, targetBytes).run(), config)
+    // tracked-column discovery BEFORE rewrites: a full rewrite strips
+    // every carried sketch, which would otherwise lose the opt-in
+    val trackedPre =
+      if (p.refreshNdv) NdvStats.trackedColumns(pre, table.entries(pre))
+      else Nil
 
     if (p.compact)
       CommitRetry.withCommitRetry()(new CompactJob(table, targetBytes,
@@ -165,6 +184,12 @@ object AutoMaintain {
     if (p.rewriteManifests)
       CommitRetry.withCommitRetry()(
         new RewriteManifestsJob(table).run(config.entriesPerManifest))
+    // re-analyze the columns the table already tracked, AFTER rewrites
+    // so their outputs get sketched in the same tick (metadata-only
+    // commit; a fully-covered table no-ops inside the job)
+    if (p.refreshNdv && trackedPre.nonEmpty)
+      CommitRetry.withCommitRetry()(
+        new NdvSketchJob(table, trackedPre).run())
 
     val (okV, badV) =
       if (p.rewrites)

@@ -72,6 +72,16 @@ object NdvStats {
     * file records, so the file never re-enters the pending set. */
   private[jobs] def emptySketch(lgK: Int): Array[Byte] =
     new org.apache.datasketches.hll.HllSketch(lgK).toCompactByteArray
+
+  /** The DECLARED names of every column any live file carries a sketch
+    * for — what a refresh (AutoMaintain's ndv dial) re-analyzes.
+    * Sketches are keyed by physical name; columns dropped from the
+    * schema since they were analyzed are skipped. */
+  def trackedColumns(s: Snapshot, entries: Seq[DataFileEntry]): Seq[String] = {
+    val physToName = s.schemaFields.map(f => f.phys -> f.name).toMap
+    entries.flatMap(_.ndvSketches.keys).distinct.sorted
+      .flatMap(physToName.get)
+  }
 }
 
 /** Compute-and-commit half: attach sketches for `cols` (declared names)

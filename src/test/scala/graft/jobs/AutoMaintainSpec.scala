@@ -62,6 +62,17 @@ class AutoMaintainSpec extends AnyFunSuite {
     val noise = AutoMaintain.plan(clean.copy(
       smallFiles = 2, smallFileDebtBytes = 9L << 30))
     assert(!noise.compact)
+
+    // ndv refresh: only opted-in tables (coverage > 0), on coverage
+    // drop OR alongside a rewrite (whose outputs lose their sketches)
+    val ndvDrop = AutoMaintain.plan(clean.copy(ndvCoverage = 0.5))
+    assert(ndvDrop.refreshNdv && !ndvDrop.rewrites)
+    val ndvOptOut = AutoMaintain.plan(clean.copy(
+      ndvCoverage = 0.0, clusterOverlap = 4.0))
+    assert(!ndvOptOut.refreshNdv && ndvOptOut.clusterIncremental)
+    val ndvWithRewrite = AutoMaintain.plan(clean.copy(
+      smallFiles = 20, smallFileDebtBytes = 2L << 30))
+    assert(ndvWithRewrite.refreshNdv, "rewrite on an opted-in table refreshes")
   }
 
   test("auto tick pays off debt, then converges to committing nothing") {
@@ -96,5 +107,16 @@ class AutoMaintainSpec extends AnyFunSuite {
     // so exactly every 10th (…7) died -> 3600 live
     val live = t.read(t.currentSnapshot).count()
     assert(live == 3600L, s"expected 3600 live rows after fold, got $live")
+
+    // opt the table into NDV tracking, then dirty it: the next tick's
+    // refresh leg re-analyzes and leaves the estimate scan-free again
+    new NdvSketchJob(t, Seq("image_id")).run()
+    AppendJob.append(t, DataGen.generate(spark, 400, 9L, 2).toDF()
+      .selectExpr("concat('y-', image_id) AS image_id", "bytes", "w", "h",
+        "fmt", "caption", "phash"), 1)
+    val r4 = AutoMaintain.run(t, target, concurrency = 2)
+    assert(r4.plan.refreshNdv, s"coverage drop must plan refresh: ${r4.plan}")
+    val est = NdvEstimate.run(t, t.currentSnapshot, Seq("image_id"))
+    assert(est.filesScanned == 0, "post-tick estimate must be sketch-only")
   }
 }
