@@ -498,6 +498,20 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+    // Worker classpath: the parent's java.class.path PLUS the jar this
+    // class was loaded from. Under spark-submit the app jar is loaded by
+    // a child classloader and is NOT on java.class.path — without this,
+    // workers die at class-lookup and the up-barrier times out (exactly
+    // how the driver launches Bench must not decide whether the executor
+    // pair runs).
+    val workerClasspath = {
+      val self = Option(BenchWorker.getClass.getProtectionDomain.getCodeSource)
+        .map(_.getLocation.toURI).filter(_.getScheme == "file")
+        .map(u => Paths.get(u).toString)
+      (Seq(System.getProperty("java.class.path")) ++ self)
+        .mkString(java.io.File.pathSeparator)
+    }
+
     def spawn(syncDir: Path, id: String, nRounds: Int,
         shards: Seq[String]): Process = {
       // -Xms=-Xmx + AlwaysPreTouch: fault the whole heap in at STARTUP
@@ -509,7 +523,7 @@ object Bench {
       // 4g heap: a worker holds one ~64 MiB group in flight per core —
       // 4g is ample, and 5 pre-touched heaps must coexist with the
       // RAM-backed working set (8g x 5 pre-touched OOM'd the box)
-      val cmd = (Seq(javaBin, "-cp", System.getProperty("java.class.path")) ++
+      val cmd = (Seq(javaBin, "-cp", workerClasspath) ++
         addOpens ++ Seq("-XX:+UseParallelGC", "-Xms4g", "-Xmx4g",
         "-XX:+AlwaysPreTouch",
         "graft.BenchWorker", "2", syncDir.toString, id, nRounds.toString,
@@ -552,10 +566,26 @@ object Bench {
 
     levels.foreach(l => Files.createDirectories(l.sync))
     val procs = levels.flatMap(l =>
-      l.workers.map { case (id, sh) => spawn(l.sync, id, l.nRounds, sh) })
+      l.workers.map { case (id, sh) => (id, spawn(l.sync, id, l.nRounds, sh)) })
     try {
+      // fail FAST on a dead worker (bad classpath, OOM at pre-touch):
+      // waiting out the 900 s barrier on a process that already exited
+      // silently skips the authoritative executor pair
       levels.foreach(l =>
-        l.workers.foreach { case (id, _) => await(l.sync.resolve(s"up-$id")) })
+        l.workers.foreach { case (id, _) =>
+          val p = procs.find(_._1 == id).get._2
+          val up = l.sync.resolve(s"up-$id")
+          while (!Files.exists(up)) {
+            if (!p.isAlive) {
+              val log = root.resolve(s"worker-$id.log")
+              val tail = if (Files.exists(log))
+                new String(Files.readAllBytes(log)).takeRight(500) else "(no log)"
+              sys.error(s"proc-scaling worker $id exited rc=${p.exitValue} " +
+                s"before up-barrier; log tail: $tail")
+            }
+            Thread.sleep(10)
+          }
+        })
       // one low round and two high sub-rounds per iteration (equal
       // wall-clock exposure — see scaladoc), order flipped on alternate
       // iterations (no fixed ordering bias); each iteration's processed
@@ -594,7 +624,7 @@ object Bench {
         f"low=$tLow%.2fs high=$tHigh%.2fs " +
         f"eff=${tLow / (nShards * tHigh)}%.3f pairedMedian=$pairedMedian%.3f")
       ProcScaling(tLow, tHigh, tLow / (nShards * tHigh), pairedMedian, rounds)
-    } finally procs.foreach(_.destroyForcibly())
+    } finally procs.foreach(_._2.destroyForcibly())
   }
 
   private def writeBenchMd(sfDir: String, rows: Long, tableBytes: Long, genSec: Double,

@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
   *   spark-submit --class graft.Main <jar> stream  --table T --upsert [--eq] (--source DIR | --rows N) [--set c1,c2] [--delete-col C] [--seq-col C]   (streaming upsert per micro-batch: MOR MERGE, or scan-free equality deletes with --eq)
-  *   spark-submit --class graft.Main <jar> expire  --table T [--keep K] [--older-than-hours H]
+  *   spark-submit --class graft.Main <jar> expire  --table T [--keep K] [--older-than-hours H] [--dry-run]   (dry-run prices the reclaim, deletes nothing)
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
   *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
   *   spark-submit --class graft.Main <jar> rename-column --table T --from OLD --to NEW
@@ -34,13 +34,13 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
-  *   spark-submit --class graft.Main <jar> files   --table T [--version V | --tag N] [--branch B] [--out DIR]   (metadata table: one row per live data file)
+  *   spark-submit --class graft.Main <jar> files   --table T [--version V | --tag N | --as-of-ts T] [--branch B] [--out DIR]   (metadata table: one row per live data file)
   *   spark-submit --class graft.Main <jar> manifests --table T [--version V | --tag N] [--branch B] [--out DIR]
   *   spark-submit --class graft.Main <jar> partitions --table T [--version V | --tag N] [--branch B] [--out DIR]   (per-bucket totals + phash span — the skew report)
   *   spark-submit --class graft.Main <jar> incremental --table T --from V [--to V]
   *   spark-submit --class graft.Main <jar> changes --table T (--from V | --from-tag N) [--to V | --to-tag N] [--out DIR]
   *   spark-submit --class graft.Main <jar> analyze --table T [--target-mb M]
-  *   spark-submit --class graft.Main <jar> agg     --table T [--cols c1,c2] [--ndv c1,c2] [--version V | --tag N]   (metadata-only count/min/max; --ndv = approx distinct from manifest HLL sketches)
+  *   spark-submit --class graft.Main <jar> agg     --table T [--cols c1,c2] [--ndv c1,c2] [--version V | --tag N | --as-of-ts T]   (metadata-only count/min/max; --ndv = approx distinct from manifest HLL sketches; T = epoch ms or ISO-8601 instant)
   *   spark-submit --class graft.Main <jar> analyze-ndv --table T --cols c1,c2 [--lgk K]   (ANALYZE: attach per-file NDV sketches, reads only unsketched files)
   *   spark-submit --class graft.Main <jar> <compact|cluster|merge|rebucket|rewrite-manifests|...> --staged   (write-audit-publish)
   *   spark-submit --class graft.Main <jar> publish --table T
@@ -244,12 +244,19 @@ object Main {
         // commits younger than the cutoff never expire
         val cutoff = opts.get("older-than-hours").map(h =>
           System.currentTimeMillis() - (h.toDouble * 3600 * 1000).toLong)
+        // --dry-run: price the reclaim (versions, files, bytes) from
+        // metadata only, delete nothing
         val res = new ExpireSnapshotsJob(table)
-          .run(opts.getOrElse("keep", "2").toInt, cutoff)
+          .run(opts.getOrElse("keep", "2").toInt, cutoff,
+            dryRun = opts.contains("dry-run"))
         report("expire", Map(
+          "dry-run" -> res.dryRun.toString,
           "expired-versions" -> res.expiredVersions.mkString(","),
-          "deleted-data-files" -> res.deletedDataFiles.toString,
-          "deleted-manifests" -> res.deletedManifests.toString))
+          (if (res.dryRun) "dead-data-files" else "deleted-data-files") ->
+            res.deletedDataFiles.toString,
+          (if (res.dryRun) "dead-manifests" else "deleted-manifests") ->
+            res.deletedManifests.toString,
+          "reclaimable-bytes" -> res.reclaimableBytes.toString))
 
       case "rebucket" =>
         val snap = CommitRetry.withCommitRetry()(new RebucketJob(table,
@@ -468,6 +475,8 @@ object Main {
         val metaSnap = opts.get("version").map(v => t.snapshotAt(v.toLong))
           .orElse(opts.get("tag").map(n =>
             t.snapshotAt(graft.format.Tags.ref(t, n).version)))
+          .orElse(opts.get("as-of-ts").map(ts =>
+            t.snapshotAsOf(graft.spark.QTableSource.parseTs(ts))))
           .getOrElse(t.currentSnapshot)
         val df = cmd match {
           case "files" => t.filesDF(metaSnap)
@@ -554,11 +563,14 @@ object Main {
         val cols = opts.get("cols")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
-        // --version V / --tag N: aggregate a pinned snapshot (time travel)
+        // --version V / --tag N / --as-of-ts T: aggregate a pinned
+        // snapshot (version, tag, or timestamp time travel)
         val t = table
         val aggSnap = opts.get("version").map(v => t.snapshotAt(v.toLong))
           .orElse(opts.get("tag").map(n =>
             t.snapshotAt(graft.format.Tags.ref(t, n).version)))
+          .orElse(opts.get("as-of-ts").map(ts =>
+            t.snapshotAsOf(graft.spark.QTableSource.parseTs(ts))))
           .getOrElse(t.currentSnapshot)
         // --ndv c1,c2: merged approx-distinct from the manifest sketches
         // (composes with --cols exact aggregates in one report)

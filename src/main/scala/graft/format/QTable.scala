@@ -82,6 +82,26 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def snapshotAt(v: Long): Snapshot =
     Json.fromBytes(io.readBytes(versionFile(v)), classOf[Snapshot])
 
+  /** Timestamp time travel (Iceberg `FOR SYSTEM_TIME AS OF` analogue):
+    * the snapshot that was current AT `tsMs` on THIS ref — the youngest
+    * chain ancestor committed at or before the cutoff. A parent-pointer
+    * walk, not a version-number scan: global version numbers interleave
+    * branch commits, which must not answer main's history (and vice
+    * versa). Throws if the chain (within the retained window) has no
+    * commit that old. */
+  def snapshotAsOf(tsMs: Long): Snapshot = {
+    val retained = listVersions.toSet
+    var v = currentVersion
+    while (v >= 0 && retained.contains(v)) {
+      val s = snapshotAt(v)
+      if (s.timestampMs <= tsMs) return s
+      v = s.parentVersion
+    }
+    throw new IllegalArgumentException(
+      s"no retained snapshot on ref '$refName' at or before timestamp " +
+        s"$tsMs (oldest retained commits may have been expired)")
+  }
+
   def currentSnapshot: Snapshot = {
     val v = currentVersion
     require(v >= 0, s"table $root has no committed snapshot")
@@ -732,7 +752,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   private val RowPreservingOps: Set[String] = Set(
     "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
     "rewrite-manifests", "rewrite-deletes", "add-column", "rename-column",
-    "drop-column", "widen-column")
+    "drop-column", "widen-column", "analyze-ndv")
 
   /** Iceberg-style incremental append scan planning: the data files ADDED
     * by each `append` snapshot in the chain (fromV, toV]. Appends commit

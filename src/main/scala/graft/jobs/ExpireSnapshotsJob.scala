@@ -25,7 +25,8 @@ class ExpireSnapshotsJob(table: QTable,
     distributeThreshold: Int = ExpireSnapshotsJob.DistributeThreshold) {
 
   final case class Result(expiredVersions: Seq[Long], deletedDataFiles: Int,
-      deletedManifests: Int)
+      deletedManifests: Int, reclaimableBytes: Long = 0L,
+      dryRun: Boolean = false)
 
   private def delete(pathStr: String): Boolean = {
     val hp = new HPath(pathStr)
@@ -41,8 +42,14 @@ class ExpireSnapshotsJob(table: QTable,
     *  - it is tagged;
     *  - `olderThanMs` is set and the version's commit timestamp is at
     *    or after it (age-based retention: "keep everything from the
-    *    last 7 days, plus at least K snapshots, plus releases"). */
-  def run(keepLast: Int, olderThanMs: Option[Long] = None): Result = {
+    *    last 7 days, plus at least K snapshots, plus releases").
+    *
+    * `dryRun` computes the full expiry plan — versions, dead file
+    * count, reclaimable bytes — and deletes NOTHING: the capacity
+    * question ("what would expiring down to K buy us") answered from
+    * metadata before committing to a destructive pass. */
+  def run(keepLast: Int, olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Result = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val versions = table.listVersions
     val versionSet = versions.toSet
@@ -104,12 +111,20 @@ class ExpireSnapshotsJob(table: QTable,
     // found nothing), the distributed path must not double-delete either.
     // Delete files (both flavors) referenced only by expired snapshots
     // (folded away or rolled back in every retained one) die with them.
-    val deadDeletePaths = expired.map(table.snapshotAt)
-      .flatMap(s => s.deleteFiles.map(_.path) ++ s.eqDeleteFiles.map(_.path))
-      .filterNot(liveFiles.contains).distinct
-    val deadDataPaths = (deadManifests.toSeq
-      .flatMap(m => table.readManifest(m).files.map(_.path))
-      .filterNot(liveFiles.contains) ++ deadDeletePaths).distinct
+    // (path, bytes) so the dry-run can price the reclaim without stat()s
+    val deadDeleteEntries = expired.map(table.snapshotAt)
+      .flatMap(s => s.deleteFiles.map(d => (d.path, d.byteCount)) ++
+        s.eqDeleteFiles.map(d => (d.path, d.byteCount)))
+      .filterNot(e => liveFiles.contains(e._1)).distinct
+    val deadDataEntries = (deadManifests.toSeq
+      .flatMap(m => table.readManifest(m).files.map(f => (f.path, f.byteCount)))
+      .filterNot(e => liveFiles.contains(e._1)) ++ deadDeleteEntries)
+      .groupBy(_._1).map(_._2.head).toSeq
+    val deadDataPaths = deadDataEntries.map(_._1)
+
+    if (dryRun)
+      return Result(expired, deadDataPaths.size, deadManifests.size,
+        reclaimableBytes = deadDataEntries.map(_._2).sum, dryRun = true)
 
     val dataDeleted =
       if (deadDataPaths.size < distributeThreshold) deadDataPaths.count(delete)
@@ -143,7 +158,8 @@ class ExpireSnapshotsJob(table: QTable,
       if (table.io.delete(s"${table.metadataDir}/${m.path}")) manifestsDeleted += 1
     }
     expired.foreach(v => table.io.delete(s"${table.metadataDir}/v$v.json"))
-    Result(expired, dataDeleted, manifestsDeleted)
+    Result(expired, dataDeleted, manifestsDeleted,
+      reclaimableBytes = deadDataEntries.map(_._2).sum)
   }
 }
 

@@ -122,15 +122,19 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("qtable source requires a path"))
     val t = QTable(path, ctx.sparkSession)
-    require(Seq("version", "tag", "branch").count(parameters.contains) <= 1,
-      "pass at most one of version, tag, branch")
+    require(Seq("version", "tag", "branch", "as-of-ts").count(parameters.contains) <= 1,
+      "pass at most one of version, tag, branch, as-of-ts")
     val snap = parameters.get("tag") match {
       case Some(tag) => t.snapshotAt(Tags.ref(t, tag).version)
       case None => parameters.get("branch") match {
         case Some(b) => t.snapshotAt(graft.format.Branches.head(t, b))
         case None => parameters.get("version") match {
           case Some(v) => t.snapshotAt(v.toLong)
-          case None => t.currentSnapshot
+          case None => parameters.get("as-of-ts") match {
+            // timestamp time travel: epoch millis or ISO-8601 instant
+            case Some(ts) => t.snapshotAsOf(QTableSource.parseTs(ts))
+            case None => t.currentSnapshot
+          }
         }
       }
     }
@@ -166,4 +170,12 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
         "first with a compact run")
     t.relationFor(snap)._1
   }
+}
+
+object QTableSource {
+  /** Timestamp option parsing: epoch millis, or an ISO-8601 instant
+    * ("2026-08-19T10:00:00Z") for humans. */
+  private[graft] def parseTs(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else java.time.Instant.parse(s).toEpochMilli
 }

@@ -144,4 +144,28 @@ class ExpireRewriteSpec extends AnyFunSuite {
     assert(res.expiredVersions == Seq(0L, 1L, 2L))
     assert(t.listVersions == Seq(3L) && t.read().count() == 120)
   }
+
+  test("dry-run prices the reclaim and deletes nothing") {
+    val t = QTable.create(TestSpark.tmpDir("expire-dry"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 200, 42L, 4).toDF(),
+      filesPerBucket = 4)                                              // v1
+    new CompactJob(t, targetFileBytes = 8L << 20).run()                // v2
+    val versionsBefore = t.listVersions
+    val deadBytes = t.entries(t.snapshotAt(1)).map(_.path).toSet
+      .diff(t.entries(t.currentSnapshot).map(_.path).toSet)
+
+    val dry = new ExpireSnapshotsJob(t).run(keepLast = 1, dryRun = true)
+    assert(dry.dryRun && dry.expiredVersions == Seq(0L, 1L))
+    assert(dry.deletedDataFiles == deadBytes.size)
+    assert(dry.reclaimableBytes > 0)
+    // nothing was touched: versions, metadata, data files all intact
+    assert(t.listVersions == versionsBefore)
+    deadBytes.foreach(p => assert(Files.exists(Paths.get(p)), s"$p must survive a dry-run"))
+
+    // the real run then deletes exactly what the dry-run priced
+    val real = new ExpireSnapshotsJob(t).run(keepLast = 1)
+    assert(real.expiredVersions == dry.expiredVersions)
+    assert(real.deletedDataFiles == dry.deletedDataFiles)
+    assert(real.reclaimableBytes == dry.reclaimableBytes)
+  }
 }

@@ -91,6 +91,18 @@ class NdvSketchSpec extends AnyFunSuite {
     assert(within(r.estimates("alt"), exact))
   }
 
+  test("analyze-ndv is row-preserving: incremental scan and changelog skip it") {
+    val t = QTable.create(TestSpark.tmpDir("ndv5"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 300, 42L, 2).toDF(), 2)  // v1
+    new NdvSketchJob(t, Seq("image_id")).run()                           // v2
+    AppendJob.append(t, DataGen.generate(spark, 100, 7L, 2).toDF()
+      .withColumn("image_id", concat(lit("x-"), col("image_id"))), 2)    // v3
+    // the stats commit contributes no appended rows and no change rows —
+    // a CDC follower or incremental consumer never sees ANALYZE runs
+    assert(t.readIncremental(1, 3).count() == 100)
+    assert(t.readChanges(1, 2).count() == 0)
+  }
+
   test("delete debt reported as the estimate's upper-bound slack; fold restores tightness") {
     val t = QTable.create(TestSpark.tmpDir("ndv4"), spark, buckets = 2)
     AppendJob.append(t, DataGen.generate(spark, 1000, 42L, 2).toDF(),

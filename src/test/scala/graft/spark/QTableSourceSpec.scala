@@ -42,6 +42,33 @@ class QTableSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of-ts option: timestamp time travel on the main chain") {
+    val t = fresh(120)                                         // v1
+    val ts1 = t.currentSnapshot.timestampMs
+    Thread.sleep(5) // commit timestamps must strictly order for the probe
+    AppendJob.append(t, DataGen.generate(spark, 30, 7L, 1).toDF()
+      .withColumn("image_id", concat(lit("b-"), col("image_id"))), 1) // v2
+    val ts2 = t.currentSnapshot.timestampMs
+    assert(ts2 > ts1)
+
+    // cutoff exactly at v1's commit: v1 answers (youngest at-or-before)
+    assert(t.snapshotAsOf(ts1).version == 1L)
+    assert(spark.read.format("qtable").option("as-of-ts", ts1.toString)
+      .load(t.root).count() == 120)
+    // between the commits: still v1; at/after v2: v2
+    assert(t.snapshotAsOf((ts1 + ts2) / 2).version == 1L)
+    assert(t.snapshotAsOf(ts2).version == 2L)
+    // ISO-8601 form parses (far future resolves to the head)
+    assert(spark.read.format("qtable")
+      .option("as-of-ts", "2200-01-01T00:00:00Z").load(t.root).count() == 150)
+    // before the first commit: refused, with the expiry caveat
+    intercept[IllegalArgumentException] { t.snapshotAsOf(ts1 - 100000) }
+    intercept[IllegalArgumentException] {
+      spark.read.format("qtable").option("as-of-ts", ts1.toString)
+        .option("version", "1").load(t.root)
+    }
+  }
+
   test("branch option reads the branch head; main load is unaffected") {
     val t = fresh(150)
     graft.format.Branches.create(t, "exp")
