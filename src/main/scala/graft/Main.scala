@@ -45,6 +45,9 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> <compact|cluster|merge|rebucket|rewrite-manifests|...> --staged   (write-audit-publish)
   *   spark-submit --class graft.Main <jar> publish --table T
   *   spark-submit --class graft.Main <jar> abort-staged --table T
+  *   spark-submit --class graft.Main <jar> set-property --table T --key K --value V   (table-carried policy: write.target-mb, retention.keep-last, ndv.columns, ...)
+  *   spark-submit --class graft.Main <jar> unset-property --table T --key K
+  *   spark-submit --class graft.Main <jar> properties --table T
   *   spark-submit --class graft.Main <jar> tag     --table T --name N [--version V]
   *   spark-submit --class graft.Main <jar> untag   --table T --name N
   *   spark-submit --class graft.Main <jar> tags    --table T
@@ -90,7 +93,17 @@ object Main {
         .map(t0.onBranch).getOrElse(t0)
       if (opts.contains("staged")) t.staged else t
     }
-    def targetBytes = opts.get("target-mb").map(_.toLong << 20).getOrElse(128L << 20)
+    // table-property read for flag defaults; None when the table does not
+    // exist yet (synth) or the command carries no --table
+    def tableProp(k: String): Option[String] =
+      try QTable(req(opts, "table"), spark).currentSnapshotOpt
+        .flatMap(_.props.get(k))
+      catch { case _: Exception => None }
+    // precedence: explicit flag > table property > built-in default —
+    // a table CARRIES its write target (set-property write.target-mb)
+    def targetBytes = opts.get("target-mb")
+      .orElse(tableProp("write.target-mb"))
+      .map(_.toLong << 20).getOrElse(128L << 20)
     // val, not def: CommitRetry re-enters the job body on conflict, and a
     // fresh UUID per attempt would orphan the losing attempt's checkpoint
     // (the retry is supposed to RESUME it, skipping committed groups)
@@ -245,9 +258,11 @@ object Main {
         val cutoff = opts.get("older-than-hours").map(h =>
           System.currentTimeMillis() - (h.toDouble * 3600 * 1000).toLong)
         // --dry-run: price the reclaim (versions, files, bytes) from
-        // metadata only, delete nothing
+        // metadata only, delete nothing. Retention default can live on
+        // the table (set-property retention.keep-last)
         val res = new ExpireSnapshotsJob(table)
-          .run(opts.getOrElse("keep", "2").toInt, cutoff,
+          .run(opts.get("keep").orElse(tableProp("retention.keep-last"))
+            .getOrElse("2").toInt, cutoff,
             dryRun = opts.contains("dry-run"))
         report("expire", Map(
           "dry-run" -> res.dryRun.toString,
@@ -606,9 +621,12 @@ object Main {
 
       case "analyze-ndv" =>
         // on-demand ANALYZE: attach per-file HLL sketches for the named
-        // columns; only not-yet-sketched files are read (O(new data))
-        val cols = req(opts, "cols").split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq
+        // columns; only not-yet-sketched files are read (O(new data)).
+        // Column list can live on the table (set-property ndv.columns)
+        val cols = opts.get("cols").orElse(tableProp("ndv.columns"))
+          .getOrElse(throw new IllegalArgumentException(
+            "pass --cols c1,c2 or set-property --key ndv.columns"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val t = table
         val preV = t.currentVersion
         val snap = CommitRetry.withCommitRetry()(new NdvSketchJob(t, cols,
@@ -620,6 +638,26 @@ object Main {
             else snap.summary.getOrElse("files-sketched", "0")),
           "ndv-cols" -> (if (noop) "(already analyzed)"
             else snap.summary.getOrElse("ndv-cols", ""))))
+
+      case "set-property" =>
+        // ALTER TABLE SET TBLPROPERTIES analogue: metadata-only commit;
+        // properties ride every later commit like the schema. Known
+        // policy keys: write.target-mb (rewrite targets),
+        // retention.keep-last (expire default), ndv.columns (analyze-ndv
+        // default) — arbitrary keys allowed for operator bookkeeping.
+        val snap = CommitRetry.withCommitRetry()(
+          table.setProperties(Map(req(opts, "key") -> req(opts, "value"))))
+        report("set-property", Map("version" -> snap.version.toString,
+          "key" -> req(opts, "key"), "value" -> req(opts, "value")))
+
+      case "unset-property" =>
+        val snap = CommitRetry.withCommitRetry()(
+          table.unsetProperties(Seq(req(opts, "key"))))
+        report("unset-property", Map("version" -> snap.version.toString,
+          "key" -> req(opts, "key")))
+
+      case "properties" =>
+        report("properties", table.currentSnapshot.props)
 
       case "branch" =>
         // writable named ref (Iceberg branch): fork at --at (default:
@@ -735,5 +773,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|partitions|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|partitions|set-property|unset-property|properties|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
 }

@@ -473,7 +473,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       schemaOverride: Option[Seq[FieldDef]] = None,
       deletesOverride: Option[Seq[DeleteFileEntry]] = None,
       eqDeletesOverride: Option[Seq[EqDeleteFileEntry]] = None,
-      lastFieldIdOverride: Option[Int] = None): Snapshot = {
+      lastFieldIdOverride: Option[Int] = None,
+      propertiesOverride: Option[Map[String, String]] = None): Snapshot = {
     val parentV = parent.map(_.version).getOrElse(-1L)
     // stamp data sequence numbers BEFORE manifests are written: freshly
     // harvested entries (seq sentinel) get the version this commit will
@@ -544,9 +545,40 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // must stay retired on main too
     val lastId = lastFieldIdOverride
       .getOrElse(parent.map(_.highestFieldId).getOrElse(0))
+    // table properties ride every commit like the schema
+    val props = propertiesOverride
+      .orElse(parent.map(_.props)).getOrElse(Map.empty)
     commitSnapshot(parentV, operation, manifests, summary, buckets, schema,
-      lastId, deletes, eqDels)
+      lastId, deletes, eqDels, props)
   }
+
+  /** Metadata-only property change (ALTER TABLE SET TBLPROPERTIES
+    * analogue): the table carries its own policy — write targets,
+    * retention, tracked NDV columns — so jobs and scheduler ticks read
+    * one source of truth instead of repeating flags. Carried by every
+    * commit like the schema; a set is itself a commit, so property
+    * history is time-travelable and branch-scoped like everything else. */
+  def setProperties(kv: Map[String, String]): Snapshot = {
+    require(kv.nonEmpty, "no properties given")
+    val snap = currentSnapshot
+    commit(Some(snap), "set-properties", Nil,
+      Map("set" -> kv.keys.toSeq.sorted.mkString(",")),
+      reuseManifests = snap.manifests,
+      propertiesOverride = Some(snap.props ++ kv))
+  }
+
+  def unsetProperties(keys: Seq[String]): Snapshot = {
+    require(keys.nonEmpty, "no property keys given")
+    val snap = currentSnapshot
+    commit(Some(snap), "set-properties", Nil,
+      Map("unset" -> keys.sorted.mkString(",")),
+      reuseManifests = snap.manifests,
+      propertiesOverride = Some(snap.props -- keys))
+  }
+
+  /** Current value of a table property, if the table exists and set. */
+  def property(key: String): Option[String] =
+    currentSnapshotOpt.flatMap(_.props.get(key))
 
   /** Metadata-only schema evolution: append a NULLABLE column. Old data
     * files are untouched and surface nulls for the new field; the field
@@ -647,7 +679,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       manifests: Seq[ManifestMeta], summary: Map[String, String],
       buckets: Int, schema: Seq[FieldDef] = Nil, lastFieldId: Int = 0,
       deletes: Seq[DeleteFileEntry] = Nil,
-      eqDeletes: Seq[EqDeleteFileEntry] = Nil): Snapshot = {
+      eqDeletes: Seq[EqDeleteFileEntry] = Nil,
+      properties: Map[String, String] = Map.empty): Snapshot = {
     io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
     // (against THIS ref's head — a branch commit conflicts on the branch)
@@ -673,7 +706,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // fast-forward, which adopts the branch's files AND deletes wholesale.
     val v = math.max(parentV, listVersions.lastOption.getOrElse(-1L)) + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
-      System.currentTimeMillis(), schema, lastFieldId, deletes, eqDeletes)
+      System.currentTimeMillis(), schema, lastFieldId, deletes, eqDeletes,
+      properties)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
     publishHint(v)
@@ -752,7 +786,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   private val RowPreservingOps: Set[String] = Set(
     "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
     "rewrite-manifests", "rewrite-deletes", "add-column", "rename-column",
-    "drop-column", "widen-column", "analyze-ndv")
+    "drop-column", "widen-column", "analyze-ndv", "set-properties")
 
   /** Iceberg-style incremental append scan planning: the data files ADDED
     * by each `append` snapshot in the chain (fromV, toV]. Appends commit

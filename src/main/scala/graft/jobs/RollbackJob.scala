@@ -87,7 +87,9 @@ class FastForwardJob(table: QTable) {
       deletesOverride = Some(target.deleteFiles),
       eqDeletesOverride = Some(target.eqDeleteFiles),
       lastFieldIdOverride =
-        Some(math.max(cur.highestFieldId, target.highestFieldId)))
+        Some(math.max(cur.highestFieldId, target.highestFieldId)),
+      // publish adopts the branch's properties like its schema
+      propertiesOverride = Some(target.props))
   }
 }
 

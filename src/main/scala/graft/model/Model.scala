@@ -237,7 +237,17 @@ final case class Snapshot(
     schema: Seq[FieldDef] = Nil,
     lastFieldId: Int = 0,
     deletes: Seq[DeleteFileEntry] = Nil,
-    eqDeletes: Seq[EqDeleteFileEntry] = Nil) {
+    eqDeletes: Seq[EqDeleteFileEntry] = Nil,
+    // table properties (Iceberg TBLPROPERTIES analogue): configuration
+    // the table CARRIES — write targets, retention — so every job and
+    // scheduler tick reads the same policy instead of repeating flags.
+    // Changed by a metadata-only "set-properties" commit, carried by
+    // every other commit like the schema.
+    properties: Map[String, String] = Map.empty) {
+
+  /** Null-safe properties accessor (pre-properties snapshots
+    * deserialize with null). */
+  def props: Map[String, String] = Option(properties).getOrElse(Map.empty)
 
   /** Live position-delete files (merge-on-read). Null-safe: snapshots
     * from before delete tracking deserialize with null here. */
