@@ -388,13 +388,17 @@ object Main {
         // tick at 10^12-row scale (each tick costs O(outstanding debt)).
         require(!opts.contains("staged"),
           "maintain does not compose with --staged; stage individual jobs")
+        // every dial is table-carried (set-property auto.<dial>) with the
+        // usual precedence: explicit flag > table property > built-in
+        def dial(flag: String, dflt: String): String =
+          opts.get(flag).orElse(tableProp(s"auto.$flag")).getOrElse(dflt)
         val cfg = AutoMaintain.Config(
-          smallDebtRatio = opts.getOrElse("small-debt-ratio", "0.10").toDouble,
-          deleteRowRatio = opts.getOrElse("delete-row-ratio", "0.02").toDouble,
-          maxDeleteFiles = opts.getOrElse("max-delete-files", "16").toInt,
-          overlapThreshold = opts.getOrElse("overlap-threshold", "1.5").toDouble,
-          entriesPerManifest = opts.getOrElse("entries-per-manifest", "512").toInt,
-          maxRetainedVersions = opts.getOrElse("max-versions", "12").toInt)
+          smallDebtRatio = dial("small-debt-ratio", "0.10").toDouble,
+          deleteRowRatio = dial("delete-row-ratio", "0.02").toDouble,
+          maxDeleteFiles = dial("max-delete-files", "16").toInt,
+          overlapThreshold = dial("overlap-threshold", "1.5").toDouble,
+          entriesPerManifest = dial("entries-per-manifest", "512").toInt,
+          maxRetainedVersions = dial("max-versions", "12").toInt)
         val res =
           try AutoMaintain.run(table, targetBytes, cfg, jobId, concurrency,
             bucketScope, hilbert = opts.contains("hilbert"),
