@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rename-column --table T --from OLD --to NEW
   *   spark-submit --class graft.Main <jar> drop-column --table T --name N
   *   spark-submit --class graft.Main <jar> widen-column --table T --name N --type long
-  *   spark-submit --class graft.Main <jar> rollback --table T --to V
+  *   spark-submit --class graft.Main <jar> rollback --table T [--to V | --tag N | --as-of-ts T]
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
   *   spark-submit --class graft.Main <jar> rewrite-deletes --table T   (consolidate position-delete files)
@@ -303,8 +303,11 @@ object Main {
           "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
 
       case "rollback" =>
-        val snap = new RollbackJob(table).run(req(opts, "to").toLong)
-        report("rollback", snap.summary ++ Map("version" -> snap.version.toString))
+        val toVersion = RollbackJob.resolveTarget(
+          table, opts.get("to"), opts.get("tag"), opts.get("as-of-ts"))
+        val snap = new RollbackJob(table).run(toVersion)
+        report("rollback", snap.summary ++ Map("version" -> snap.version.toString,
+          "rolled-back-to" -> toVersion.toString))
 
       case "remove-orphans" =>
         val graceMs = opts.getOrElse("grace-hours", "24").toLong * 3600L * 1000L

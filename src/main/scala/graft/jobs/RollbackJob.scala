@@ -41,6 +41,24 @@ class RollbackJob(table: QTable) {
   }
 }
 
+object RollbackJob {
+  /** Resolve a rollback target from the CLI's three addressing modes:
+    * explicit version, immutable tag name ("restore the release
+    * snapshot"), or timestamp ("undo everything since noon") — the same
+    * resolution surface the read-side time travel exposes. Exactly one
+    * mode must be given. */
+  def resolveTarget(t: QTable, to: Option[String], tag: Option[String],
+                    asOfTs: Option[String]): Long = {
+    require(Seq(to, tag, asOfTs).count(_.isDefined) == 1,
+      "rollback needs exactly one of --to V, --tag N, --as-of-ts T")
+    to.map(_.toLong)
+      .orElse(tag.map(n => graft.format.Tags.ref(t, n).version))
+      .orElse(asOfTs.map(ts =>
+        t.snapshotAsOf(graft.spark.QTableSource.parseTs(ts)).version))
+      .get
+  }
+}
+
 /** Publish a branch to main: a NEW main commit re-pointing at the
   * branch head's manifests, schema, bucket count, and delete sets —
   * metadata-only, no data file touched (the same forward-commit shape

@@ -32,6 +32,32 @@ class RollbackOrphanSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new RollbackJob(t).run(99L) }
   }
 
+  test("rollback target resolves by version, tag name, or timestamp") {
+    val t = QTable.create(TestSpark.tmpDir("rbres"), spark, buckets = 2)
+    AppendJob.append(t, DataGen.generate(spark, 100, 42L, 2).toDF(), 2) // v1
+    val v1 = t.currentSnapshot
+    graft.format.Tags.create(t, "release", v1.version)
+    Thread.sleep(5) // ensure v2's commit timestamp is strictly after v1's
+    AppendJob.append(t, DataGen.generate(spark, 50, 43L, 2).toDF(), 2)  // v2
+
+    assert(RollbackJob.resolveTarget(t, Some("1"), None, None) == 1L)
+    assert(RollbackJob.resolveTarget(t, None, Some("release"), None) == v1.version)
+    // timestamp just after v1's commit resolves to v1 (youngest ancestor <= ts)
+    assert(RollbackJob.resolveTarget(
+      t, None, None, Some((v1.timestampMs + 1).toString)) == v1.version)
+    intercept[IllegalArgumentException] {
+      RollbackJob.resolveTarget(t, Some("1"), Some("release"), None)
+    }
+    intercept[IllegalArgumentException] {
+      RollbackJob.resolveTarget(t, None, None, None)
+    }
+    // end-to-end through the job: tag-addressed rollback restores v1
+    val snap = new RollbackJob(t).run(
+      RollbackJob.resolveTarget(t, None, Some("release"), None))
+    assert(snap.operation == "rollback")
+    assert(t.read().count() == 100)
+  }
+
   test("rollback across a rebucket restores the OLD bucket count with the old layout") {
     val t = QTable.create(TestSpark.tmpDir("rbrb"), spark, buckets = 2)
     AppendJob.append(t, DataGen.generate(spark, 200, 42L, 4).toDF(), 2) // v1
