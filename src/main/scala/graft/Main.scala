@@ -31,7 +31,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rewrite-deletes --table T   (consolidate position-delete files)
   *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--incremental] [--keep K] [--dry-run] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> maintain --table T --auto [--small-debt-ratio R] [--delete-row-ratio R] [--max-delete-files N] [--overlap-threshold X] [--max-versions V]   (debt-driven tick: only over-threshold jobs run; clean table = no commits)
-  *   spark-submit --class graft.Main <jar> verify  --table T [--against V] [--sample F] [--staged]
+  *   spark-submit --class graft.Main <jar> verify  --table T [--against V | --against-tag N] [--sample F] [--staged]
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> files   --table T [--version V | --tag N | --as-of-ts T] [--branch B] [--out DIR]   (metadata table: one row per live data file)
@@ -368,6 +368,7 @@ object Main {
               throw new IllegalStateException("nothing staged to verify")))
           else t.currentSnapshot
         val against = opts.get("against").map(_.toLong)
+          .orElse(opts.get("against-tag").map(n => graft.format.Tags.ref(t, n).version))
           .getOrElse(cur.parentVersion)
         require(against >= 0, "no parent snapshot to verify against; pass --against V")
         // --sample F: deterministic keyed sample of both sides — the
