@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> stream  --table T --upsert [--eq] (--source DIR | --rows N) [--set c1,c2] [--delete-col C] [--seq-col C]   (streaming upsert per micro-batch: MOR MERGE, or scan-free equality deletes with --eq)
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K] [--older-than-hours H] [--dry-run]   (dry-run prices the reclaim, deletes nothing)
   *   spark-submit --class graft.Main <jar> rebucket --table T --buckets B [--target-mb M]
-  *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string]
+  *   spark-submit --class graft.Main <jar> add-column --table T --name N [--type string] [--default V]   (--default: Iceberg-v3-style initial default for pre-existing rows)
   *   spark-submit --class graft.Main <jar> rename-column --table T --from OLD --to NEW
   *   spark-submit --class graft.Main <jar> drop-column --table T --name N
   *   spark-submit --class graft.Main <jar> widen-column --table T --name N --type long
@@ -281,7 +281,8 @@ object Main {
 
       case "add-column" =>
         val snap = CommitRetry.withCommitRetry()(
-          table.addColumn(req(opts, "name"), opts.getOrElse("type", "string")))
+          table.addColumn(req(opts, "name"), opts.getOrElse("type", "string"),
+            opts.get("default")))
         report("add-column", snap.summary ++ Map("version" -> snap.version.toString,
           "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
 

@@ -80,9 +80,12 @@ object ChangelogScan {
         case "append" =>
           val parentManifests = t.snapshotAt(s.parentVersion)
             .manifests.map(_.path).toSet
-          val paths = s.manifests.filterNot(m => parentManifests.contains(m.path))
-            .flatMap(m => t.readManifest(m).files).map(_.path)
-          Some(t.readFiles(paths, phys)
+          val ents = s.manifests.filterNot(m => parentManifests.contains(m.path))
+            .flatMap(m => t.readManifest(m).files)
+          // the changelog presents every commit under the TO endpoint's
+          // schema, so TO's initial defaults apply to files predating
+          // their add-column commit — same rule as read(to)
+          Some(t.withInitialDefaults(t.readFiles(ents.map(_.path), phys), to, ents)
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
         case _ => // merge, rollback, delete, upsert — anything row-changing:
@@ -117,7 +120,7 @@ object ChangelogScan {
               t.eqDeleteInputsFor(s, Seq(e)).toSet)
             .map(_.path).filterNot(delChanged.contains).sorted
           val bothSides = delChanged ++ eqChanged
-          Some(rowDiff(t, parent, s,
+          Some(rowDiff(t, parent, s, to,
             removed = (before -- after).toSeq.sorted ++ bothSides,
             added = (after -- before).toSeq.sorted ++ bothSides,
             phys, v))
@@ -141,13 +144,25 @@ object ChangelogScan {
     * set). image_id is a base field, so its physical name is stable
     * across every schema evolution. */
   private def rowDiff(t: QTable, parent: graft.model.Snapshot,
-      s: graft.model.Snapshot, removed: Seq[String], added: Seq[String],
+      s: graft.model.Snapshot, to: graft.model.Snapshot,
+      removed: Seq[String], added: Seq[String],
       phys: StructType, v: Long): DataFrame = {
     val allCols = phys.fieldNames.toSeq
     def packed(paths: Seq[String], snap: graft.model.Snapshot,
-        key: String, row: String) =
-      t.applyDeletes(t.readFiles(paths, phys), snap, paths)
-        .select(col("image_id").as(key), struct(allCols.map(col): _*).as(row))
+        key: String, row: String) = {
+      // images surface TO's initial defaults (the changelog's declared
+      // schema — same per-file seq rule as read(to)) over SNAP's delete
+      // set; the no-defaults branch keeps the historical pass-through
+      val wanted = paths.toSet
+      val ents = t.entries(snap).filter(e => wanted.contains(e.path))
+      val live =
+        if (t.defaultsFor(to, ents).isEmpty)
+          t.applyDeletes(t.readFiles(paths, phys), snap, paths)
+        else t.applyDefaults(
+          t.applyDeletesWithPos(t.readFiles(paths, phys), snap, paths),
+          to, ents).drop("__gpath", "__gpos")
+      live.select(col("image_id").as(key), struct(allCols.map(col): _*).as(row))
+    }
     val j = packed(removed, parent, "k_pre", "pre_row")
       .join(packed(added, s, "k_post", "post_row"),
         col("k_pre") === col("k_post"), "full_outer")

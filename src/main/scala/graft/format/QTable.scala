@@ -148,8 +148,9 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * alike — the projection is a no-op when nothing was renamed. Live
     * position deletes (merge-on-read) are applied — see [[applyDeletes]]. */
   def read(s: Snapshot): DataFrame = {
-    val paths = entries(s).map(_.path)
-    toLogical(applyDeletes(readFiles(paths, s.physicalSchema), s, paths), s)
+    val ents = entries(s)
+    toLogical(decorateRead(
+      readFiles(ents.map(_.path), s.physicalSchema), s, ents), s)
   }
 
   /** Read a SUBSET of a snapshot's data files with position deletes
@@ -158,8 +159,11 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * what it can from manifest stats and reads only the files it
     * cannot, through the exact same delete/rename semantics as a full
     * [[read]]. */
-  def readSubset(s: Snapshot, paths: Seq[String]): DataFrame =
-    toLogical(applyDeletes(readFiles(paths, s.physicalSchema), s, paths), s)
+  def readSubset(s: Snapshot, paths: Seq[String]): DataFrame = {
+    val wanted = paths.toSet
+    val ents = entries(s).filter(e => wanted.contains(e.path))
+    toLogical(decorateRead(readFiles(paths, s.physicalSchema), s, ents), s)
+  }
 
   // ------------------------------------------ merge-on-read position deletes
 
@@ -240,6 +244,89 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       }
     applyEqDeletes(posApplied, s, readPaths)
   }
+
+  // ------------------------------------------------ initial defaults
+
+  /** The fields whose initial default applies to at least one of
+    * `inputs` — i.e. some file in the read predates the add-column
+    * commit. Empty in steady state (every pre-evolution file has been
+    * rewritten), which is what keeps defaulted tables substitution- and
+    * join-free once maintenance catches up. */
+  private[format] def defaultsFor(s: Snapshot,
+      inputs: Seq[DataFileEntry]): Seq[FieldDef] =
+    s.schemaFields.filter(f => f.defaultOpt.nonEmpty &&
+      inputs.exists(_.seq < f.defaultSeq))
+
+  /** Substitute initial defaults into a frame that carries the scan
+    * address column `__gpath` (from [[applyDeletesWithPos]]): rows from
+    * files whose data seq predates a defaulted column's add-column
+    * commit surface the default; rows from later files keep their
+    * stored values — including explicit nulls (NOT a coalesce; Iceberg
+    * v3 `initial-default` semantics). The per-row decision rides a
+    * BROADCAST (file name -> seq) lookup bounded by the READ's file
+    * count — the same metadata-sized shape as the eq-delete seq lookup
+    * — never a literal IN-list, so the plan stays O(1) in file count.
+    *
+    * Scale/pushdown note: while any pre-evolution file is live in the
+    * read, predicates on the defaulted column sit above this
+    * substitution and do not reach the parquet scan (which is REQUIRED
+    * for correctness: a pushed `col = default` would drop the very rows
+    * the default makes match); once rewrites bake the default in,
+    * [[defaultsFor]] is empty, the frame passes through untouched, and
+    * pushdown/stats-skipping resume. */
+  private[format] def applyDefaults(df: DataFrame, s: Snapshot,
+      inputs: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, substring_index, when}
+    val defs = defaultsFor(s, inputs)
+    if (defs.isEmpty) return df
+    val seqDf = broadcast(spark.createDataFrame(
+      inputs.map(f => (QTable.fileName(f.path), f.seq)))
+      .toDF("__dfname", "__dfseq"))
+    val named = df
+      .withColumn("__dfname", substring_index(col("__gpath"), "/", -1))
+      .join(seqDf, Seq("__dfname"), "left")
+    defs.foldLeft(named) { (acc, f) =>
+      // unmatched file names (impossible by construction: `inputs`
+      // covers the scan) conservatively read as post-evolution
+      acc.withColumn(f.phys,
+        when(coalesce(col("__dfseq"), lit(Long.MaxValue)) < lit(f.defaultSeq),
+          lit(f.default).cast(f.sparkType)).otherwise(col(f.phys)))
+    }.drop("__dfname", "__dfseq")
+  }
+
+  /** The full read decoration over a scan of `inputs`: merge-on-read
+    * deletes (both flavors) + initial-default substitution. Returns the
+    * input frame UNCHANGED (plan preserved byte-for-byte) when neither
+    * applies. This is the read surface maintenance rewrites must go
+    * through: a rewrite that scanned raw physical files would bake
+    * stored nulls over a live default and silently lose it (the
+    * rewritten file's seq postdates the add-column commit). */
+  def decorateRead(df: DataFrame, s: Snapshot,
+      inputs: Seq[DataFileEntry]): DataFrame = {
+    val paths = inputs.map(_.path)
+    if (defaultsFor(s, inputs).isEmpty) applyDeletes(df, s, paths)
+    else applyDefaults(applyDeletesWithPos(df, s, paths), s, inputs)
+      .drop("__gpath", "__gpos")
+  }
+
+  /** [[decorateRead]] keeping the `__gpath`/`__gpos` scan address
+    * columns — for callers that need row positions (DeleteJob,
+    * merge-on-read MERGE). */
+  def decorateReadWithPos(df: DataFrame, s: Snapshot,
+      inputs: Seq[DataFileEntry]): DataFrame =
+    applyDefaults(applyDeletesWithPos(df, s, inputs.map(_.path)), s, inputs)
+
+  /** Defaults-only decoration of a RAW scan of `inputs` (no delete
+    * application — for surfaces that read appended files as-written:
+    * incremental scan, the streaming source). Captures the scan address
+    * itself, so it must wrap the scan frame directly; no-op (plan
+    * preserved) when no default applies to `inputs`. */
+  def withInitialDefaults(df: DataFrame, s: Snapshot,
+      inputs: Seq[DataFileEntry]): DataFrame =
+    if (defaultsFor(s, inputs).isEmpty) df
+    else applyDefaults(df.withColumn("__gpath",
+      org.apache.spark.sql.functions.col("_metadata.file_path")), s, inputs)
+      .drop("__gpath")
 
   // ----------------------------------------------------- equality deletes
 
@@ -426,8 +513,10 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val df0 = org.apache.spark.sql.GraftBridge.ofRows(spark, LogicalRelation(rel))
     // merge-on-read: anti-join live position deletes above the indexed
     // scan (pushed filters and stats skipping still reach the scan node
-    // below the join; a no-op when the snapshot carries no deletes)
-    val df = applyDeletes(df0, s, entries(s).map(_.path))
+    // below the join; a no-op when the snapshot carries no deletes);
+    // initial defaults substitute above that when pre-evolution files
+    // are still live
+    val df = decorateRead(df0, s, entries(s))
     // renamed columns surface under logical names via a projection the
     // optimizer collapses into the scan (alias pushdown keeps the stats
     // skipping on phash/pbucket/image_id intact — those are base fields
@@ -536,9 +625,14 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val buckets = bucketsOverride
       .orElse(parent.map(_.buckets)).getOrElse(QTable.DefaultBuckets)
     // schema travels raw: an empty recorded schema (pre-evolution) stays
-    // empty so old tables keep deserializing to the base schema
+    // empty so old tables keep deserializing to the base schema. A fresh
+    // initial default (addColumn's sentinel) is stamped with this
+    // commit's version — the same clock as data-file seq stamps above,
+    // so "file predates the default" is exactly "seq < defaultSeq"
     val schema = schemaOverride
       .orElse(parent.map(p => Option(p.schema).getOrElse(Nil))).getOrElse(Nil)
+      .map(f => if (f.defaultSeq == DataFileEntry.UnstampedSeq)
+        f.copy(defaultSeq = v) else f)
     // highest-ever field id rides every commit so a dropped column's id
     // is never reallocated (see Snapshot.highestFieldId); fast-forward
     // overrides with the max across BOTH chains — a branch-dropped id
@@ -587,8 +681,19 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * columns store under the id-suffixed physical name `<name>_fid<id>`:
     * with name-resolved parquet reads, that is what guarantees a
     * re-added same-name column never resurfaces a dropped column's
-    * values (the role Iceberg's in-file field ids play). */
-  def addColumn(name: String, dtype: String): Snapshot = {
+    * values (the role Iceberg's in-file field ids play).
+    *
+    * `default` (Iceberg v3 `initial-default` analogue) makes rows that
+    * existed BEFORE this commit surface the given value instead of null
+    * — decided per FILE by the data sequence number (seq < the
+    * add-column commit's version = pre-evolution), so a row written
+    * later with an explicit null stays null. Metadata-only: no file is
+    * touched; rewrites (compact/cluster/merge CoW) bake the default
+    * into their output, after which reads are substitution-free again
+    * (see [[applyDefaults]]). Restricted to primitive types whose
+    * literal has an unambiguous string form. */
+  def addColumn(name: String, dtype: String,
+      default: Option[String] = None): Snapshot = {
     val snap = currentSnapshot
     val cur = snap.schemaFields
     // collision check covers PHYSICAL names too: a logical name equal to
@@ -601,11 +706,32 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // every later read's physical->logical projection
     // validate the DDL up front (fail at commit time, not first read)
     org.apache.spark.sql.types.DataType.fromDDL(dtype)
+    default.foreach { v =>
+      // validate the literal parses in the declared domain NOW — a bad
+      // default must fail the ALTER, not every later read
+      dtype match {
+        case "int"              => v.toInt
+        case "long" | "bigint"  => v.toLong
+        case "float"            => v.toFloat
+        case "double"           => v.toDouble
+        case "boolean"          => v.toBoolean
+        case "string"           => ()
+        case other => throw new IllegalArgumentException(
+          s"initial default unsupported for type $other " +
+            "(allowed: int, long, float, double, boolean, string)")
+      }
+    }
     val id = snap.highestFieldId + 1
     val next = cur :+ FieldDef(id, name, dtype, nullable = true,
-      physicalName = s"${name}_fid$id")
+      physicalName = s"${name}_fid$id",
+      default = default.orNull,
+      // stamped with the commit's version in commit(), exactly like a
+      // fresh data file's seq — the two stamps share one clock, which
+      // is what makes the per-file pre/post decision exact
+      defaultSeq = if (default.isDefined) DataFileEntry.UnstampedSeq else 0L)
     commit(Some(snap), "add-column", Nil,
-      Map("added-column" -> s"$name $dtype"),
+      Map("added-column" -> (s"$name $dtype" +
+        default.map(v => s" default $v").getOrElse(""))),
       reuseManifests = snap.manifests,
       schemaOverride = Some(next))
   }
@@ -874,7 +1000,12 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * names; files resolve under their physical names as in [[read]]). */
   def readIncremental(fromV: Long, toV: Long): DataFrame = {
     val to = snapshotAt(toV)
-    toLogical(readFiles(addedEntries(fromV, toV).map(_.path), to.physicalSchema), to)
+    val ents = addedEntries(fromV, toV)
+    // initial defaults of the `to` schema apply to appended files that
+    // predate the add-column commit (deletes stay un-applied here by
+    // contract: incremental = "rows as appended")
+    toLogical(withInitialDefaults(
+      readFiles(ents.map(_.path), to.physicalSchema), to, ents), to)
   }
 
   /** Row-level changelog (CDC) over (fromV, toV] — unlike

@@ -193,9 +193,10 @@ class ClusterJob(
       cleanDir(dir)
       val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
       val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
-      // delete-applied read: the rewrite folds position deletes away
-      val keyed = jobTable.applyDeletes(
-          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs.map(_.path))
+      // decorated read: the rewrite folds position deletes away and
+      // bakes initial defaults in (see CompactJob)
+      val keyed = jobTable.decorateRead(
+          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs)
         .withColumn("zkey", zkeyCol)
         .withColumn("tiebreak", xxhash64(col("image_id")))
 

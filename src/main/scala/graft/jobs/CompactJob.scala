@@ -106,10 +106,13 @@ class CompactJob(
         sizeOf = _.bytes) { p =>
         val dir = table.newDataDir(jobId, p.group)
         cleanDir(dir) // crashed partial attempt is overwritten
-        // delete-applied read: rewriting a file folds its position
-        // deletes into the output (a no-op join when the set is empty)
-        val df = jobTable.applyDeletes(
-          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs.map(_.path))
+        // decorated read: rewriting a file folds its position deletes
+        // into the output (a no-op join when the set is empty) and BAKES
+        // initial defaults in — a raw scan would overwrite a live
+        // default with stored nulls (the output file's seq postdates
+        // the add-column commit)
+        val df = jobTable.decorateRead(
+          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs)
         val t0 = System.nanoTime()
         graft.format.TableWrite.parquet(df, dir)
         val t1 = System.nanoTime()

@@ -96,11 +96,12 @@ class DeleteJob(
     val (written, n, scanned, total) =
       if (kept.isEmpty) (Nil, 0L, 0, 0)
       else {
-        val paths = kept.map(_.path)
         val (rel, index) = table.relationFor(snap, kept)
         val base = org.apache.spark.sql.GraftBridge.ofRows(table.spark,
           org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
-        val live = table.applyDeletesWithPos(base, snap, paths)
+        // defaults-aware: `delete where col = <default>` must hit the
+        // pre-evolution rows the default makes match
+        val live = table.decorateReadWithPos(base, snap, kept)
         val logical = snap.schemaFields.map(f => col(f.phys).as(f.name)) ++
           Seq(col("__gpath"), col("__gpos"))
         val hits = live.select(logical: _*).where(condition)

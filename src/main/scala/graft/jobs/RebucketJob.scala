@@ -56,9 +56,10 @@ class RebucketJob(
       cleanDir(dir)
       val bucket = pmod(xxhash64(col("image_id")), lit(newBuckets.toLong)).cast("int")
       val sub = pmod(xxhash64(col("image_id"), lit("sub")), lit(subPerBucket.toLong)).cast("int")
-      // delete-applied whole-table read: the rewrite folds every live
-      // position delete (the commit below clears the set)
-      val df = table.applyDeletes(table.readFiles(paths), snap, paths)
+      // decorated whole-table read: the rewrite folds every live
+      // position delete (the commit below clears the set) and bakes
+      // initial defaults in (see CompactJob)
+      val df = table.decorateRead(table.readFiles(paths), snap, entries)
         .withColumn("pbucket", bucket)
         .withColumn("__bin", col("pbucket") * subPerBucket + sub)
       graft.format.TableWrite.parquet(

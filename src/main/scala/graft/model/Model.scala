@@ -193,13 +193,25 @@ final case class ManifestData(files: Seq[DataFileEntry])
   * reader's substitute for Iceberg's in-file field ids: every file ever
   * written carries the creation-time name, so a rename never has to
   * rewrite data and a renamed read is a pure projection alias. Empty/null
-  * (all base fields + pre-evolution snapshots) means "same as name". */
+  * (all base fields + pre-evolution snapshots) means "same as name".
+  *
+  * `default` is the Iceberg-v3-style INITIAL default: the value rows
+  * that existed before the column did surface on read (files whose data
+  * sequence number is below `defaultSeq`, the version of the add-column
+  * commit). Files written at or after that commit store real values —
+  * including explicit nulls, which stay null (this is NOT a coalesce).
+  * Stored as a string literal typed by `dtype`; null = no default (the
+  * pre-default behavior: old files surface nulls). `defaultSeq` rides
+  * the same stamping protocol as [[DataFileEntry.seq]]. */
 final case class FieldDef(id: Int, name: String, dtype: String, nullable: Boolean,
-    physicalName: String = "") {
+    physicalName: String = "", default: String = null, defaultSeq: Long = 0L) {
   def phys: String =
     if (physicalName == null || physicalName.isEmpty) name else physicalName
   def sparkType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.DataType.fromDDL(dtype)
+  /** Null-safe initial-default accessor (pre-default snapshots
+    * deserialize with null here). */
+  def defaultOpt: Option[String] = Option(default)
 }
 
 object FieldDef {

@@ -2232,6 +2232,80 @@ object Queries {
        |FROM read_parquet('$Q43Root/table/data/**/*.parquet', filename=true)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Initial-default fixture (Iceberg v3 `initial-default` analogue): a
+    * table takes an append, gains `views:int` with DEFAULT 7, takes a
+    * second append with explicit values including stored NULLs, then
+    * compacts. The query reads the table TWICE — at the pre-compact
+    * version, where the default is a per-file read-time substitution
+    * (old files' data seq < the add-column commit), and at head, where
+    * the rewrite baked it into data files — so BOTH paths sit under one
+    * exact DuckDB oracle: old rows = 7, explicit rows keep stored
+    * values, explicit NULLs stay NULL (initial-default, not coalesce).
+    * Both appends' rows are exported raw; the oracle recomputes the
+    * expectation from them alone. */
+  private val Q45Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_default_scan_v1"
+  private val Q45PreV = 3L // create=0, append=1, add-column=2, append=3
+
+  private def q45Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q45Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q45Root
+    val lockPath = Paths.get(Q45Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) {
+        new graft.format.LocalCommitIO().deleteRecursive(Q45Root)
+        val t = graft.format.QTable.create(s"$Q45Root/table", s, buckets = 4)
+        def batch(seed: Long, n: Long, tag: String) =
+          graft.synth.DataGen.generate(s, n, seed).toDF()
+            .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+        val b1 = batch(505L, 90L, "d1")
+        graft.jobs.AppendJob.append(t, b1, filesPerBucket = 1) // v1
+        t.addColumn("views", "int", Some("7")) // v2, metadata-only
+        val b2 = batch(606L, 60L, "d2").withColumn("views",
+          when(pmod(xxhash64(col("image_id")), lit(3)) === 0, lit(null))
+            .otherwise(pmod(xxhash64(col("image_id")), lit(1000L)))
+            .cast("int"))
+        graft.jobs.AppendJob.append(t, b2, filesPerBucket = 1) // v3
+        new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20).run() // v4
+        b1.select("image_id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q45Root/exp/b1")
+        b2.select("image_id", "views")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q45Root/exp/b2")
+        Files.createFile(Paths.get(Q45Root, "_FIXTURE_READY"))
+      }
+    } finally { lock.release(); ch.close() }
+    Q45Root
+  }
+
+  /** Scan across the initial-default boundary at both lifecycle points:
+    * phase `pre` = substitution read, phase `post` = after the rewrite
+    * baked the default into data files. */
+  def q45DefaultScan(s: SparkSession, dir: String): DataFrame = {
+    val root = q45Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val pre = t.read(t.snapshotAt(Q45PreV))
+      .select(lit("pre").as("phase"), col("image_id"), col("views"))
+    val post = t.read()
+      .select(lit("post").as("phase"), col("image_id"), col("views"))
+    pre.unionByName(post)
+  }
+
+  val q45Sql: String =
+    s"""WITH exp AS (
+       |  SELECT image_id, CAST(7 AS INTEGER) AS views
+       |  FROM read_parquet('$Q45Root/exp/b1/*.parquet')
+       |  UNION ALL
+       |  SELECT image_id, views FROM read_parquet('$Q45Root/exp/b2/*.parquet')
+       |)
+       |SELECT 'pre' AS phase, image_id, views FROM exp
+       |UNION ALL
+       |SELECT 'post' AS phase, image_id, views FROM exp""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2276,7 +2350,8 @@ object Queries {
     "q42_branch_ff" -> ((q42BranchFf _, q42Sql)),
     "q40_stream_source" -> ((q40StreamSource _, q40Sql)),
     "q43_ndv_sketch" -> ((q43NdvSketch _, q43Sql)),
-    "q44_files_stats" -> ((q44FilesStats _, q44Sql)))
+    "q44_files_stats" -> ((q44FilesStats _, q44Sql)),
+    "q45_default_scan" -> ((q45DefaultScan _, q45Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

@@ -51,7 +51,12 @@ class QTableStreamSource(ctx: SQLContext, path: String,
     branch.map(t.onBranch).getOrElse(t)
   }
 
-  override val schema: StructType = QTableStreamSource.schemaFor(table)
+  /** Snapshot pinned at source construction: defines the streaming
+    * schema AND which initial defaults the source substitutes — one
+    * consistent view, immune to schema commits racing the stream. */
+  private val pinnedSnap = table.currentSnapshot
+
+  override val schema: StructType = QTableStreamSource.schemaFor(pinnedSnap)
 
   override def getOffset: Option[Offset] = {
     val v = table.currentVersion
@@ -66,10 +71,15 @@ class QTableStreamSource(ctx: SQLContext, path: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(-1L)
     val toV = versionOf(end)
-    val files = table.streamedEntries(fromV, toV, skipChangeCommits).map(_.path)
+    val ents = table.streamedEntries(fromV, toV, skipChangeCommits)
     // pinned source schema: later-added columns stay invisible until a
     // restart; files predating an added column read nulls (name-mapped)
-    org.apache.spark.sql.GraftBridge.asStreaming(table.readFiles(files, schema))
+    // — unless the column carries an initial default, which substitutes
+    // per file exactly as in batch reads (a stream-static broadcast
+    // lookup, no-op when every batch file postdates the defaults)
+    org.apache.spark.sql.GraftBridge.asStreaming(
+      table.withInitialDefaults(
+        table.readFiles(ents.map(_.path), schema), pinnedSnap, ents))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -84,8 +94,9 @@ object QTableStreamSource {
     * schema, with the same fail-fast constraints as the batch relation
     * (renamed tables need the aliasing projection only the library API
     * attaches). */
-  def schemaFor(table: QTable): StructType = {
-    val snap = table.currentSnapshot
+  def schemaFor(table: QTable): StructType = schemaFor(table.currentSnapshot)
+
+  def schemaFor(snap: graft.model.Snapshot): StructType = {
     require(!snap.hasRenames,
       "this table has renamed columns; stream it via the library API " +
         "(the DataSource source cannot attach the aliasing projection)")

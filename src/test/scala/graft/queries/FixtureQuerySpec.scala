@@ -41,6 +41,28 @@ class FixtureQuerySpec extends AnyFunSuite {
     assert(t.entries(t.currentSnapshot).size > t.entries(widen).size)
   }
 
+  test("q45 fixture: default add is metadata-only; substitution and bake-in phases agree") {
+    val df = Queries.q45DefaultScan(spark, dir).cache()
+    val t = QTable(s"${System.getProperty("java.io.tmpdir")}/graft_default_scan_v1/table", spark)
+    val add = t.listVersions.map(t.snapshotAt).find(_.operation == "add-column").get
+    val parent = t.snapshotAt(add.parentVersion)
+    assert(t.entries(add).map(_.path).toSet == t.entries(parent).map(_.path).toSet,
+      "add-column with a default must not touch any data file")
+    val f = add.schemaFields.find(_.name == "views").get
+    assert(f.defaultOpt.contains("7") && f.defaultSeq == add.version)
+    // the pre phase genuinely exercised the substitution path: live
+    // pre-evolution files at the pre-compact version
+    assert(t.entries(t.snapshotAt(3L)).exists(_.seq < f.defaultSeq))
+    // both lifecycle phases produce the same rows
+    val pre = df.where(col("phase") === "pre").drop("phase")
+    val post = df.where(col("phase") === "post").drop("phase")
+    assert(pre.exceptAll(post).isEmpty && post.exceptAll(pre).isEmpty,
+      "substitution read and baked read must agree row-for-row")
+    // explicit stored NULLs stayed null (initial-default, not coalesce)
+    assert(pre.where(col("views").isNull).count() > 0)
+    df.unpersist()
+  }
+
   test("q35 fixture: delete commit is metadata-only, fold is partial, read matches recompute") {
     val df = Queries.q35MorDelete(spark, dir).cache()
     val t = QTable(s"${System.getProperty("java.io.tmpdir")}/graft_mor_delete_v1/table", spark)
