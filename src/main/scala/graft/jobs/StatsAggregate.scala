@@ -136,6 +136,15 @@ object StatsAggregate {
     * JVM representation, ready for a LocalRelation row. */
   private def statTriple(e: DataFileEntry, f: FieldDef): Option[(Long, Any, Any)] = {
     if (e.rowCount == 0L) return Some((0L, null, null)) // no rows: neutral
+    // initial default: a file predating the column's add-column commit
+    // surfaces the default for EVERY row (the read path's per-file seq
+    // rule) — exact virtual stats with zero reads: count = rowCount,
+    // min = max = the typed default. Takes priority over the recorded
+    // stats checks below, which the file (correctly) has none of
+    if (f.defaultOpt.nonEmpty && e.seq < f.defaultSeq) {
+      val v = f.typedDefault.get
+      return Some((e.rowCount, v, v))
+    }
     val nulls = e.knownNullCount(f.phys)
     // all-null proof: zero non-null values, min/max contribute nothing —
     // answered even though (correctly) no min/max stat was recorded

@@ -153,7 +153,24 @@ object StatsDelete {
     if (x.foldable) Option(x.eval(null)) else None
 
   private def provenNonNull(e: DataFileEntry, f: FieldDef): Boolean =
+    (f.defaultOpt.nonEmpty && e.seq < f.defaultSeq) || // rows = the
+    // non-null initial default (read path's per-file seq rule)
     e.knownNullCount(f.phys).contains(0L)
+
+  /** Virtual stats-domain bounds for a file that PREDATES field `f`'s
+    * add-column commit: every row surfaces the initial default (the
+    * read path's seq rule), so min = max = the default — an exact
+    * whole-file proof basis with zero reads. Long/String stats domain
+    * only (float/double are excluded from proofs anyway, boolean has
+    * no stats domain). */
+  private def preEvolutionDefault(e: DataFileEntry, f: FieldDef): Option[Any] =
+    if (f.defaultOpt.isEmpty || e.seq >= f.defaultSeq) None
+    else f.typedDefault.flatMap {
+      case i: Int    => Some(i.toLong)
+      case l: Long   => Some(l)
+      case s: String => Some(s)
+      case _         => None
+    }
 
   /** File bounds in the stats domain. minExact/maxExact flag whether
     * the value is exact (vs a one-sided bound from truncation). */
@@ -161,6 +178,12 @@ object StatsDelete {
       minExact: Boolean, maxExact: Boolean)
 
   private def bounds(e: DataFileEntry, f: FieldDef): Option[Bounds] =
+    preEvolutionDefault(e, f) match {
+      case Some(v) => Some(Bounds(v, v, true, true))
+      case None => boundsRecorded(e, f)
+    }
+
+  private def boundsRecorded(e: DataFileEntry, f: FieldDef): Option[Bounds] =
     f.phys match {
       case "phash" =>
         if (e.phashMin > e.phashMax) None

@@ -212,6 +212,18 @@ final case class FieldDef(id: Int, name: String, dtype: String, nullable: Boolea
   /** Null-safe initial-default accessor (pre-default snapshots
     * deserialize with null here). */
   def defaultOpt: Option[String] = Option(default)
+
+  /** The initial default as the declared type's JVM value — what every
+    * row of a pre-evolution file (seq < defaultSeq) reads as. Parse is
+    * validated at ALTER time ([[graft.format.QTable.addColumn]]). */
+  def typedDefault: Option[Any] = defaultOpt.map(v => dtype match {
+    case "int"             => v.toInt
+    case "long" | "bigint" => v.toLong
+    case "float"           => v.toFloat
+    case "double"          => v.toDouble
+    case "boolean"         => v.toBoolean
+    case _                 => v
+  })
 }
 
 object FieldDef {

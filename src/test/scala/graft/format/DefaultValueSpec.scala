@@ -99,9 +99,18 @@ class DefaultValueSpec extends AnyFunSuite {
       col("views") =!= 7).count() == 0)
   }
 
-  test("DELETE where col = default hits pre-evolution rows") {
+  test("DELETE where col = default drops pre-evolution files at METADATA level") {
     val t = fixture("dv4")
-    new DeleteJob(t).run(col("views") === 7)
+    val preFiles = {
+      val f = t.currentSnapshot.schemaFields.find(_.name == "views").get
+      t.entries(t.currentSnapshot).count(_.seq < f.defaultSeq)
+    }
+    val del = new DeleteJob(t).run(col("views") === 7)
+    // every pre-evolution file is PROVEN all-default by the virtual
+    // stats (min = max = 7, zero nulls) -> whole-file metadata drops,
+    // zero delete rows written (b2's explicit rows are 100s and nulls)
+    assert(del.summary("files-dropped").toInt == preFiles)
+    assert(del.summary.get("total-delete-files").forall(_ == "0"))
     val post = t.read()
     assert(post.where(col("views") === 7).count() == 0)
     assert(post.where(col("image_id").startsWith("img")).count() == 0,
@@ -110,7 +119,7 @@ class DefaultValueSpec extends AnyFunSuite {
       "explicit rows (100s and nulls) must survive")
   }
 
-  test("metadata aggregates stay exact over a live default") {
+  test("metadata aggregates answer a live default with ZERO scans") {
     val t = fixture("dv5")
     val r = StatsAggregate.run(t, t.currentSnapshot, Seq("views"))
     val row = r.df.collect().head
@@ -119,6 +128,10 @@ class DefaultValueSpec extends AnyFunSuite {
     assert(row.getAs[Long]("views_count") == 90L - explicitNulls)
     assert(row.getAs[Int]("views_min") == 7)
     assert(row.getAs[Int]("views_max") == 100)
+    // pre-evolution files answer from virtual default stats, explicit
+    // files from their harvested stats + exact null counts
+    assert(r.filesScanned == 0,
+      s"expected pure-metadata answer, scanned ${r.filesScanned}")
   }
 
   test("incremental scan surfaces defaults for pre-evolution appends") {
