@@ -55,6 +55,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> branches --table T
   *   spark-submit --class graft.Main <jar> drop-branch --table T --name N
   *   spark-submit --class graft.Main <jar> fast-forward --table T --branch N   (publish the branch to main; main must be an ancestor)
+  *   spark-submit --class graft.Main <jar> cherry-pick --table T --version V    (apply one append commit's files to main without publishing its branch)
   *   spark-submit --class graft.Main <jar> describe --table T
   */
 object Main {
@@ -695,6 +696,15 @@ object Main {
         report("fast-forward", snap.summary ++ Map(
           "version" -> snap.version.toString))
 
+      case "cherry-pick" =>
+        // apply ONE append commit (typically a branch tip) onto main
+        // without publishing the whole branch — metadata-only adoption
+        // of its added files, re-stamped as new rows of this commit
+        val snap = CommitRetry.withCommitRetry()(
+          new CherryPickJob(table).run(req(opts, "version").toLong))
+        report("cherry-pick", snap.summary ++ Map(
+          "version" -> snap.version.toString))
+
       case "tag" =>
         // immutable named snapshot ref; survives expiry until untagged
         val name = req(opts, "name")
@@ -782,5 +792,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|partitions|set-property|unset-property|properties|tag|untag|tags|branch|branches|drop-branch|fast-forward|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|partitions|set-property|unset-property|properties|tag|untag|tags|branch|branches|drop-branch|fast-forward|cherry-pick|publish|abort-staged|describe> --table PATH [options]"""
 }

@@ -77,7 +77,7 @@ object ChangelogScan {
       val v = s.version
       s.operation match {
         case op if RowPreserving.contains(op) || op == "create" => None
-        case "append" =>
+        case "append" | "cherry-pick" => // both add files, parent manifests by reference
           val parentManifests = t.snapshotAt(s.parentVersion)
             .manifests.map(_.path).toSet
           val ents = s.manifests.filterNot(m => parentManifests.contains(m.path))

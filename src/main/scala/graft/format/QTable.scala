@@ -934,7 +934,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       // advance the walk — one snapshot read per hop, not two
       var loadedParent: Option[Snapshot] = None
       s.operation match {
-        case "append" =>
+        case "append" | "cherry-pick" => // both add files, parent manifests by reference
           val parent = snapshotAt(s.parentVersion)
           loadedParent = Some(parent)
           val parentManifests = parent.manifests.map(_.path).toSet
@@ -972,7 +972,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     while (!done) {
       var loadedParent: Option[Snapshot] = None
       s.operation match {
-        case "append" =>
+        case "append" | "cherry-pick" => // both add files, parent manifests by reference
           val parent = snapshotAt(s.parentVersion)
           loadedParent = Some(parent)
           val parentManifests = parent.manifests.map(_.path).toSet

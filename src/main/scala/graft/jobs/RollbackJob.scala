@@ -111,6 +111,85 @@ class FastForwardJob(table: QTable) {
   }
 }
 
+/** Apply ONE commit's appended rows to main without publishing the
+  * whole branch (Iceberg `cherrypick_snapshot` analogue): a new main
+  * commit referencing exactly the data files the picked commit ADDED —
+  * metadata-only, no data copied or rewritten, parent manifests reused
+  * by reference (the ordinary cheap-append shape).
+  *
+  * Only APPEND commits are pickable — Iceberg's rule too: a
+  * merge/delete/rewrite's file diff bakes in its own parent's content,
+  * and replaying it onto a different head would resurrect or lose rows.
+  * The picked entries are RE-STAMPED with the pick commit's data seq
+  * (Iceberg re-commits the manifests as newly added): the rows are new
+  * AS OF THE PICK, so a live equality delete on main (strictly-older
+  * rule) does not retro-kill them and a later initial default does not
+  * overwrite what they stored — exactly the semantics of appending the
+  * same rows fresh.
+  *
+  * Refusals (each names the remedy): non-append source; a source
+  * already on main's chain (re-adding its files would double rows — or
+  * resurrect them if main later deleted); any picked file already live
+  * on main (prior pick or fast-forward); bucket-count mismatch (a
+  * rebucketed main would misplace the adopted files' pbucket layout);
+  * field-level schema incompatibility (same id+physical name must carry
+  * the same — or a widened — type on main; fields main lacks are
+  * invisible, which is the standard evolution contract, but a RETYPED
+  * id would silently reinterpret stored bytes, so it refuses). */
+class CherryPickJob(table: QTable) {
+
+  def run(version: Long): Snapshot = {
+    val cur = table.currentSnapshot
+    val target = table.snapshotAt(version)
+    require(target.operation == "append",
+      s"cherry-pick source v$version is a '${target.operation}' commit; " +
+        "only append commits can be re-applied (their delta is " +
+        "self-contained) — use fast-forward to publish a whole branch")
+    // refuse a source already on main's chain
+    var s = cur
+    while (s.parentVersion >= 0 && s.version > version)
+      s = try table.snapshotAt(s.parentVersion)
+      catch { case _: Exception => throw new IllegalStateException(
+        s"cannot prove v$version is off main's chain: history is " +
+          s"expired below v${s.version} — retain more history") }
+    require(s.version != version,
+      s"v$version is already on main's chain — picking it again would " +
+        "duplicate (or resurrect) its rows")
+    require(target.buckets == cur.buckets,
+      s"bucket-count mismatch: picked files are laid out for " +
+        s"${target.buckets} buckets, main is at ${cur.buckets} — " +
+        "rebucket the branch (or pick before rebucketing main)")
+    // field-level schema compatibility on the fields the files may carry
+    val mainById = cur.schemaFields.map(f => f.id -> f).toMap
+    val widenOk = Map("int" -> "long", "float" -> "double")
+    target.schemaFields.foreach { f =>
+      mainById.get(f.id).foreach { m =>
+        require(m.phys == f.phys &&
+          (m.dtype == f.dtype || widenOk.get(f.dtype).contains(m.dtype)),
+          s"schema conflict on field id ${f.id}: picked files wrote " +
+            s"'${f.phys}: ${f.dtype}', main declares " +
+            s"'${m.phys}: ${m.dtype}' — the adopted bytes would be " +
+            "reinterpreted; evolve main (or the branch) first")
+      }
+    }
+    val parent = table.snapshotAt(target.parentVersion)
+    val parentManifests = parent.manifests.map(_.path).toSet
+    val picked = target.manifests
+      .filterNot(m => parentManifests.contains(m.path))
+      .flatMap(m => table.readManifest(m).files)
+    require(picked.nonEmpty, s"v$version added no data files")
+    val live = table.entries(cur).map(_.path).toSet
+    val dup = picked.filter(f => live.contains(f.path))
+    require(dup.isEmpty,
+      s"${dup.size} picked file(s) are already live on main (a prior " +
+        "cherry-pick or fast-forward) — nothing to apply")
+    table.commit(Some(cur), "cherry-pick",
+      picked.map(_.copy(seq = graft.model.DataFileEntry.UnstampedSeq)),
+      Map("cherry-picked-from" -> version.toString),
+      reuseManifests = cur.manifests)
+  }
+}
+
 /** Delete data files under the table root that no retained snapshot and
   * no live checkpoint references — the leftovers of crashed or abandoned
   * job attempts (a killed driver's half-written group output that was

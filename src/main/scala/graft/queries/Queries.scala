@@ -2306,6 +2306,72 @@ object Queries {
        |UNION ALL
        |SELECT 'post' AS phase, image_id, views FROM exp""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Cherry-pick fixture (Iceberg `cherrypick_snapshot` analogue): a
+    * branch takes an append AND a merge while main advances past the
+    * fork (so fast-forward is impossible); main cherry-picks ONLY the
+    * branch's append commit. The final main read must be exactly
+    * base ∪ main-append ∪ picked-batch — the branch's merge must NOT
+    * leak — and DuckDB recomputes that union from the three exported
+    * batches alone. */
+  private val Q46Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cherry_pick_v1"
+
+  private def q46Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q46Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q46Root
+    val lockPath = Paths.get(Q46Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) {
+        new graft.format.LocalCommitIO().deleteRecursive(Q46Root)
+        val t = graft.format.QTable.create(s"$Q46Root/table", s, buckets = 4)
+        def batch(seed: Long, n: Long, tag: String) =
+          graft.synth.DataGen.generate(s, n, seed).toDF()
+            .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+        val base = batch(707L, 120L, "b")
+        graft.jobs.AppendJob.append(t, base, filesPerBucket = 1) // v1
+        graft.format.Branches.create(t, "feed")
+        val dev = t.onBranch("feed")
+        val devBatch = batch(808L, 50L, "cp")
+        graft.jobs.AppendJob.append(dev, devBatch, filesPerBucket = 1) // v2
+        val pickV = dev.currentVersion
+        // a branch MERGE that must NOT leak through the pick
+        new graft.jobs.MergeJob(dev).run(
+          batch(809L, 10L, "cp").drop("pbucket")) // v3
+        val mainBatch = batch(909L, 40L, "m")
+        graft.jobs.AppendJob.append(t, mainBatch, filesPerBucket = 1) // v4
+        new graft.jobs.CherryPickJob(t).run(pickV) // v5
+        base.select("image_id", "caption")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q46Root/exp/base")
+        devBatch.select("image_id", "caption")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q46Root/exp/picked")
+        mainBatch.select("image_id", "caption")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q46Root/exp/main")
+        Files.createFile(Paths.get(Q46Root, "_FIXTURE_READY"))
+      }
+    } finally { lock.release(); ch.close() }
+    Q46Root
+  }
+
+  /** Main's head after the cherry-pick: base + own append + the picked
+    * branch append, nothing else. */
+  def q46CherryPick(s: SparkSession, dir: String): DataFrame = {
+    val root = q46Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "caption")
+  }
+
+  val q46Sql: String =
+    s"""SELECT image_id, caption FROM read_parquet('$Q46Root/exp/base/*.parquet')
+       |UNION ALL
+       |SELECT image_id, caption FROM read_parquet('$Q46Root/exp/main/*.parquet')
+       |UNION ALL
+       |SELECT image_id, caption FROM read_parquet('$Q46Root/exp/picked/*.parquet')""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2351,7 +2417,8 @@ object Queries {
     "q40_stream_source" -> ((q40StreamSource _, q40Sql)),
     "q43_ndv_sketch" -> ((q43NdvSketch _, q43Sql)),
     "q44_files_stats" -> ((q44FilesStats _, q44Sql)),
-    "q45_default_scan" -> ((q45DefaultScan _, q45Sql)))
+    "q45_default_scan" -> ((q45DefaultScan _, q45Sql)),
+    "q46_cherry_pick" -> ((q46CherryPick _, q46Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

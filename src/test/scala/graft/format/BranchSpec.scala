@@ -52,6 +52,48 @@ class BranchSpec extends AnyFunSuite {
     assert(t.read().where(col("caption").startsWith("dev: ")).count() == 0)
   }
 
+  test("cherry-pick applies one branch append to main; refusals guard the rest") {
+    val t = fresh(200)
+    Branches.create(t, "feed")
+    val dev = t.onBranch("feed")
+    AppendJob.append(dev, prefixed(40, 11L, "cp"))  // pickable
+    val pickV = dev.currentVersion
+    val merged = new MergeJob(dev).run(
+      prefixed(10, 12L, "cp").drop("pbucket"))      // NOT pickable
+    val mergeV = merged.version
+    // main advanced past the fork -> fast-forward would refuse, but a
+    // cherry-pick of the append still lands
+    AppendJob.append(t, prefixed(30, 13L, "main"))
+    intercept[IllegalArgumentException](new FastForwardJob(t).run("feed"))
+
+    val picked = new CherryPickJob(t).run(pickV)
+    assert(picked.operation == "cherry-pick")
+    assert(t.read().count() == 270, "200 base + 30 main + 40 picked")
+    assert(t.read().where(col("image_id").startsWith("cp-")).count() == 40)
+    // metadata-only: every file the pick added is one of the branch's
+    // very part files (referenced, not copied), re-stamped as new rows
+    // of the pick commit (strictly newer than any pre-pick eq-delete;
+    // the initial-default seq rule sees them as post-pick)
+    val devPaths = dev.entries(dev.snapshotAt(pickV)).map(_.path).toSet
+    val parentPaths = t.entries(t.snapshotAt(picked.parentVersion)).map(_.path).toSet
+    val newOnMain = t.entries(picked).filterNot(e => parentPaths.contains(e.path))
+    assert(newOnMain.nonEmpty)
+    assert(newOnMain.forall(e => devPaths.contains(e.path)))
+    assert(newOnMain.forall(_.seq == picked.parentVersion + 1))
+    // downstream surfaces treat the pick as an append: incremental scan
+    // emits exactly its rows, CDC tags them inserts
+    val inc = t.readIncremental(picked.parentVersion, picked.version)
+    assert(inc.count() == 40)
+    assert(t.readChanges(picked.parentVersion, picked.version)
+      .where(col("_change_type") === "insert").count() == 40)
+
+    // refusals: non-append source, double pick, already-on-main source
+    intercept[IllegalArgumentException](new CherryPickJob(t).run(mergeV))
+    intercept[IllegalArgumentException](new CherryPickJob(t).run(pickV))
+    intercept[IllegalArgumentException](
+      new CherryPickJob(t).run(t.currentVersion))
+  }
+
   test("fast-forward publishes the branch; refuses once main advanced past the fork") {
     val t = fresh(200)
     Branches.create(t, "ok")
