@@ -25,6 +25,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rename-column --table T --from OLD --to NEW
   *   spark-submit --class graft.Main <jar> drop-column --table T --name N
   *   spark-submit --class graft.Main <jar> widen-column --table T --name N --type long
+  *   spark-submit --class graft.Main <jar> enable-row-lineage --table T   (stable per-row _row_id; rewrites preserve ids by materializing them)
   *   spark-submit --class graft.Main <jar> rollback --table T [--to V | --tag N | --as-of-ts T]
   *   spark-submit --class graft.Main <jar> remove-orphans --table T [--dry-run] [--grace-hours H]
   *   spark-submit --class graft.Main <jar> rewrite-manifests --table T
@@ -286,6 +287,15 @@ object Main {
             opts.get("default")))
         report("add-column", snap.summary ++ Map("version" -> snap.version.toString,
           "schema" -> snap.schemaFields.map(f => s"${f.name}:${f.dtype}").mkString(",")))
+
+      case "enable-row-lineage" =>
+        // stable per-row ids (Iceberg v3 row lineage): one metadata
+        // commit stamps every live file's id range; rewrites thereafter
+        // materialize _row_id so ids survive re-sorts
+        val snap = CommitRetry.withCommitRetry()(table.enableRowLineage())
+        report("enable-row-lineage", snap.summary ++ Map(
+          "version" -> snap.version.toString,
+          "next-row-id" -> snap.nextRowId.toString))
 
       case "rename-column" =>
         val snap = CommitRetry.withCommitRetry()(
@@ -792,5 +802,5 @@ object Main {
     opts.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$usage"))
 
   private val usage =
-    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|partitions|set-property|unset-property|properties|tag|untag|tags|branch|branches|drop-branch|fast-forward|cherry-pick|publish|abort-staged|describe> --table PATH [options]"""
+    """usage: graft.Main <synth|compact|cluster|merge|upsert|delete|rewrite-deletes|stream|expire|rebucket|add-column|rename-column|drop-column|widen-column|enable-row-lineage|rollback|remove-orphans|rewrite-manifests|maintain|verify|lookup|history|incremental|changes|analyze|analyze-ndv|agg|files|manifests|partitions|set-property|unset-property|properties|tag|untag|tags|branch|branches|drop-branch|fast-forward|cherry-pick|publish|abort-staged|describe> --table PATH [options]"""
 }

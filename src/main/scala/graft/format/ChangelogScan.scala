@@ -46,7 +46,8 @@ object ChangelogScan {
   private[format] val RowPreserving: Set[String] = Set(
     "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
     "rewrite-manifests", "rewrite-deletes", "add-column", "rename-column",
-    "drop-column", "widen-column", "analyze-ndv", "set-properties")
+    "drop-column", "widen-column", "analyze-ndv", "set-properties",
+    "enable-row-lineage")
 
   def changes(t: QTable, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changelog range reversed: v$fromV > v$toV")

@@ -328,6 +328,103 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       org.apache.spark.sql.functions.col("_metadata.file_path")), s, inputs)
       .drop("__gpath")
 
+  // ------------------------------------------- row lineage (v3 _row_id)
+
+  /** Enable row lineage (Iceberg v3 row ids): ONE commit that stamps
+    * every live entry with its id range — rows read ids `firstRowId +
+    * physical position` — and sets the `row.lineage` property so every
+    * later commit stamps its fresh entries from [[Snapshot.nextRowId]].
+    * All manifests rewrite once (O(entries) metadata); no data file is
+    * read or touched. From here on, [[readEntriesForRewrite]] feeds
+    * rewrites a materialized `_row_id` column which their outputs store
+    * — how ids survive a re-sort — while appends stay virtual (base +
+    * position), the cheap steady state. */
+  def enableRowLineage(): Snapshot = {
+    val snap = currentSnapshot
+    require(!snap.rowLineage, "row lineage is already enabled")
+    val all = entries(snap)
+      .map(_.copy(firstRowId = DataFileEntry.UnstampedRowId))
+    commit(Some(snap), "enable-row-lineage", all,
+      Map("row-lineage" -> "enabled"),
+      propertiesOverride = Some(snap.props + ("row.lineage" -> "true")))
+  }
+
+  /** Physical scan schema + nullable `_row_id`: files that never
+    * materialized the column surface null for it, which the readers
+    * below coalesce to `firstRowId + position`. */
+  private def physicalSchemaWithRowId(s: Snapshot)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.physicalSchema.fields :+
+      org.apache.spark.sql.types.StructField(QTable.RowIdCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
+
+  /** Materialize `_row_id` on a frame carrying `__gpath`/`__gpos`: a
+    * stored id wins (rewritten files carry one per copied row), null
+    * falls back to the entry's `firstRowId` + physical position — which
+    * also hands fresh ids to rows written without one (MERGE inserts)
+    * because their file's base range is newly assigned. The lookup is
+    * the same metadata-sized broadcast shape as the eq-delete and
+    * initial-default lookups. */
+  private def applyRowIds(df: DataFrame,
+      inputs: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, substring_index}
+    val baseDf = broadcast(spark.createDataFrame(
+      inputs.map(f => (QTable.fileName(f.path), f.firstRowId)))
+      .toDF("__rlname", "__rlbase"))
+    df.withColumn("__rlname", substring_index(col("__gpath"), "/", -1))
+      .join(baseDf, Seq("__rlname"), "left")
+      .withColumn(QTable.RowIdCol,
+        coalesce(col(QTable.RowIdCol), col("__rlbase") + col("__gpos")))
+      .drop("__rlname", "__rlbase")
+  }
+
+  /** Read a snapshot with its stable `_row_id` lineage column appended
+    * to the logical schema (deletes + initial defaults applied as in
+    * [[read]]). Requires lineage enabled on `s`. */
+  def readWithRowId(s: Snapshot): DataFrame = {
+    require(s.rowLineage,
+      "row lineage is not enabled on this snapshot (enable-row-lineage)")
+    import org.apache.spark.sql.functions.col
+    val ents = entries(s)
+    val cols = s.schemaFields.map(f => col(f.phys).as(f.name)) :+
+      col(QTable.RowIdCol)
+    if (ents.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        physicalSchemaWithRowId(s)).select(cols: _*)
+    val scan = readFiles(ents.map(_.path), physicalSchemaWithRowId(s))
+    val withPos = applyDeletesWithPos(scan, s, ents.map(_.path))
+    applyRowIds(applyDefaults(withPos, s, ents), ents)
+      .drop("__gpath", "__gpos")
+      .select(cols: _*)
+  }
+
+  def readWithRowId(): DataFrame = readWithRowId(currentSnapshot)
+
+  /** The read surface maintenance REWRITES must use: fully decorated
+    * (deletes folded, defaults baked) physical frame — plus, when the
+    * table tracks row lineage, a materialized `_row_id` column the
+    * rewrite writes through to its output files (stored ids beat the
+    * by-position fallback on the next read, so a re-sort cannot lose
+    * them). Without lineage this is exactly [[decorateRead]]. */
+  def readEntriesForRewrite(s: Snapshot,
+      inputs: Seq[DataFileEntry]): DataFrame =
+    if (!s.rowLineage)
+      decorateRead(readFiles(inputs.map(_.path), s.physicalSchema), s, inputs)
+    else readEntriesForRewriteWithPos(s, inputs).drop("__gpath", "__gpos")
+
+  /** [[readEntriesForRewrite]] keeping the `__gpath`/`__gpos` address
+    * columns (merge-on-read MERGE needs positions). */
+  def readEntriesForRewriteWithPos(s: Snapshot,
+      inputs: Seq[DataFileEntry]): DataFrame = {
+    if (!s.rowLineage)
+      return decorateReadWithPos(
+        readFiles(inputs.map(_.path), s.physicalSchema), s, inputs)
+    val scan = readFiles(inputs.map(_.path), physicalSchemaWithRowId(s))
+    val withPos = applyDeletesWithPos(scan, s, inputs.map(_.path))
+    applyRowIds(applyDefaults(withPos, s, inputs), inputs)
+  }
+
   // ----------------------------------------------------- equality deletes
 
   /** Row shape of an equality-delete file: one key per deleted record —
@@ -563,15 +660,32 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       deletesOverride: Option[Seq[DeleteFileEntry]] = None,
       eqDeletesOverride: Option[Seq[EqDeleteFileEntry]] = None,
       lastFieldIdOverride: Option[Int] = None,
-      propertiesOverride: Option[Map[String, String]] = None): Snapshot = {
+      propertiesOverride: Option[Map[String, String]] = None,
+      nextRowIdOverride: Option[Long] = None): Snapshot = {
     val parentV = parent.map(_.version).getOrElse(-1L)
     // stamp data sequence numbers BEFORE manifests are written: freshly
     // harvested entries (seq sentinel) get the version this commit will
     // claim; carried entries keep their creation seq. A lost commit race
     // throws below and the retried job re-harvests against the new head.
     val v = parentV + 1
-    val stamped = files.map(f =>
+    val stamped0 = files.map(f =>
       if (f.seq == DataFileEntry.UnstampedSeq) f.copy(seq = v) else f)
+    // row lineage: fresh entries (sentinel) take the next id range, in
+    // the same deterministic (pbucket, phash, path) order the manifests
+    // store — a resumed job re-commits identical outputs, so the stamps
+    // are stable across crash/retry. Carried entries keep their base.
+    val lineageOn = propertiesOverride
+      .orElse(parent.map(_.props)).getOrElse(Map.empty)
+      .get("row.lineage").contains("true")
+    var nextRid = nextRowIdOverride
+      .getOrElse(parent.map(_.nextRowId).getOrElse(0L))
+    val stamped =
+      if (!lineageOn) stamped0
+      else stamped0.sortBy(f => (f.pbucketMin, f.phashMin, f.path)).map { f =>
+        if (f.firstRowId == DataFileEntry.UnstampedRowId) {
+          val b = nextRid; nextRid += f.rowCount; f.copy(firstRowId = b)
+        } else f
+      }
     val sorted = stamped.sortBy(f => (f.pbucketMin, f.phashMin, f.path))
     val newManifests = sorted.grouped(math.max(1, entriesPerManifest)).map { group =>
       val name = s"manifest-${java.util.UUID.randomUUID()}.json"
@@ -643,7 +757,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val props = propertiesOverride
       .orElse(parent.map(_.props)).getOrElse(Map.empty)
     commitSnapshot(parentV, operation, manifests, summary, buckets, schema,
-      lastId, deletes, eqDels, props)
+      lastId, deletes, eqDels, props, nextRid)
   }
 
   /** Metadata-only property change (ALTER TABLE SET TBLPROPERTIES
@@ -806,7 +920,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       buckets: Int, schema: Seq[FieldDef] = Nil, lastFieldId: Int = 0,
       deletes: Seq[DeleteFileEntry] = Nil,
       eqDeletes: Seq[EqDeleteFileEntry] = Nil,
-      properties: Map[String, String] = Map.empty): Snapshot = {
+      properties: Map[String, String] = Map.empty,
+      nextRowId: Long = 0L): Snapshot = {
     io.mkdirs(metadataDir)
     // guard: committing off a stale parent loses the race deterministically
     // (against THIS ref's head — a branch commit conflicts on the branch)
@@ -833,7 +948,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val v = math.max(parentV, listVersions.lastOption.getOrElse(-1L)) + 1
     val snap = Snapshot(v, parentV, operation, manifests, summary, buckets,
       System.currentTimeMillis(), schema, lastFieldId, deletes, eqDeletes,
-      properties)
+      properties, nextRowId)
     if (!io.writeNew(versionFile(v), Json.toBytes(snap)))
       throw new CommitConflictException(s"concurrent commit already claimed v$v")
     publishHint(v)
@@ -912,7 +1027,8 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   private val RowPreservingOps: Set[String] = Set(
     "compact", "cluster-zorder", "cluster-hilbert", "rebucket",
     "rewrite-manifests", "rewrite-deletes", "add-column", "rename-column",
-    "drop-column", "widen-column", "analyze-ndv", "set-properties")
+    "drop-column", "widen-column", "analyze-ndv", "set-properties",
+    "enable-row-lineage")
 
   /** Iceberg-style incremental append scan planning: the data files ADDED
     * by each `append` snapshot in the chain (fromV, toV]. Appends commit
@@ -1025,10 +1141,10 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def filesDF(s: Snapshot): DataFrame = {
     val rows = entries(s).map(e => (e.path, e.rowCount, e.byteCount,
       e.pbucketMin, e.pbucketMax, e.phashMin, e.phashMax,
-      e.imageIdMin, e.imageIdMax, e.seq, e.blooms.nonEmpty))
+      e.imageIdMin, e.imageIdMax, e.seq, e.blooms.nonEmpty, e.firstRowId))
     spark.createDataFrame(rows).toDF("path", "row_count", "byte_count",
       "pbucket_min", "pbucket_max", "phash_min", "phash_max",
-      "image_id_min", "image_id_max", "seq", "has_bloom")
+      "image_id_min", "image_id_max", "seq", "has_bloom", "first_row_id")
   }
 
   def filesDF: DataFrame = filesDF(currentSnapshot)
@@ -1107,6 +1223,9 @@ object QTable {
     * NAME identifies a file regardless of scheme/qualification — the
     * normalization every path-set comparison in the engine uses. */
   def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** The row-lineage column name (Iceberg v3 `_row_id`). */
+  val RowIdCol = "_row_id"
 
   /** Unsigned UTF-8 order — the order the harvested id-range stats are
     * computed in; java's String.compareTo (UTF-16 code units) diverges

@@ -195,8 +195,7 @@ class ClusterJob(
       val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
       // decorated read: the rewrite folds position deletes away and
       // bakes initial defaults in (see CompactJob)
-      val keyed = jobTable.decorateRead(
-          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs)
+      val keyed = jobTable.readEntriesForRewrite(snap, p.inputs)
         .withColumn("zkey", zkeyCol)
         .withColumn("tiebreak", xxhash64(col("image_id")))
 

@@ -111,8 +111,7 @@ class CompactJob(
         // initial defaults in — a raw scan would overwrite a live
         // default with stored nulls (the output file's seq postdates
         // the add-column commit)
-        val df = jobTable.decorateRead(
-          jobTable.readFiles(p.inputs.map(_.path)), snap, p.inputs)
+        val df = jobTable.readEntriesForRewrite(snap, p.inputs)
         val t0 = System.nanoTime()
         graft.format.TableWrite.parquet(df, dir)
         val t1 = System.nanoTime()

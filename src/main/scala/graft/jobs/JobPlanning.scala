@@ -20,13 +20,23 @@ object JobPlanning {
     val have = df.columns.toSet
     // schema enforcement: an input column matching NO schema field (a
     // typo, or a stale pre-rename name) must fail, not be silently
-    // dropped while its field gets null-filled
-    val known = snap.schemaFields.flatMap(f => Seq(f.name, f.phys)).toSet
+    // dropped while its field gets null-filled. `_row_id` is the hidden
+    // lineage column (when the table tracks it): carried through when a
+    // rewrite's read materialized it, typed-null otherwise — a null id
+    // resolves to the file's fresh base + position on read, which is
+    // exactly how MERGE inserts get their ids.
+    val rowIdCol = graft.format.QTable.RowIdCol
+    val known = snap.schemaFields.flatMap(f => Seq(f.name, f.phys)).toSet ++
+      (if (snap.rowLineage) Set(rowIdCol) else Set.empty[String])
     val unknown = df.columns.filterNot(known.contains)
     require(unknown.isEmpty,
       s"writer frame has columns not in the table schema: " +
         s"${unknown.mkString(", ")}")
-    val cols = snap.schemaFields.toIndexedSeq.map { f =>
+    val lineageCols =
+      if (!snap.rowLineage) Nil
+      else if (have.contains(rowIdCol)) Seq(col(rowIdCol))
+      else Seq(lit(null).cast("long").as(rowIdCol))
+    val cols = lineageCols ++ snap.schemaFields.toIndexedSeq.map { f =>
       // cast to the DECLARED type: after a widen-column commit an input
       // may still carry the narrow type (a user append, or a scan of
       // pre-widening files) — files written from here on must store the

@@ -93,13 +93,13 @@ class MergeJob(
     // rewritten) nor suppress an INSERT of the same key (else the source
     // row would vanish — the merge-on-read resurrect/lose bug)
     def readLive(files: Seq[DataFileEntry]) =
-      table.decorateRead(table.readFiles(files.map(_.path)), snap, files)
+      table.readEntriesForRewrite(snap, files)
     // position-keeping variant: `_metadata` must be captured before the
     // delete anti-join (Spark does not resolve it through a join).
     // Both variants are defaults-aware: a CoW rewrite of a matched
     // pre-evolution file must bake the initial default in, not null
     def readLivePos(files: Seq[DataFileEntry]) =
-      table.decorateReadWithPos(table.readFiles(files.map(_.path)), snap, files)
+      table.readEntriesForRewriteWithPos(snap, files)
     val srcKeys = broadcast(source.select(col("image_id")))
     val matchedFiles: Set[String] = if (candidates.isEmpty) Set.empty else {
       readLivePos(candidates)

@@ -59,7 +59,7 @@ class RebucketJob(
       // decorated whole-table read: the rewrite folds every live
       // position delete (the commit below clears the set) and bakes
       // initial defaults in (see CompactJob)
-      val df = table.decorateRead(table.readFiles(paths), snap, entries)
+      val df = table.readEntriesForRewrite(snap, entries)
         .withColumn("pbucket", bucket)
         .withColumn("__bin", col("pbucket") * subPerBucket + sub)
       graft.format.TableWrite.parquet(

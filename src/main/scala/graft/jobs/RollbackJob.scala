@@ -31,6 +31,15 @@ class RollbackJob(table: QTable) {
     // the position-delete set travels WITH the manifests being restored:
     // carrying the head's deletes would keep rows dead that the target
     // snapshot has live (and vice versa after rolling back a delete)
+    //
+    // row lineage cannot roll back across its own enablement: the
+    // target's manifests predate id stamping, so restoring them under a
+    // lineage-on head would alias every file to id base 0. nextRowId
+    // itself stays at the HEAD's high-water mark (commit carries the
+    // parent's), so ids are never REUSED after an ordinary rollback.
+    require(!(cur.rowLineage && !target.rowLineage),
+      s"cannot roll back across enable-row-lineage: v$toVersion predates " +
+        "id stamping (pick a target at or after the enable commit)")
     table.commit(Some(cur), "rollback", Nil,
       Map("rolled-back-to" -> toVersion.toString,
         "rolled-back-from" -> cur.version.toString),
@@ -107,7 +116,11 @@ class FastForwardJob(table: QTable) {
       lastFieldIdOverride =
         Some(math.max(cur.highestFieldId, target.highestFieldId)),
       // publish adopts the branch's properties like its schema
-      propertiesOverride = Some(target.props))
+      propertiesOverride = Some(target.props),
+      // row-id high-water mark: max of both chains, so neither ref's
+      // assigned ranges can ever be re-issued after the publish
+      nextRowIdOverride =
+        Some(math.max(cur.nextRowId, target.nextRowId)))
   }
 }
 
@@ -183,8 +196,15 @@ class CherryPickJob(table: QTable) {
     require(dup.isEmpty,
       s"${dup.size} picked file(s) are already live on main (a prior " +
         "cherry-pick or fast-forward) — nothing to apply")
+    // seq AND row-id base re-stamp: the rows are new as of the pick. A
+    // branch's id ranges overlap main's post-fork assignments (each
+    // chain advances nextRowId independently), so adopted ids must be
+    // freshly issued from MAIN's high-water mark — fast-forward gets to
+    // keep branch ids only because its ancestry check proves main never
+    // advanced past the fork.
     table.commit(Some(cur), "cherry-pick",
-      picked.map(_.copy(seq = graft.model.DataFileEntry.UnstampedSeq)),
+      picked.map(_.copy(seq = graft.model.DataFileEntry.UnstampedSeq,
+        firstRowId = graft.model.DataFileEntry.UnstampedRowId)),
       Map("cherry-picked-from" -> version.toString),
       reuseManifests = cur.manifests)
   }

@@ -78,7 +78,19 @@ final case class DataFileEntry(
     // produces [[DataFileEntry.UnstampedSeq]]; QTable.commit stamps the
     // claimed version; carried (untouched copy-on-write) entries keep
     // their original seq.
-    seq: Long = 0L) {
+    seq: Long = 0L,
+    // row-lineage base (Iceberg v3 `first_row_id`): the file's rows get
+    // stable ids `firstRowId + physical position` unless a materialized
+    // `_row_id` value is stored for the row (rewrites materialize ids;
+    // stored value wins, null falls back to base + position — which is
+    // also how MERGE inserts inside a lineage table get fresh ids).
+    // Interpreted ONLY when the snapshot carries the `row.lineage`
+    // property: enable-row-lineage stamps every live entry, commit
+    // stamps fresh entries from [[graft.model.Snapshot.nextRowId]], and
+    // rollback refuses to cross the enable boundary — so a 0 from a
+    // pre-lineage manifest is never read as an id. In-memory fresh
+    // entries default to the [[DataFileEntry.UnstampedRowId]] sentinel.
+    firstRowId: Long = DataFileEntry.UnstampedRowId) {
 
   /** Null-safe accessor: entries from pre-colStats manifests deserialize
     * with null here and resolve to empty (no stats = never pruned). */
@@ -114,6 +126,11 @@ object DataFileEntry {
   /** seq sentinel on freshly-harvested entries: "stamp me with the
     * committing version" ([[graft.format.QTable.commit]]). */
   val UnstampedSeq: Long = -1L
+
+  /** firstRowId sentinel on freshly-harvested entries: "assign my rows
+    * the next id range" — stamped by QTable.commit when the table
+    * carries the `row.lineage` property. */
+  val UnstampedRowId: Long = -1L
 }
 
 /** One position-delete file (merge-on-read row deletes, the Iceberg v2
@@ -267,11 +284,22 @@ final case class Snapshot(
     // scheduler tick reads the same policy instead of repeating flags.
     // Changed by a metadata-only "set-properties" commit, carried by
     // every other commit like the schema.
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    // row-lineage high-water mark (Iceberg v3 `next-row-id`): the next
+    // unassigned row id. Monotone along every chain — commits add the
+    // row counts of the entries they stamp; rollback carries the HEAD's
+    // value (never the target's) so ids are never reused after an undo;
+    // fast-forward adopts the max of both chains. 0 (pre-lineage
+    // snapshots) is exact: no id was ever assigned.
+    nextRowId: Long = 0L) {
 
   /** Null-safe properties accessor (pre-properties snapshots
     * deserialize with null). */
   def props: Map[String, String] = Option(properties).getOrElse(Map.empty)
+
+  /** True when this snapshot tracks row lineage (stable `_row_id`s) —
+    * the gate for interpreting [[DataFileEntry.firstRowId]]. */
+  def rowLineage: Boolean = props.get("row.lineage").contains("true")
 
   /** Live position-delete files (merge-on-read). Null-safe: snapshots
     * from before delete tracking deserialize with null here. */

@@ -2372,6 +2372,68 @@ object Queries {
        |UNION ALL
        |SELECT image_id, caption FROM read_parquet('$Q46Root/exp/picked/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Row-lineage fixture (Iceberg v3 `_row_id` analogue): a table
+    * enables lineage, takes two appends and a MERGE (updates + inserts
+    * + a delete), exports its (image_id, _row_id) assignment, then runs
+    * compact AND a full Z-order cluster — two whole-table rewrites that
+    * re-sort and re-file every row. The head read must still produce
+    * the EXPORTED assignment bit-for-bit (ids materialize into
+    * rewritten files; updates kept their id, inserts drew fresh ones,
+    * the deleted row's id is gone). The q26 pattern: the export is an
+    * engine output frozen BEFORE the operations under test, so any
+    * id lost, duplicated, or moved by the rewrites hash-mismatches. */
+  private val Q47Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_row_lineage_v1"
+
+  private def q47Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q47Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q47Root
+    val lockPath = Paths.get(Q47Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) {
+        new graft.format.LocalCommitIO().deleteRecursive(Q47Root)
+        val t = graft.format.QTable.create(s"$Q47Root/table", s, buckets = 4)
+        def batch(seed: Long, n: Long, tag: String) =
+          graft.synth.DataGen.generate(s, n, seed).toDF()
+            .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+        graft.jobs.AppendJob.append(t, batch(111L, 100L, "r1"), filesPerBucket = 2)
+        t.enableRowLineage()
+        graft.jobs.AppendJob.append(t, batch(222L, 60L, "r2"), filesPerBucket = 1)
+        val src = batch(111L, 100L, "r1").where(col("image_id").endsWith("1"))
+          .withColumn("caption", concat(lit("upd "), col("image_id")))
+          .withColumn("is_delete", col("image_id").endsWith("11"))
+          .drop("pbucket")
+          .unionByName(batch(333L, 8L, "ins").drop("pbucket")
+            .withColumn("is_delete", lit(false)))
+        new graft.jobs.MergeJob(t, deleteCol = Some("is_delete")).run(src)
+        // freeze the assignment, THEN re-sort the whole table twice
+        t.readWithRowId().select("image_id", "_row_id")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q47Root/exp/ids")
+        new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20).run()
+        new graft.jobs.ClusterJob(t, targetFileBytes = 8L << 20).run()
+        Files.createFile(Paths.get(Q47Root, "_FIXTURE_READY"))
+      }
+    } finally { lock.release(); ch.close() }
+    Q47Root
+  }
+
+  /** The head's (image_id, _row_id) after two whole-table rewrites —
+    * must equal the pre-rewrite export exactly. */
+  def q47RowLineage(s: SparkSession, dir: String): DataFrame = {
+    val root = q47Dir(s)
+    graft.format.QTable(s"$root/table", s).readWithRowId()
+      .select(col("image_id"), col("_row_id").as("row_id"))
+  }
+
+  val q47Sql: String =
+    s"""SELECT image_id, _row_id AS row_id
+       |FROM read_parquet('$Q47Root/exp/ids/*.parquet')""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2418,7 +2480,8 @@ object Queries {
     "q43_ndv_sketch" -> ((q43NdvSketch _, q43Sql)),
     "q44_files_stats" -> ((q44FilesStats _, q44Sql)),
     "q45_default_scan" -> ((q45DefaultScan _, q45Sql)),
-    "q46_cherry_pick" -> ((q46CherryPick _, q46Sql)))
+    "q46_cherry_pick" -> ((q46CherryPick _, q46Sql)),
+    "q47_row_lineage" -> ((q47RowLineage _, q47Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
