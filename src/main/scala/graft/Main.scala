@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> synth   --table T --rows N [--buckets B] [--files-per-bucket F] [--seed S]
   *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--incremental] [--job-id J] [--scope B1,B2]
-  *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--job-id J]
+  *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--sync] [--job-id J]   (--sync = WHEN NOT MATCHED BY SOURCE THEN DELETE)
   *   spark-submit --class graft.Main <jar> upsert  --table T (--source DIR | --rows N [--inserts K]) [--delete-col C] [--job-id J]   (scan-free whole-record upsert via equality deletes)
   *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
@@ -167,7 +167,8 @@ object Main {
         val snap = CommitRetry.withCommitRetry()(
           new MergeJob(table, jobId, concurrency = concurrency,
             updateCols = setCols, deleteCol = opts.get("delete-col"),
-            mergeOnRead = opts.contains("mor")).run(corr))
+            mergeOnRead = opts.contains("mor"),
+            notMatchedBySourceDelete = opts.contains("sync")).run(corr))
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "upsert" =>

@@ -13,6 +13,19 @@ import org.apache.spark.sql.DataFrame
   *   WHEN MATCHED AND source.<deleteCol>     THEN DELETE
   *   WHEN MATCHED                            THEN UPDATE SET <updateCols>
   *   WHEN NOT MATCHED AND NOT <deleteCol>    THEN INSERT (full row)
+  *   WHEN NOT MATCHED BY SOURCE              THEN DELETE   (opt-in)
+  *
+  * `notMatchedBySourceDelete` turns the merge into a mirror sync: target
+  * rows whose key the source never mentions are deleted, so afterwards
+  * the table holds exactly the source's keys (the Delta/SQL:2003
+  * NOT MATCHED BY SOURCE clause). The clause inverts the usual pruning
+  * economics — ANY file holding a live row can carry an unmatched row,
+  * so candidate discovery scans every live file once (one pass computes
+  * both the matched and the unmatched file sets); with an EMPTY source
+  * it deletes the whole table, which is the ANSI reading and is
+  * spec-covered, not an accident. Under merge-on-read the unmatched
+  * rows become position deletes (O(deleted rows), no rewrite), the
+  * right shape when the mirror diverges by a fraction per sync.
   * `updateCols` is an arbitrary list of table columns (logical names;
   * the key itself is excluded). A NULL source value for an update column
   * keeps the target's value — partial-record patches, the shape the
@@ -52,7 +65,8 @@ class MergeJob(
     concurrency: Int = 4,
     updateCols: Seq[String] = Seq("caption"),
     deleteCol: Option[String] = None,
-    mergeOnRead: Boolean = false) {
+    mergeOnRead: Boolean = false,
+    notMatchedBySourceDelete: Boolean = false) {
 
   def run(source0: DataFrame, failAfterGroups: Int = Int.MaxValue): Snapshot = {
     val snap = table.currentSnapshot
@@ -72,17 +86,28 @@ class MergeJob(
 
     val source = source0.cache()
     val srcCount = source.count()
-    // empty source: commit nothing, current snapshot is already correct
-    if (srcCount == 0) { source.unpersist(); return snap }
+    // empty source: commit nothing, current snapshot is already correct —
+    // UNLESS the mirror-sync clause is on, where an empty source means
+    // "no key survives" and every live row deletes
+    if (srcCount == 0 && !notMatchedBySourceDelete) {
+      source.unpersist(); return snap
+    }
     // ANSI MERGE multi-match check: one source row per key or error
     val dupKeys = source.groupBy("image_id").count().where(col("count") > 1).count()
     require(dupKeys == 0,
       s"MERGE source has $dupKeys duplicated image_id(s); resolve last-wins upstream")
 
     // 1. prune candidate files by image_id range overlap with the source
-    val srcIdBounds = source.agg(min("image_id"), max("image_id")).head()
-    val (srcMin, srcMax) = (srcIdBounds.getString(0), srcIdBounds.getString(1))
-    val candidates = all.filter(f => f.imageIdMax >= srcMin && f.imageIdMin <= srcMax)
+    // (with the NOT MATCHED BY SOURCE clause every live file is a
+    // candidate — an unmatched row can live anywhere, so range pruning
+    // only bounds the MATCHED side below)
+    val candidates =
+      if (srcCount == 0) Nil
+      else {
+        val srcIdBounds = source.agg(min("image_id"), max("image_id")).head()
+        val (srcMin, srcMax) = (srcIdBounds.getString(0), srcIdBounds.getString(1))
+        all.filter(f => f.imageIdMax >= srcMin && f.imageIdMin <= srcMax)
+      }
 
     // 2. find files containing matches: big-side scan, broadcast source
     // keys. `_metadata.file_path` (not input_file_name) — the metadata
@@ -101,14 +126,40 @@ class MergeJob(
     def readLivePos(files: Seq[DataFileEntry]) =
       table.readEntriesForRewriteWithPos(snap, files)
     val srcKeys = broadcast(source.select(col("image_id")))
-    val matchedFiles: Set[String] = if (candidates.isEmpty) Set.empty else {
-      readLivePos(candidates)
-        .select(col("image_id"), col("__gpath").as("_file"))
-        .join(srcKeys, Seq("image_id"))
-        .select("_file").distinct().collect().map(_.getString(0))
-        .map(normalizePath).toSet
-    }
-    val affected = candidates.filter(f => matchedFiles.contains(normalizePath(f.path)))
+    // NOT MATCHED BY SOURCE: one pass over EVERY live file classifies it
+    // by whether it holds matched rows, unmatched rows, or both — both
+    // kinds must rewrite (CoW) or contribute delete positions (MOR). The
+    // collect is one row per FILE (metadata-sized), not per row.
+    val (matchedFiles, unmatchedFiles): (Set[String], Set[String]) =
+      if (notMatchedBySourceDelete) {
+        if (all.isEmpty) (Set.empty, Set.empty) else {
+          val perFile = readLivePos(all)
+            .select(col("image_id"), col("__gpath").as("_file"))
+            .join(srcKeys.withColumn("_mm", lit(1)), Seq("image_id"), "left")
+            .groupBy("_file")
+            .agg(max(col("_mm")).as("m"),
+              sum(when(col("_mm").isNull, 1).otherwise(0)).as("u"))
+            .collect()
+          (perFile.filter(r => !r.isNullAt(1))
+             .map(r => normalizePath(r.getString(0))).toSet,
+           perFile.filter(_.getLong(2) > 0)
+             .map(r => normalizePath(r.getString(0))).toSet)
+        }
+      } else if (candidates.isEmpty) (Set.empty[String], Set.empty[String])
+      else {
+        (readLivePos(candidates)
+          .select(col("image_id"), col("__gpath").as("_file"))
+          .join(srcKeys, Seq("image_id"))
+          .select("_file").distinct().collect().map(_.getString(0))
+          .map(normalizePath).toSet, Set.empty[String])
+      }
+    val affected =
+      if (notMatchedBySourceDelete)
+        all.filter { f =>
+          val n = normalizePath(f.path)
+          matchedFiles.contains(n) || unmatchedFiles.contains(n)
+        }
+      else candidates.filter(f => matchedFiles.contains(normalizePath(f.path)))
 
     // 3. inserts = source ids present in no file (anti join against the
     //    candidate scan only — pruning made the big side small); a
@@ -138,7 +189,10 @@ class MergeJob(
       col("image_id") +:
         (setFields.map(f => col(f.name).cast(f.sparkType).as(s"_new_${f.phys}")) ++
           deleteCol.map(c =>
-            coalesce(col(c).cast("boolean"), lit(false)).as("_del")).toSeq): _*))
+            coalesce(col(c).cast("boolean"), lit(false)).as("_del")).toSeq ++
+          // match indicator for the NOT MATCHED BY SOURCE filter: after
+          // the left join, a null `_mm` row is an unmatched target row
+          (if (notMatchedBySourceDelete) Seq(lit(true).as("_mm")) else Nil)): _*))
 
     // ------------------------------------------------- merge-on-read
     // MOR strategy: instead of rewriting every matched file, position-
@@ -157,19 +211,38 @@ class MergeJob(
           .join(updatesSrc, Seq("image_id"))
           .cache())
       try {
-        val (delEntries, matchedCount) = matched match {
+        val matchedPosOpt = matched.map(_.select(
+          col("__gpath").as("file_path"), col("__gpos").as("pos")))
+        // NOT MATCHED BY SOURCE under MOR: the unmatched rows' positions
+        // delete too (and are never re-appended) — commit stays
+        // O(changed rows) even when the clause empties most of a file
+        val unmatchedPosOpt =
+          if (!notMatchedBySourceDelete) None
+          else {
+            val uf = all.filter(f => unmatchedFiles.contains(normalizePath(f.path)))
+            if (uf.isEmpty) None
+            else Some(readLivePos(uf)
+              .join(srcKeys, Seq("image_id"), "left_anti")
+              .select(col("__gpath").as("file_path"), col("__gpos").as("pos")))
+          }
+        val (delEntriesM, matchedCount) = matchedPosOpt match {
           case None => (Nil, 0L)
-          case Some(m) => DeleteJob.writeDeleteFiles(table,
-            m.select(col("__gpath").as("file_path"), col("__gpos").as("pos")),
+          case Some(p) => DeleteJob.writeDeleteFiles(table, p,
             table.newDataDir(jobId, "deletes"))
         }
+        val (delEntriesU, unmatchedCount) = unmatchedPosOpt match {
+          case None => (Nil, 0L)
+          case Some(p) => DeleteJob.writeDeleteFiles(table, p,
+            table.newDataDir(jobId, "nmbs-deletes"))
+        }
+        val delEntries = delEntriesM ++ delEntriesU
         // patched post-images of non-delete-flagged matches (same SET
         // semantics as the CoW rewrite: null source value keeps target)
         val patchedOpt = matched.map { m =>
           var p = (if (deleteCol.isDefined)
               m.where(!coalesce(col("_del"), lit(false))).drop("_del")
             else m)
-            .drop("__gpath", "__gpos")
+            .drop("__gpath", "__gpos", "_mm")
           setFields.foreach { f =>
             p = p.withColumn(f.phys, coalesce(col(s"_new_${f.phys}"), col(f.phys)))
               .drop(s"_new_${f.phys}")
@@ -188,7 +261,7 @@ class MergeJob(
           table.harvest(dir)
         } else Nil
         source.unpersist(); inserts.unpersist()
-        if (matchedCount + insertCount == 0) return snap
+        if (matchedCount + unmatchedCount + insertCount == 0) return snap
         return table.commit(Some(snap), "merge", out, Map(
           "job-id" -> jobId,
           "strategy" -> "merge-on-read",
@@ -196,7 +269,8 @@ class MergeJob(
           "rows-updated" -> (srcCount - insertCount - deleteFlagged).toString,
           "rows-inserted" -> insertCount.toString,
           "rows-deleted" ->
-            (matchedCount - (srcCount - insertCount - deleteFlagged)).toString,
+            (matchedCount + unmatchedCount -
+              (srcCount - insertCount - deleteFlagged)).toString,
           "files-rewritten" -> "0"),
           reuseManifests = snap.manifests,
           deletesOverride = Some(snap.deleteFiles ++ delEntries))
@@ -221,6 +295,10 @@ class MergeJob(
       // which the same coalesce leaves untouched)
       var patched = readLive(files)
         .join(updatesSrc, Seq("image_id"), "left")
+      // WHEN NOT MATCHED BY SOURCE THEN DELETE: only source-matched
+      // rows survive the rewrite
+      if (notMatchedBySourceDelete)
+        patched = patched.where(col("_mm") === true).drop("_mm")
       if (deleteCol.isDefined)
         patched = patched.where(!coalesce(col("_del"), lit(false))).drop("_del")
       setFields.foreach { f =>

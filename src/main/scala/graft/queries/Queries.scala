@@ -2434,6 +2434,69 @@ object Queries {
     s"""SELECT image_id, _row_id AS row_id
        |FROM read_parquet('$Q47Root/exp/ids/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Mirror-sync MERGE fixture (WHEN NOT MATCHED BY SOURCE THEN DELETE):
+    * a 400-row table synced against a source holding ~2/3 of its keys
+    * (caption refreshed on most, NULL on some — the partial-update path
+    * that must keep the target caption) plus 6 fresh inserts. Afterwards
+    * the table holds EXACTLY the source's keys, which DuckDB recomputes
+    * as source LEFT JOIN pre with a caption coalesce — unmatched target
+    * rows vanish by construction of the join shape. */
+  private val Q48Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_merge_sync_v1"
+
+  private def q48Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q48Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q48Root
+    val lockPath = Paths.get(Q48Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) {
+        new graft.format.LocalCommitIO().deleteRecursive(Q48Root)
+        val t = graft.format.QTable.create(s"$Q48Root/table", s, buckets = 4)
+        graft.jobs.AppendJob.append(t,
+          graft.synth.DataGen.generate(s, 400L, 66L).toDF(), filesPerBucket = 2)
+        val base = t.read()
+        // survivors: ~2/3 of the keys; 1 in 4 survivors sends a NULL
+        // caption (partial patch: the target's caption must survive)
+        val kept = base.where(pmod(mdHash64(col("image_id")), lit(3)) =!= 0)
+          .withColumn("caption",
+            when(pmod(mdHash64(col("image_id")), lit(4)) === 0,
+              lit(null).cast("string"))
+              .otherwise(concat(lit("q48-sync: "), col("image_id"))))
+          .drop("pbucket")
+        val ins = graft.synth.DataGen.generate(s, 6, 88L).toDF()
+          .withColumn("image_id", concat(lit("q48x-"), col("image_id")))
+          .drop("pbucket")
+        val src = kept.unionByName(ins)
+        base.select("image_id", "caption")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q48Root/exp/pre")
+        src.select("image_id", "caption")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q48Root/exp/src")
+        new graft.jobs.MergeJob(t, notMatchedBySourceDelete = true).run(src)
+        Files.createFile(Paths.get(Q48Root, "_FIXTURE_READY"))
+      }
+    } finally { lock.release(); ch.close() }
+    Q48Root
+  }
+
+  /** Post-sync table state: exactly the source's keys, captions merged. */
+  def q48MergeSync(s: SparkSession, dir: String): DataFrame = {
+    val root = q48Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "caption")
+  }
+
+  val q48Sql: String =
+    s"""SELECT s.image_id AS image_id,
+       |       COALESCE(s.caption, p.caption) AS caption
+       |FROM read_parquet('$Q48Root/exp/src/*.parquet') s
+       |LEFT JOIN read_parquet('$Q48Root/exp/pre/*.parquet') p
+       |ON s.image_id = p.image_id""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2481,7 +2544,8 @@ object Queries {
     "q44_files_stats" -> ((q44FilesStats _, q44Sql)),
     "q45_default_scan" -> ((q45DefaultScan _, q45Sql)),
     "q46_cherry_pick" -> ((q46CherryPick _, q46Sql)),
-    "q47_row_lineage" -> ((q47RowLineage _, q47Sql)))
+    "q47_row_lineage" -> ((q47RowLineage _, q47Sql)),
+    "q48_merge_sync" -> ((q48MergeSync _, q48Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

@@ -157,6 +157,71 @@ class MergeJobSpec extends AnyFunSuite {
     pre.unpersist(); post.unpersist()
   }
 
+  test("NOT MATCHED BY SOURCE DELETE (sync): table converges to the source keys") {
+    val n = 500L
+    val t = freshTable(n)
+    val base = t.read().cache()
+    // keep ~60% of the keys (caption refreshed), add 5 fresh inserts —
+    // afterwards the table must hold EXACTLY these keys
+    val kept = base.where(pmod(xxhash64(col("image_id")), lit(5)) < 3)
+      .withColumn("caption", concat(lit("sync: "), col("image_id")))
+      .drop("pbucket").cache()
+    import spark.implicits._
+    val fresh = DataGen.generate(spark, 5, 91L, 1)
+      .map(r => r.copy(image_id = "zzz-sync-" + r.image_id)).toDF()
+    val src = kept.unionByName(fresh).cache()
+    val srcN = src.count()
+    assert(srcN < n && srcN > 5)
+
+    val snap = new MergeJob(t, notMatchedBySourceDelete = true).run(src)
+    val post = t.read(snap).cache()
+    assert(post.count() == srcN, "post-sync table must hold exactly the source keys")
+    assert(post.join(src.select("image_id"), Seq("image_id"), "left_anti").count() == 0)
+    assert(src.select("image_id")
+      .join(post.select("image_id"), Seq("image_id"), "left_anti").count() == 0)
+    val wrong = post.join(src.select(col("image_id"), col("caption").as("want")),
+      Seq("image_id")).where(col("caption") =!= col("want")).count()
+    assert(wrong == 0, s"$wrong synced captions wrong")
+    assert(snap.summary("rows-deleted").toLong == n - (srcN - 5))
+    base.unpersist(); kept.unpersist(); src.unpersist(); post.unpersist()
+  }
+
+  test("sync under merge-on-read: same logical table, zero files rewritten") {
+    val n = 400L
+    val tCow = freshTable(n)
+    val tMor = freshTable(n)
+    def mkSrc(t: QTable) = t.read()
+      .where(pmod(xxhash64(col("image_id")), lit(4)) === 0)
+      .withColumn("caption", concat(lit("sync2: "), col("image_id")))
+      .drop("pbucket")
+    val sCow = new MergeJob(tCow, notMatchedBySourceDelete = true).run(mkSrc(tCow))
+    val sMor = new MergeJob(tMor, notMatchedBySourceDelete = true,
+      mergeOnRead = true).run(mkSrc(tMor))
+    assert(sMor.summary("files-rewritten") == "0")
+    assert(sMor.deleteFiles.nonEmpty, "MOR sync must land position deletes")
+    // both strategies converge to the same logical table
+    val a = tCow.read(sCow).select("image_id", "caption")
+    val b = tMor.read(sMor).select("image_id", "caption")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // maintenance folds the sync deletes like any others
+    val folded = new CompactJob(tMor, targetFileBytes = 8L << 20).run()
+    assert(folded.deleteFiles.isEmpty)
+    assert(tMor.read(folded).select("image_id", "caption").exceptAll(b).count() == 0)
+  }
+
+  test("sync with an empty source deletes every row (ANSI reading)") {
+    val t = freshTable(120, buckets = 2)
+    val empty = t.read().drop("pbucket").limit(0)
+    val snap = new MergeJob(t, notMatchedBySourceDelete = true).run(empty)
+    assert(t.read(snap).count() == 0)
+    // without the clause an empty source stays a no-op
+    val t2 = freshTable(120, buckets = 2)
+    val v = t2.currentVersion
+    new MergeJob(t2).run(t2.read().drop("pbucket").limit(0))
+    assert(t2.currentVersion == v)
+  }
+
   test("merge is resumable per group") {
     val n = 800L
     val t = freshTable(n)
