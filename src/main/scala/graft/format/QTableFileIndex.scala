@@ -27,6 +27,16 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
   /** (selected, total) of the last listFiles call — test/metrics hook. */
   @volatile var lastSelection: (Int, Int) = (entries.size, entries.size)
 
+  /** Set by [[graft.spark.QTableSource]] ONLY when this relation is the
+    * CURRENT MAIN HEAD of a table (no version/tag/branch/as-of-ts time
+    * travel): the table root SQL `INSERT INTO` may append to. The
+    * [[graft.spark.QTableExtensions]] resolution rule reroutes inserts
+    * against such relations through the commit protocol (AppendJob);
+    * None (every internal/time-traveled relation) makes the rule skip,
+    * and Spark's fallback insert path then fails on the synthetic
+    * rootPaths — a time-traveled view is never silently appendable. */
+  @volatile var insertRoot: Option[String] = None
+
   override def rootPaths: Seq[HPath] =
     entries.map(e => new HPath(e.path)).take(1).toSeq
 

@@ -1,0 +1,118 @@
+package graft.spark
+
+import graft.format.{QTable, QTableFileIndex}
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+
+/** Session extensions for the qtable DataSource:
+  *
+  * {{{
+  *   spark-sql --conf spark.sql.extensions=graft.spark.QTableExtensions ...
+  *   CREATE TEMPORARY VIEW imgs USING qtable OPTIONS (path '/t');
+  *   INSERT INTO imgs SELECT ...;        -- a real commit-protocol append
+  * }}}
+  *
+  * Without this rule, SQL `INSERT INTO` against a qtable relation would
+  * fall through to Spark's generic `InsertIntoHadoopFsRelationCommand`,
+  * which writes raw parquet under the relation's rootPaths — bypassing
+  * manifests, stats harvest and the atomic version claim entirely. The
+  * qtable FileIndex synthesizes rootPaths from manifest entries, so that
+  * fallback fails on the filesystem rather than corrupting, but the
+  * correct surface is a rule that reroutes the insert through
+  * [[graft.jobs.AppendJob]] — the custom-`Rule[LogicalPlan]` integration
+  * point `SparkSessionExtensions` exists for.
+  *
+  * Only relations created by [[QTableSource]] at the CURRENT MAIN HEAD
+  * carry [[QTableFileIndex.insertRoot]]; a time-traveled or branch view
+  * never matches (the rule skipping = the safe failure mode).
+  */
+class QTableExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectResolutionRule(s => new ResolveQTableInsert(s))
+}
+
+/** Rewrites `InsertIntoStatement` over an insertable qtable relation
+  * into [[AppendToQTableCommand]]. Column handling (the work Spark's
+  * `PreprocessTableInsertion` would otherwise do): by-position against
+  * the relation schema — with or without the derived `pbucket` column,
+  * which the append recomputes from the key regardless — or by name
+  * when the statement carries an explicit column list or `BY NAME`. */
+class ResolveQTableInsert(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def unwrap(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => unwrap(c)
+    case v: View => unwrap(v.child)
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case i: InsertIntoStatement if i.query.resolved =>
+      unwrap(i.table) match {
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+            if h.location.isInstanceOf[QTableFileIndex] &&
+              h.location.asInstanceOf[QTableFileIndex].insertRoot.isDefined =>
+          val root = h.location.asInstanceOf[QTableFileIndex].insertRoot.get
+          require(!i.overwrite,
+            "qtable is append-only through SQL INSERT: use the MERGE/" +
+              "DELETE/upsert jobs for row changes (INSERT OVERWRITE " +
+              "would discard snapshot history)")
+          require(i.partitionSpec.isEmpty,
+            "qtable derives its bucket partition from the key; " +
+              "PARTITION clauses are not supported")
+          val relCols = h.schema.fieldNames.toSeq
+          // an explicit column list names TARGETS for the query's
+          // positional outputs; only `BY NAME` trusts the query's names
+          val byName = i.byName
+          val inNames: Seq[String] =
+            if (i.userSpecifiedCols.nonEmpty) i.userSpecifiedCols
+            else if (i.byName) i.query.output.map(_.name)
+            else {
+              val sansBucket = relCols.filterNot(_ == "pbucket")
+              val n = i.query.output.length
+              if (n == relCols.length) relCols
+              else if (n == sansBucket.length) sansBucket
+              else throw new IllegalArgumentException(
+                s"INSERT arity $n does not match qtable columns " +
+                  s"${sansBucket.mkString(", ")} (pbucket optional)")
+            }
+          AppendToQTableCommand(root, inNames, byName, i.query)
+        case _ => i
+      }
+  }
+}
+
+/** The rerouted insert: aligns the query's output to the table's
+  * declared column types (logical names; the DataSource already refuses
+  * renamed tables) and appends through the commit protocol — stats
+  * harvest, fresh manifests, optimistic version claim, commit retry —
+  * exactly like the library/CLI append path. */
+case class AppendToQTableCommand(
+    root: String,
+    inNames: Seq[String],
+    byName: Boolean,
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = QTable(root, spark)
+    val types = t.currentSnapshot.schemaFields.map(f => f.name -> f.sparkType).toMap
+    val need = (t.currentSnapshot.schemaFields.map(_.name).toSet - "pbucket")
+    val given = inNames.filterNot(_ == "pbucket")
+    require(given.toSet == need, s"INSERT columns ${given.mkString(", ")} " +
+      s"must cover the table columns ${need.mkString(", ")} exactly " +
+      "(qtable columns are non-nullable; partial inserts have no defaults)")
+    val df0 = org.apache.spark.sql.GraftBridge.ofRows(spark, query)
+    // by position: rename the query's output to the target names first;
+    // by name: the query's columns already carry the right names
+    val named = if (byName) df0 else df0.toDF(inNames: _*)
+    val aligned = named.select(given.map(n => col(n).cast(types(n)).as(n)): _*)
+    graft.jobs.CommitRetry.withCommitRetry()(
+      graft.jobs.AppendJob.append(t, aligned))
+    Seq.empty
+  }
+}

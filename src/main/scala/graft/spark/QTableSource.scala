@@ -168,7 +168,13 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
         "equality); read it via QTable.read/readIndexed (the DataSource " +
         "relation cannot attach the delete anti-joins) or fold them " +
         "first with a compact run")
-    t.relationFor(snap)._1
+    val (rel, index) = t.relationFor(snap)
+    // SQL INSERT INTO: only a head-of-main relation is appendable (a
+    // time-traveled or branch view must never take writes aimed at
+    // main's head). QTableExtensions reroutes inserts on this marker.
+    if (Seq("version", "tag", "branch", "as-of-ts").forall(!parameters.contains(_)))
+      index.insertRoot = Some(path)
+    rel
   }
 }
 

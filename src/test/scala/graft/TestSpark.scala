@@ -10,6 +10,7 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.spark.QTableExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.columnarReaderBatchSize", "512")

@@ -148,6 +148,61 @@ class QTableSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView("qsrc_imgs")
   }
 
+  test("SQL INSERT INTO a qtable view routes through the commit protocol") {
+    val t = fresh(150)
+    val v0 = t.currentVersion
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qins_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    import spark.implicits._
+    DataGen.generate(spark, 7, 55L, 1)
+      .map(r => r.copy(image_id = "ins-" + r.image_id)).toDF()
+      .createOrReplaceTempView("qins_src")
+    // 7-column by-position insert (pbucket derived, never user-set)
+    spark.sql("INSERT INTO qins_imgs " +
+      "SELECT image_id, bytes, w, h, fmt, caption, phash FROM qins_src")
+    // a real append COMMIT: version advanced, rows visible via the
+    // library read, manifests/stats harvested (describe-able)
+    assert(t.currentVersion == v0 + 1)
+    assert(t.currentSnapshot.operation == "append")
+    assert(t.read().where(col("image_id").startsWith("ins-")).count() == 7)
+    assert(t.entries(t.currentSnapshot).forall(_.rowCount > 0))
+
+    // explicit column list: any order, mapped by name
+    spark.sql("INSERT INTO qins_imgs (caption, image_id, phash, fmt, h, w, bytes) " +
+      "SELECT caption, concat('byname-', image_id), phash, fmt, h, w, bytes " +
+      "FROM qins_src")
+    assert(t.read().where(col("image_id").startsWith("byname-")).count() == 7)
+
+    // INSERT OVERWRITE must refuse (history-discarding), and the table
+    // is untouched by the failed statement
+    val vBefore = t.currentVersion
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE TABLE qins_imgs " +
+        "SELECT image_id, bytes, w, h, fmt, caption, phash FROM qins_src")
+    }
+    assert(e.getMessage.contains("append-only"))
+    assert(t.currentVersion == vBefore)
+    spark.catalog.dropTempView("qins_imgs")
+    spark.catalog.dropTempView("qins_src")
+  }
+
+  test("SQL INSERT into a time-traveled view is refused, not misrouted") {
+    val t = fresh(100)
+    AppendJob.append(t, DataGen.generate(spark, 10, 9L, 1).toDF(), 1)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qins_v1 USING qtable " +
+      s"OPTIONS (path '${t.root}', version '1')")
+    val v = t.currentVersion
+    // the rule skips (no insertRoot marker); Spark's fallback insert
+    // path then fails on the synthetic rootPaths — either way no commit
+    intercept[Exception] {
+      spark.sql("SELECT 1").sparkSession.sql(
+        "INSERT INTO qins_v1 SELECT image_id, bytes, w, h, fmt, caption, phash " +
+          "FROM qins_v1")
+    }
+    assert(t.currentVersion == v, "a time-traveled view must never take appends")
+    spark.catalog.dropTempView("qins_v1")
+  }
+
   test("pushdown: id-equality through the source prunes files via the manifest index") {
     val t = fresh(2000)
     new ClusterJob(t, targetFileBytes = 1L << 20).run()
