@@ -1080,9 +1080,18 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * skipChangeCommits semantics). Deterministic for a given range,
     * which is what makes checkpoint replay exactly-once. */
   def streamedEntries(fromV: Long, toV: Long,
-      skipChangeCommits: Boolean): Seq[DataFileEntry] = {
+      skipChangeCommits: Boolean): Seq[DataFileEntry] =
+    streamedEntriesWithTs(fromV, toV, skipChangeCommits).map(_._1)
+
+  /** [[streamedEntries]] with each entry paired with its commit's
+    * `timestampMs` — the event-time input for the streaming source's
+    * optional `_commit_ts` column (watermarked windowed aggregation
+    * needs an event-time column, and the commit wall-clock is the
+    * honest one a table-following feed has). */
+  def streamedEntriesWithTs(fromV: Long, toV: Long,
+      skipChangeCommits: Boolean): Seq[(DataFileEntry, Long)] = {
     require(fromV <= toV, s"streaming range reversed: v$fromV > v$toV")
-    val buf = Seq.newBuilder[DataFileEntry]
+    val buf = Seq.newBuilder[(DataFileEntry, Long)]
     var s = snapshotAt(toV)
     var done = s.version <= fromV
     while (!done) {
@@ -1093,7 +1102,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
           loadedParent = Some(parent)
           val parentManifests = parent.manifests.map(_.path).toSet
           buf ++= s.manifests.filterNot(m => parentManifests.contains(m.path))
-            .flatMap(m => readManifest(m).files)
+            .flatMap(m => readManifest(m).files).map(f => (f, s.timestampMs))
         case "create" => ()
         case op if RowPreservingOps.contains(op) => ()
         case _ if skipChangeCommits => ()

@@ -48,7 +48,15 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
       "a user-specified schema is not supported")
     val t0 = QTable(path, ctx.sparkSession)
     val t = parameters.get("branch").map(t0.onBranch).getOrElse(t0)
-    (shortName(), graft.streaming.QTableStreamSource.schemaFor(t))
+    val base = graft.streaming.QTableStreamSource.schemaFor(t)
+    // `with-commit-ts`: append the event-time column (each row stamped
+    // with its append commit's wall-clock) for watermarked windowed
+    // aggregation over the feed
+    val full =
+      if (!parameters.getOrElse("with-commit-ts", "false").toBoolean) base
+      else base.add(org.apache.spark.sql.types.StructField("_commit_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true))
+    (shortName(), full)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -59,7 +67,9 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
     new graft.streaming.QTableStreamSource(ctx, path,
       skipChangeCommits =
         parameters.getOrElse("skip-change-commits", "false").toBoolean,
-      branch = parameters.get("branch"))
+      branch = parameters.get("branch"),
+      withCommitTs =
+        parameters.getOrElse("with-commit-ts", "false").toBoolean)
   }
 
   /** Streaming sink: `df.writeStream.format("qtable").option(

@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.StructType
   * retained — size `expire --keep/--older-than-hours` to cover the
   * slowest consumer's lag. */
 class QTableStreamSource(ctx: SQLContext, path: String,
-    skipChangeCommits: Boolean, branch: Option[String] = None) extends Source {
+    skipChangeCommits: Boolean, branch: Option[String] = None,
+    withCommitTs: Boolean = false) extends Source {
 
   /** `branch` follows the named ref's head instead of main — streaming
     * an audit branch (offsets are still global version numbers; the
@@ -56,7 +57,17 @@ class QTableStreamSource(ctx: SQLContext, path: String,
     * consistent view, immune to schema commits racing the stream. */
   private val pinnedSnap = table.currentSnapshot
 
-  override val schema: StructType = QTableStreamSource.schemaFor(pinnedSnap)
+  /** The data columns as stored; `_commit_ts` (when asked for) rides on
+    * top as an EVENT-TIME column — each row stamped with its append
+    * commit's wall-clock, which is what
+    * `withWatermark("_commit_ts", ...)` + windowed aggregation need
+    * from a table-following feed. */
+  private val baseSchema: StructType = QTableStreamSource.schemaFor(pinnedSnap)
+
+  override val schema: StructType =
+    if (!withCommitTs) baseSchema
+    else baseSchema.add(org.apache.spark.sql.types.StructField(
+      "_commit_ts", org.apache.spark.sql.types.TimestampType, nullable = true))
 
   override def getOffset: Option[Offset] = {
     val v = table.currentVersion
@@ -69,17 +80,38 @@ class QTableStreamSource(ctx: SQLContext, path: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index, timestamp_millis}
     val fromV = start.map(versionOf).getOrElse(-1L)
     val toV = versionOf(end)
-    val ents = table.streamedEntries(fromV, toV, skipChangeCommits)
+    val entsTs = table.streamedEntriesWithTs(fromV, toV, skipChangeCommits)
+    val ents = entsTs.map(_._1)
+    if (ents.isEmpty)
+      return org.apache.spark.sql.GraftBridge.asStreaming(
+        ctx.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
     // pinned source schema: later-added columns stay invisible until a
     // restart; files predating an added column read nulls (name-mapped)
     // — unless the column carries an initial default, which substitutes
     // per file exactly as in batch reads (a stream-static broadcast
     // lookup, no-op when every batch file postdates the defaults)
+    var df = table.readFiles(ents.map(_.path), baseSchema)
+    if (withCommitTs)
+      // capture the scan address BEFORE any join (Spark does not
+      // resolve `_metadata` through one); the name->commit-ts lookup is
+      // a broadcast bounded by the batch's file count
+      df = df.withColumn("__tsname",
+        substring_index(col("_metadata.file_path"), "/", -1))
+    df = table.withInitialDefaults(df, pinnedSnap, ents)
+    if (withCommitTs) {
+      val tsDf = broadcast(ctx.sparkSession.createDataFrame(
+        entsTs.map { case (f, ts) => (QTable.fileName(f.path), ts) })
+        .toDF("__tsname", "__tsms"))
+      df = df.join(tsDf, Seq("__tsname"), "left")
+        .withColumn("_commit_ts", timestamp_millis(col("__tsms")))
+        .drop("__tsname", "__tsms")
+    }
     org.apache.spark.sql.GraftBridge.asStreaming(
-      table.withInitialDefaults(
-        table.readFiles(ents.map(_.path), schema), pinnedSnap, ents))
+      df.select(schema.fieldNames.map(col).toSeq: _*))
   }
 
   override def commit(end: Offset): Unit = ()

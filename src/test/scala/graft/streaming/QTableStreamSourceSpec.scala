@@ -101,6 +101,51 @@ class QTableStreamSourceSpec extends AnyFunSuite {
       Map("skip-change-commits" -> "true")) == 70L)
   }
 
+  test("with-commit-ts: watermarked windowed aggregation over the feed") {
+    val root = TestSpark.tmpDir("ssrc-win")
+    val ckpt = TestSpark.tmpDir("ssrc-win-ckpt")
+    val t = QTable.create(root, spark, buckets = 2)
+    AppendJob.append(t, batch(40, 1L, "w1"), 1)
+    val tsV1 = t.currentSnapshot.timestampMs
+
+    // event time = commit wall-clock, watermark 0s, 1s tumbling windows,
+    // APPEND output mode: a window only emits once the watermark (max
+    // seen _commit_ts) passes its end — the full late-data contract
+    val q = spark.readStream.format("qtable")
+      .option("with-commit-ts", "true").load(root)
+      .withWatermark("_commit_ts", "0 seconds")
+      .groupBy(window(col("_commit_ts"), "1 second"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // watermark has not passed the first window's end yet: nothing emits
+      assert(spark.table("win_counts").count() == 0)
+
+      // a second append >2s later closes the first window
+      Thread.sleep(2200)
+      AppendJob.append(t, batch(15, 2L, "w2"), 1)
+      q.processAllAvailable()
+      // one more tick lets the state store flush windows closed by the
+      // previous batch's watermark advance
+      AppendJob.append(t, batch(1, 3L, "w3"), 1)
+      q.processAllAvailable()
+
+      val rows = spark.table("win_counts").collect()
+      assert(rows.nonEmpty, "the first window must have emitted")
+      val first = rows.minBy(_.getTimestamp(0).getTime)
+      assert(first.getLong(1) == 40,
+        s"first closed window must hold exactly batch 1's rows, got $first")
+      // the emitted window contains v1's commit timestamp
+      val ws = first.getTimestamp(0).getTime
+      assert(ws <= tsV1 && tsV1 < ws + 1000)
+    } finally { q.stop(); spark.catalog.dropTempView("win_counts") }
+  }
+
   test("renamed tables are refused with a pointer to the library API") {
     val root = TestSpark.tmpDir("ssrc3")
     val t = QTable.create(root, spark, buckets = 2)
