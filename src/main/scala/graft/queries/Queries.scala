@@ -1073,6 +1073,7 @@ object Queries {
     q41Dir(s)
     q42Dir(s)
     q43Dir(s)
+    q48Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {

@@ -2,7 +2,7 @@ package graft.spark
 
 import graft.format.{QTable, QTableFileIndex}
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -14,25 +14,84 @@ import org.apache.spark.sql.functions.col
   *   spark-sql --conf spark.sql.extensions=graft.spark.QTableExtensions ...
   *   CREATE TEMPORARY VIEW imgs USING qtable OPTIONS (path '/t');
   *   INSERT INTO imgs SELECT ...;        -- a real commit-protocol append
+  *   DELETE FROM imgs WHERE fmt = 'bmp'; -- metadata drops + MOR deletes
   * }}}
   *
-  * Without this rule, SQL `INSERT INTO` against a qtable relation would
-  * fall through to Spark's generic `InsertIntoHadoopFsRelationCommand`,
-  * which writes raw parquet under the relation's rootPaths — bypassing
-  * manifests, stats harvest and the atomic version claim entirely. The
-  * qtable FileIndex synthesizes rootPaths from manifest entries, so that
-  * fallback fails on the filesystem rather than corrupting, but the
-  * correct surface is a rule that reroutes the insert through
-  * [[graft.jobs.AppendJob]] — the custom-`Rule[LogicalPlan]` integration
-  * point `SparkSessionExtensions` exists for.
+  * Without these rules, SQL `INSERT INTO` against a qtable relation
+  * would fall through to Spark's generic
+  * `InsertIntoHadoopFsRelationCommand`, which writes raw parquet under
+  * the relation's rootPaths — bypassing manifests, stats harvest and
+  * the atomic version claim entirely (the qtable FileIndex synthesizes
+  * rootPaths from manifest entries, so that fallback fails on the
+  * filesystem rather than corrupting) — and `DELETE FROM` would be
+  * rejected outright (Spark supports it only for DSv2 tables). The
+  * rules reroute both through the engine's jobs —
+  * the custom-`Rule[LogicalPlan]` integration point
+  * `SparkSessionExtensions` exists for.
   *
   * Only relations created by [[QTableSource]] at the CURRENT MAIN HEAD
   * carry [[QTableFileIndex.insertRoot]]; a time-traveled or branch view
   * never matches (the rule skipping = the safe failure mode).
   */
 class QTableExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(s => new ResolveQTableInsert(s))
+    e.injectResolutionRule(s => new ResolveQTableDelete(s))
+  }
+}
+
+/** Rewrites `DELETE FROM <qtable view> WHERE <cond>` into the engine's
+  * [[graft.jobs.DeleteJob]]: stats-provable whole files drop at
+  * METADATA level, surviving rows position-delete (merge-on-read) —
+  * the exact CLI `delete --where` semantics, now reachable from SQL.
+  * The condition is carried as its SQL text (the command replans it
+  * against the table's own scan, exactly like the CLI path — resolved
+  * attribute ids from the view's plan would not survive the re-plan). */
+class ResolveQTableDelete(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case d @ DeleteFromTable(tbl, cond) if cond.resolved =>
+      QTableExtensions.unwrap(tbl) match {
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+            if QTableExtensions.dmlRoot(h).isDefined =>
+          // Strip view qualifiers: the command replans the condition
+          // against the table's own scan, where `viewname.col` would
+          // not resolve — only the bare column names carry over.
+          val bare = cond.transform {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              a.withQualifier(Nil)
+          }
+          DeleteFromQTableCommand(QTableExtensions.dmlRoot(h).get, bare.sql)
+        case _ => d
+      }
+  }
+}
+
+/** The rerouted DELETE — one commit through DeleteJob (metadata-level
+  * file drops where stats prove them, position deletes elsewhere). */
+case class DeleteFromQTableCommand(root: String, condSql: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = QTable(root, spark)
+    graft.jobs.CommitRetry.withCommitRetry()(
+      new graft.jobs.DeleteJob(t).run(org.apache.spark.sql.functions.expr(condSql)))
+    Seq.empty
+  }
+}
+
+object QTableExtensions {
+  private[spark] def unwrap(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, c) => unwrap(c)
+    case v: View => unwrap(v.child)
+    case other => other
+  }
+
+  /** The table root a DML statement over this relation may write to —
+    * present only on head-of-main relations ([[QTableFileIndex.insertRoot]]). */
+  private[spark] def dmlRoot(h: HadoopFsRelation): Option[String] =
+    h.location match {
+      case q: QTableFileIndex => q.insertRoot
+      case _ => None
+    }
 }
 
 /** Rewrites `InsertIntoStatement` over an insertable qtable relation
@@ -43,11 +102,7 @@ class QTableExtensions extends (SparkSessionExtensions => Unit) {
   * when the statement carries an explicit column list or `BY NAME`. */
 class ResolveQTableInsert(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def unwrap(p: LogicalPlan): LogicalPlan = p match {
-    case SubqueryAlias(_, c) => unwrap(c)
-    case v: View => unwrap(v.child)
-    case other => other
-  }
+  import QTableExtensions.unwrap
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case i: InsertIntoStatement if i.query.resolved =>

@@ -1,0 +1,130 @@
+package graft.format
+
+import graft.TestSpark
+import graft.model.DataFileEntry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-plane behavior at 10^5 FILE ENTRIES (modeling a ~50 TB
+  * table at 512 MB/file) — the sandbox-sized evidence that the
+  * metadata design holds toward 10^12-image scale:
+  *
+  *  - planning NEVER touches the filesystem: every entry here points
+  *    at a path that does not exist, so any list/stat call in the
+  *    planning path would throw — passing IS the proof;
+  *  - an append to a 100k-entry table writes O(append) metadata (one
+  *    new manifest + one snapshot), never O(table);
+  *  - stats pruning over 100k entries is pure in-memory work with
+  *    exact selectivity;
+  *  - streaming/incremental planning reads only the appended
+  *    manifests, O(appended metadata) per batch.
+  *
+  * Wall-clock observations for these shapes are recorded in
+  * BENCH/NOTES.md (they are printed here, not asserted — time asserts
+  * flake on a shared host; the SHAPE asserts are the contract). */
+class MetadataScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val N = 100000
+  private val Buckets = 32
+
+  /** Ghost entries: disjoint 1000-wide phash windows per file, sorted
+    * image_id windows, 512 MB / 5000 rows each — none of the paths
+    * exist on disk. */
+  private def ghost(root: String, from: Int, n: Int): Seq[DataFileEntry] =
+    (from until from + n).map { i =>
+      DataFileEntry(
+        path = s"$root/data/ghost/f$i.parquet",
+        rowCount = 5000L,
+        byteCount = 512L << 20,
+        pbucketMin = i % Buckets, pbucketMax = i % Buckets,
+        phashMin = i * 1000L, phashMax = i * 1000L + 999L,
+        imageIdMin = f"img$i%09d-a", imageIdMax = f"img$i%09d-z",
+        seq = DataFileEntry.UnstampedSeq)
+    }
+
+  private def mdFileCount(t: QTable): Int =
+    new java.io.File(t.metadataDir).listFiles().count(_.isFile)
+
+  test("append to a 100k-entry table writes O(append) metadata, not O(table)") {
+    val root = TestSpark.tmpDir("mdscale")
+    val t = QTable.create(root, spark, Buckets)
+    val snap0 = t.currentSnapshot
+
+    val t0 = System.nanoTime()
+    val head = t.commit(Some(snap0), "append", ghost(root, 0, N),
+      reuseManifests = snap0.manifests)
+    val commitMs = (System.nanoTime() - t0) / 1e6
+    assert(head.manifests.size == math.ceil(N / 512.0).toInt)
+    assert(head.manifests.map(_.fileCount).sum == N)
+
+    val t1 = System.nanoTime()
+    val loaded = t.entries(head)
+    val loadMs = (System.nanoTime() - t1) / 1e6
+    assert(loaded.size == N)
+
+    // the O(append) claim, counted in actual metadata files written
+    val before = mdFileCount(t)
+    val t2 = System.nanoTime()
+    val head2 = t.commit(Some(head), "append", ghost(root, N, 512),
+      reuseManifests = head.manifests)
+    val appendMs = (System.nanoTime() - t2) / 1e6
+    assert(head2.manifests.size == head.manifests.size + 1,
+      "the append must land in exactly one fresh manifest")
+    assert(mdFileCount(t) - before == 2,
+      "an append writes one manifest + one snapshot file — nothing else")
+
+    // incremental/streaming planning reads only the appended manifests
+    val t3 = System.nanoTime()
+    val streamed = t.streamedEntries(head.version, head2.version,
+      skipChangeCommits = false)
+    val incrMs = (System.nanoTime() - t3) / 1e6
+    assert(streamed.size == 512)
+    assert(streamed.forall(_.path.contains("/ghost/")))
+
+    info(f"100k-entry commit $commitMs%.0f ms, full entries load " +
+      f"$loadMs%.0f ms, 512-entry append $appendMs%.0f ms, " +
+      f"incremental plan $incrMs%.0f ms")
+  }
+
+  test("stats pruning over 100k ghost entries: exact selectivity, zero FS access") {
+    val root = TestSpark.tmpDir("mdscale-idx")
+    val t = QTable.create(root, spark, Buckets)
+    val head = t.commit(Some(t.currentSnapshot), "append", ghost(root, 0, N),
+      reuseManifests = t.currentSnapshot.manifests)
+    val ents = t.entries(head)
+    val idx = new QTableFileIndex(ents)
+    assert(idx.sizeInBytes == N.toLong * (512L << 20)) // ~51 TB modeled
+
+    // range predicate covering exactly files 1000..1999
+    val phash = AttributeReference("phash", LongType)()
+    val t0 = System.nanoTime()
+    idx.listFiles(Nil, Seq(And(
+      GreaterThanOrEqual(phash, Literal(1000L * 1000L)),
+      LessThanOrEqual(phash, Literal(2000L * 1000L - 1L)))))
+    val rangeMs = (System.nanoTime() - t0) / 1e6
+    assert(idx.lastSelection == ((1000, N)),
+      s"range must select exactly its 1000 files, got ${idx.lastSelection}")
+
+    // point lookup: one file survives out of 100k
+    val id = AttributeReference("image_id", StringType)()
+    val t1 = System.nanoTime()
+    idx.listFiles(Nil, Seq(EqualTo(id,
+      Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(f"img${77077}%09d-m"), StringType))))
+    val pointMs = (System.nanoTime() - t1) / 1e6
+    assert(idx.lastSelection == ((1, N)))
+
+    // manifest-level pre-pruning (planFiles) agrees with the index
+    val t2 = System.nanoTime()
+    val planned = t.planFiles(head, phashRange = Some((1000L * 1000L, 2000L * 1000L - 1L)))
+    val planMs = (System.nanoTime() - t2) / 1e6
+    assert(planned.size == 1000)
+
+    info(f"100k-entry pruning: range ${rangeMs}%.0f ms, point " +
+      f"${pointMs}%.0f ms, planFiles ${planMs}%.0f ms")
+    // no data file exists: every one of the calls above planned a
+    // ~51 TB table without a single filesystem touch
+  }
+}

@@ -186,6 +186,29 @@ class QTableSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView("qins_src")
   }
 
+  test("SQL DELETE FROM a qtable view routes through DeleteJob") {
+    val t = fresh(400)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qdel_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    val v0 = t.currentVersion
+    val preOther = t.read().where(!col("image_id").endsWith("7")).count()
+    spark.sql("DELETE FROM qdel_imgs WHERE image_id LIKE '%7'")
+    assert(t.currentVersion == v0 + 1)
+    assert(t.currentSnapshot.operation == "delete")
+    assert(t.read().where(col("image_id").endsWith("7")).count() == 0)
+    assert(t.read().count() == preOther, "non-matching rows must survive")
+    // the registered view is snapshot-isolated: it still reads pre-delete
+    assert(spark.sql("SELECT count(*) FROM qdel_imgs").head().getLong(0) == 400)
+    // a second DELETE through the SAME (now stale) view still works:
+    // like the CLI, the command re-loads the table at head — the view
+    // is only the name-resolution handle, never the target snapshot
+    spark.sql("DELETE FROM qdel_imgs WHERE fmt = 'png'")
+    assert(t.currentVersion == v0 + 2)
+    assert(t.currentSnapshot.operation == "delete")
+    assert(t.read().where(col("fmt") === "png").count() == 0)
+    spark.catalog.dropTempView("qdel_imgs")
+  }
+
   test("SQL INSERT into a time-traveled view is refused, not misrouted") {
     val t = fresh(100)
     AppendJob.append(t, DataGen.generate(spark, 10, 9L, 1).toDF(), 1)
