@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--sync] [--job-id J]   (--sync = WHEN NOT MATCHED BY SOURCE THEN DELETE)
   *   spark-submit --class graft.Main <jar> upsert  --table T (--source DIR | --rows N [--inserts K]) [--delete-col C] [--job-id J]   (scan-free whole-record upsert via equality deletes)
   *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
+  *   spark-submit --class graft.Main <jar> update  --table T --set 'c1 = expr[; c2 = expr]' [--where 'SQL predicate'] [--mor]   (condition-driven UPDATE: CoW matched files, or MOR with --mor)
   *   spark-submit --class graft.Main <jar> stream  --table T (--source DIR | --rows N) [--follow] [--checkpoint D]
   *   spark-submit --class graft.Main <jar> stream  --table T --upsert [--eq] (--source DIR | --rows N) [--set c1,c2] [--delete-col C] [--seq-col C]   (streaming upsert per micro-batch: MOR MERGE, or scan-free equality deletes with --eq)
   *   spark-submit --class graft.Main <jar> expire  --table T [--keep K] [--older-than-hours H] [--dry-run]   (dry-run prices the reclaim, deletes nothing)
@@ -194,6 +195,25 @@ object Main {
         val snap = CommitRetry.withCommitRetry()(
           new DeleteJob(table, jobId).run(cond))
         report("delete", snap.summary ++ Map("version" -> snap.version.toString))
+
+      case "update" =>
+        // condition-driven UPDATE (no source): --set "c1 = expr[; c2 =
+        // expr]" assignments over logical columns, --where gates rows;
+        // CoW by default (only matched files rewrite), --mor position-
+        // deletes old versions and appends post-images (O(changed rows))
+        val sets = req(opts, "set").split(";").toSeq.map { a =>
+          val m = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=(.+)$".r
+            .findFirstMatchIn(a).getOrElse(throw new IllegalArgumentException(
+              s"malformed assignment '$a' (want: col = expr)"))
+          m.group(1) -> org.apache.spark.sql.functions.expr(m.group(2))
+        }
+        val cond = opts.get("where")
+          .map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val snap = CommitRetry.withCommitRetry()(
+          new UpdateJob(table, jobId, concurrency = concurrency,
+            mergeOnRead = opts.contains("mor")).run(sets, cond))
+        report("update", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "stream" =>
         // Structured Streaming ingest: tail --source DIR of parquet row

@@ -1074,6 +1074,7 @@ object Queries {
     q42Dir(s)
     q43Dir(s)
     q48Dir(s)
+    q49Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -2498,6 +2499,67 @@ object Queries {
        |LEFT JOIN read_parquet('$Q48Root/exp/pre/*.parquet') p
        |ON s.image_id = p.image_id""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Condition-driven UPDATE fixture: a 400-row table updated twice by
+    * the REAL [[graft.jobs.UpdateJob]] — first copy-on-write with a
+    * multi-column simultaneous SET (`caption`, `w = w + h`) over a
+    * broad predicate, then merge-on-read (`upper(caption)` where the
+    * POST-first-update `w` is even, so the oracle must chain). DuckDB
+    * recomputes both from the exported pre-state as nested CASE WHENs,
+    * putting discovery pruning, the CoW group rewrite, MOR position
+    * deletes and the read-side anti-join under one exact oracle. */
+  private val Q49Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_update_dml_v1"
+
+  private def q49Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q49Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q49Root
+    val lockPath = Paths.get(Q49Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) {
+        new graft.format.LocalCommitIO().deleteRecursive(Q49Root)
+        val t = graft.format.QTable.create(s"$Q49Root/table", s, buckets = 4)
+        graft.jobs.AppendJob.append(t,
+          graft.synth.DataGen.generate(s, 400L, 99L).toDF(), filesPerBucket = 2)
+        t.read().select("image_id", "caption", "w", "h", "fmt")
+          .coalesce(1).write.mode("overwrite").parquet(s"$Q49Root/exp/pre")
+        new graft.jobs.UpdateJob(t).run(
+          Seq("caption" -> concat(lit("q49: "), col("image_id")),
+            "w" -> (col("w") + col("h"))),
+          col("fmt") === "png" || col("h") % 3 === 0)
+        new graft.jobs.UpdateJob(t, mergeOnRead = true).run(
+          Seq("caption" -> upper(col("caption"))), col("w") % 2 === 0)
+        Files.createFile(Paths.get(Q49Root, "_FIXTURE_READY"))
+      }
+    } finally { lock.release(); ch.close() }
+    Q49Root
+  }
+
+  /** Post-update table state after the CoW-then-MOR UPDATE chain. */
+  def q49UpdateDml(s: SparkSession, dir: String): DataFrame = {
+    val root = q49Dir(s)
+    graft.format.QTable(s"$root/table", s).read()
+      .select("image_id", "caption", "w", "h")
+  }
+
+  val q49Sql: String =
+    s"""WITH s1 AS (
+       |  SELECT image_id,
+       |    CASE WHEN fmt = 'png' OR (h % 3) = 0
+       |         THEN 'q49: ' || image_id ELSE caption END AS caption,
+       |    CASE WHEN fmt = 'png' OR (h % 3) = 0
+       |         THEN w + h ELSE w END AS w,
+       |    h
+       |  FROM read_parquet('$Q49Root/exp/pre/*.parquet'))
+       |SELECT image_id,
+       |  CASE WHEN (w % 2) = 0 THEN upper(caption) ELSE caption END AS caption,
+       |  w, h
+       |FROM s1""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2546,7 +2608,8 @@ object Queries {
     "q45_default_scan" -> ((q45DefaultScan _, q45Sql)),
     "q46_cherry_pick" -> ((q46CherryPick _, q46Sql)),
     "q47_row_lineage" -> ((q47RowLineage _, q47Sql)),
-    "q48_merge_sync" -> ((q48MergeSync _, q48Sql)))
+    "q48_merge_sync" -> ((q48MergeSync _, q48Sql)),
+    "q49_update_dml" -> ((q49UpdateDml _, q49Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

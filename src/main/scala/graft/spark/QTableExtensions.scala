@@ -2,7 +2,7 @@ package graft.spark
 
 import graft.format.{QTable, QTableFileIndex}
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -37,6 +37,57 @@ class QTableExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(s => new ResolveQTableInsert(s))
     e.injectResolutionRule(s => new ResolveQTableDelete(s))
+    e.injectResolutionRule(s => new ResolveQTableUpdate(s))
+  }
+}
+
+/** Rewrites `UPDATE <qtable view> SET c = e, ... [WHERE <cond>]` into
+  * the engine's [[graft.jobs.UpdateJob]] (copy-on-write: only files
+  * holding matched rows rewrite; the CLI `update --set/--where`
+  * semantics from SQL). Assignments and condition travel as SQL text
+  * for the same replanning reason as the DELETE rule; only top-level
+  * columns are assignable (nested-field SET has no engine analogue —
+  * the schema is flat). */
+class ResolveQTableUpdate(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(tbl, assignments, cond)
+        if assignments.forall(_.resolved) && cond.forall(_.resolved) =>
+      QTableExtensions.unwrap(tbl) match {
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+            if QTableExtensions.dmlRoot(h).isDefined =>
+          def strip(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+            e.transform {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                a.withQualifier(Nil)
+            }
+          val sets = assignments.map { a =>
+            val name = a.key match {
+              case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                ar.name
+              case other => throw new IllegalArgumentException(
+                s"only top-level columns can be assigned: ${other.sql}")
+            }
+            name -> strip(a.value).sql
+          }
+          UpdateQTableCommand(QTableExtensions.dmlRoot(h).get, sets,
+            cond.map(c => strip(c).sql))
+        case _ => u
+      }
+  }
+}
+
+/** The rerouted UPDATE — one commit through UpdateJob (stats-pruned
+  * matched-file discovery, copy-on-write rewrite of only those). */
+case class UpdateQTableCommand(root: String, sets: Seq[(String, String)],
+    condSql: Option[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val t = QTable(root, spark)
+    graft.jobs.CommitRetry.withCommitRetry()(
+      new graft.jobs.UpdateJob(t).run(
+        sets.map { case (c, s) => c -> expr(s) },
+        condSql.map(expr).getOrElse(lit(true))))
+    Seq.empty
   }
 }
 

@@ -209,6 +209,26 @@ class QTableSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView("qdel_imgs")
   }
 
+  test("SQL UPDATE of a qtable view routes through UpdateJob") {
+    val t = fresh(300)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qupd_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    val v0 = t.currentVersion
+    val matched = t.read().where(col("fmt") === "png").count()
+    spark.sql("UPDATE qupd_imgs SET caption = concat('sql: ', image_id), " +
+      "w = w + 10 WHERE fmt = 'png'")
+    assert(t.currentVersion == v0 + 1)
+    assert(t.currentSnapshot.operation == "update")
+    assert(t.currentSnapshot.summary("rows-updated").toLong == matched)
+    assert(t.read().count() == 300, "UPDATE must preserve row count")
+    assert(t.read().where(col("fmt") === "png" &&
+      col("caption") =!= concat(lit("sql: "), col("image_id"))).count() == 0)
+    // condition-less UPDATE through the same (stale) view still commits
+    spark.sql("UPDATE qupd_imgs SET h = h + 1")
+    assert(t.currentVersion == v0 + 2)
+    spark.catalog.dropTempView("qupd_imgs")
+  }
+
   test("SQL INSERT into a time-traveled view is refused, not misrouted") {
     val t = fresh(100)
     AppendJob.append(t, DataGen.generate(spark, 10, 9L, 1).toDF(), 1)
