@@ -47,7 +47,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> <compact|cluster|merge|rebucket|rewrite-manifests|...> --staged   (write-audit-publish)
   *   spark-submit --class graft.Main <jar> publish --table T
   *   spark-submit --class graft.Main <jar> abort-staged --table T
-  *   spark-submit --class graft.Main <jar> set-property --table T --key K --value V   (table-carried policy: write.target-mb, retention.keep-last, ndv.columns, ...)
+  *   spark-submit --class graft.Main <jar> set-property --table T --key K --value V   (table-carried policy: write.target-mb, retention.keep-last, ndv.columns, write.update.mode/write.merge.mode = merge-on-read, ...)
   *   spark-submit --class graft.Main <jar> unset-property --table T --key K
   *   spark-submit --class graft.Main <jar> properties --table T
   *   spark-submit --class graft.Main <jar> tag     --table T --name N [--version V]
@@ -168,7 +168,8 @@ object Main {
         val snap = CommitRetry.withCommitRetry()(
           new MergeJob(table, jobId, concurrency = concurrency,
             updateCols = setCols, deleteCol = opts.get("delete-col"),
-            mergeOnRead = opts.contains("mor"),
+            mergeOnRead = opts.contains("mor") ||
+              tableProp("write.merge.mode").contains("merge-on-read"),
             notMatchedBySourceDelete = opts.contains("sync")).run(corr))
         report("merge", snap.summary ++ Map("version" -> snap.version.toString))
 
@@ -212,7 +213,9 @@ object Main {
           .getOrElse(org.apache.spark.sql.functions.lit(true))
         val snap = CommitRetry.withCommitRetry()(
           new UpdateJob(table, jobId, concurrency = concurrency,
-            mergeOnRead = opts.contains("mor")).run(sets, cond))
+            mergeOnRead = opts.contains("mor") ||
+              tableProp("write.update.mode").contains("merge-on-read"))
+            .run(sets, cond))
         report("update", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "stream" =>

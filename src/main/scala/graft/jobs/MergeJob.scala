@@ -66,7 +66,8 @@ class MergeJob(
     updateCols: Seq[String] = Seq("caption"),
     deleteCol: Option[String] = None,
     mergeOnRead: Boolean = false,
-    notMatchedBySourceDelete: Boolean = false) {
+    notMatchedBySourceDelete: Boolean = false,
+    insertUnmatched: Boolean = true) {
 
   def run(source0: DataFrame, failAfterGroups: Int = Int.MaxValue): Snapshot = {
     val snap = table.currentSnapshot
@@ -75,8 +76,13 @@ class MergeJob(
     // resolve the SET list against the snapshot schema up front: target
     // files carry PHYSICAL (creation-time) names, sources logical names
     val fieldsByName = snap.schemaFields.map(f => f.name -> f).toMap
-    require(updateCols.nonEmpty, "MERGE needs at least one update column")
+    // updateCols MAY be empty: a MERGE without a WHEN MATCHED UPDATE
+    // clause (delete-only, insert-only, mirror-sync) — matched rows are
+    // then never patched, and with no matched ACTION at all their files
+    // are not even rewritten (the insert anti-join still needs them)
     require(!updateCols.contains("image_id"), "cannot SET the merge key")
+    require(updateCols.nonEmpty || deleteCol.isDefined ||
+      notMatchedBySourceDelete || insertUnmatched, "MERGE with no actions")
     val setFields = updateCols.map(c => fieldsByName.getOrElse(c,
       throw new IllegalArgumentException(s"unknown update column: $c")))
     deleteCol.foreach(c => require(source0.columns.contains(c),
@@ -167,7 +173,10 @@ class MergeJob(
     val notDeleteFlagged = deleteCol
       .map(c => !coalesce(col(c).cast("boolean"), lit(false)))
       .getOrElse(lit(true))
-    val inserts = source.where(notDeleteFlagged)
+    // no WHEN NOT MATCHED clause (`insertUnmatched = false`): unmatched
+    // source rows are simply ignored, per ANSI — no anti-join runs
+    val inserts = (if (insertUnmatched) source.where(notDeleteFlagged)
+      else source.limit(0))
       .drop(deleteCol.toSeq: _*)
       .join(
         readLive(affected).select("image_id"),
@@ -176,6 +185,13 @@ class MergeJob(
     val deleteFlagged =
       if (deleteCol.isDefined) srcCount - source.where(notDeleteFlagged).count()
       else 0L
+    // no matched ACTION at all (insert-only merge): matched files are
+    // discovered (the insert anti-join above is scoped by them) but
+    // never rewritten — the merge is a pure append of unmatched rows
+    val noMatchedAction =
+      setFields.isEmpty && deleteCol.isEmpty && !notMatchedBySourceDelete
+    val updatedRows =
+      if (noMatchedAction) 0L else srcCount - insertCount - deleteFlagged
 
     val ckpt = new Checkpoint(table, jobId)
     val already = ckpt.committed
@@ -206,7 +222,7 @@ class MergeJob(
     if (mergeOnRead) {
       // matched rows (with positions) exist only when some file matched;
       // an inserts-only merge skips straight to the append side
-      val matched = if (affected.isEmpty) None else Some(
+      val matched = if (affected.isEmpty || noMatchedAction) None else Some(
         readLivePos(affected)
           .join(updatesSrc, Seq("image_id"))
           .cache())
@@ -266,11 +282,10 @@ class MergeJob(
           "job-id" -> jobId,
           "strategy" -> "merge-on-read",
           "source-rows" -> srcCount.toString,
-          "rows-updated" -> (srcCount - insertCount - deleteFlagged).toString,
+          "rows-updated" -> updatedRows.toString,
           "rows-inserted" -> insertCount.toString,
           "rows-deleted" ->
-            (matchedCount + unmatchedCount -
-              (srcCount - insertCount - deleteFlagged)).toString,
+            (matchedCount + unmatchedCount - updatedRows).toString,
           "files-rewritten" -> "0"),
           reuseManifests = snap.manifests,
           deletesOverride = Some(snap.deleteFiles ++ delEntries))
@@ -284,8 +299,9 @@ class MergeJob(
       paths ++ table.deleteInputsFor(snap, paths) ++
         table.eqDeleteInputsFor(snap, files)
     }
+    val rewriteSet = if (noMatchedAction) Nil else groups
     val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
-      groups, _._1, p => groupInputs(p._2), already, failAfterGroups, concurrency,
+      rewriteSet, _._1, p => groupInputs(p._2), already, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, "merge", gf.group,
         Nil, Nil, 0L, 0L, "failed", gf.attempts))) { case (group, files) =>
       val dir = table.newDataDir(jobId, group)
@@ -345,23 +361,29 @@ class MergeJob(
       }
     }
 
-    val affectedPaths = affected.map(_.path).toSet
-    val untouched = all.filterNot(f => affectedPaths.contains(f.path))
+    // nothing rewritten, nothing inserted: the table is already the
+    // merge result — commit no version (insert-only merge whose source
+    // rows all matched, or a matched-delete that matched nothing)
+    if (rewriteSet.isEmpty && insertCount == 0) {
+      source.unpersist(); inserts.unpersist(); ckpt.clear(); return snap
+    }
+    val rewrittenPaths = rewriteSet.flatMap(_._2).map(_.path).toSet
+    val untouched = all.filterNot(f => rewrittenPaths.contains(f.path))
     source.unpersist(); inserts.unpersist()
     // target rows removed by WHEN MATCHED DELETE = input-vs-output row
     // delta of the rewritten groups (updates preserve row counts; any
     // position deletes folded by the rewrite count here too — they left
     // the physical files in this commit)
-    val deletedRows = affected.map(_.rowCount).sum -
+    val deletedRows = rewriteSet.flatMap(_._2).map(_.rowCount).sum -
       rewritten.flatMap(_.outputFiles).map(_.rowCount).sum
     val committed = table.commit(Some(snap), "merge",
       untouched ++ outputs.flatMap(_.outputFiles), Map(
         "job-id" -> jobId,
         "source-rows" -> srcCount.toString,
-        "rows-updated" -> (srcCount - insertCount - deleteFlagged).toString,
+        "rows-updated" -> updatedRows.toString,
         "rows-inserted" -> insertCount.toString,
         "rows-deleted" -> deletedRows.toString,
-        "files-rewritten" -> affected.size.toString),
+        "files-rewritten" -> rewriteSet.flatMap(_._2).size.toString),
       deletesOverride = Some(table.retainDeletes(snap,
         table.deletePairs(snap), untouched.map(_.path))),
       eqDeletesOverride = Some(table.retainEqDeletes(snap, untouched)))

@@ -38,6 +38,278 @@ class QTableExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(s => new ResolveQTableInsert(s))
     e.injectResolutionRule(s => new ResolveQTableDelete(s))
     e.injectResolutionRule(s => new ResolveQTableUpdate(s))
+    e.injectResolutionRule(s => new ResolveQTableMerge(s))
+    // Hints batch (runs BEFORE Resolution): the built-in star expansion
+    // would demand the derived `pbucket` column from the merge source
+    // and fail analysis before any resolution rule could intervene
+    e.injectHintResolutionRule(s => new ExpandQTableMergeStar(s))
+    // ... but `HiveSessionStateBuilder`'s analyzer override forwards
+    // extendedResolutionRules/postHocResolutionRules and DROPS injected
+    // hint rules (Spark 4.1), so under spark-sql/Hive session state the
+    // same expansion must happen even earlier: at parse time
+    e.injectParser((s, delegate) => new QTableSqlParser(s, delegate))
+  }
+}
+
+/** Delegating parser whose only change is running
+  * [[QTableExtensions.expandMergeStar]] over freshly parsed plans —
+  * the pre-analysis `INSERT *` fix that works under EVERY session
+  * state builder (the Hints-batch rule above covers programmatic
+  * plans under the in-memory builder, but Hive's analyzer override
+  * loses injected hint rules). */
+class QTableSqlParser(session: SparkSession,
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+  extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    QTableExtensions.expandMergeStar(session, delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    QTableExtensions.expandMergeStar(session,
+      delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+}
+
+/** Expands `WHEN NOT MATCHED THEN INSERT *` over a qtable temp view
+  * into an explicit same-name assignment list MINUS the derived
+  * partition column `pbucket` (recomputed from the key on append).
+  * Must run in the Hints batch: the built-in `ResolveReferences` both
+  * resolves a merge's children and star-expands its actions within ONE
+  * rule application, so an end-of-Resolution-batch rule never sees the
+  * plan before the expansion fails on pbucket. The target is still an
+  * `UnresolvedRelation` here — the qtable check goes through the
+  * session catalog's temp-view registry instead of the plan. */
+class ExpandQTableMergeStar(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    QTableExtensions.expandMergeStar(spark, plan)
+}
+
+/** Rewrites `MERGE INTO <qtable view> USING <source> ON ... WHEN ...`
+  * into the engine's [[graft.jobs.MergeJob]]. Supported shapes are the
+  * canonical lakehouse MERGE — everything MergeJob expresses:
+  *
+  *  - `ON t.image_id = s.<key>` (equi-join on the primary key; any
+  *    other join condition is refused — the engine's CoW/MOR machinery
+  *    is keyed);
+  *  - `WHEN MATCHED [AND s.<boolCol>] THEN DELETE` (at most one; an
+  *    unconditional delete synthesizes a constant-true flag);
+  *  - `WHEN MATCHED THEN UPDATE SET t.c = s.c', ...` (unconditional,
+  *    source-column values — arbitrary expressions belong in the
+  *    source subquery, which SQL composes naturally);
+  *  - `WHEN NOT MATCHED THEN INSERT *` (unconditional; without the
+  *    clause, unmatched source rows are suppressed by a semi-join
+  *    against the target's keys before the job runs — MergeJob itself
+  *    always inserts);
+  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (mirror sync).
+  *
+  * Ordering rule: a conditional DELETE must precede the UPDATE (ANSI
+  * first-match-wins is then exactly MergeJob's delete-flag split).
+  * Unsupported clauses are refused with a message naming them — never
+  * silently dropped. */
+class ResolveQTableMerge(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if m.sourceTable.resolved &&
+        m.mergeCondition.resolved && m.targetTable.resolved &&
+        (m.matchedActions ++ m.notMatchedActions ++
+          m.notMatchedBySourceActions).forall {
+            case u: UpdateAction =>
+              u.condition.forall(_.resolved) && u.assignments.forall(_.resolved)
+            case i: InsertAction =>
+              i.condition.forall(_.resolved) && i.assignments.forall(_.resolved)
+            case a => a.condition.forall(_.resolved)
+          } =>
+      QTableExtensions.unwrap(m.targetTable) match {
+        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+            if QTableExtensions.dmlRoot(h).isDefined =>
+          translate(m, QTableExtensions.dmlRoot(h).get)
+        case _ => m
+      }
+  }
+
+  /** The analyzer aligns assignment values with `AssertNotNull` (non-
+    * nullable target column) and `Cast` (type alignment) wrappers — both
+    * re-applied by MergeJob's own declared-type cast, so look through. */
+  private def bareValue(e: Expression): Expression = e match {
+    case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+      bareValue(a.child)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => bareValue(c.child)
+    case other => other
+  }
+
+  private def refuse(what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"MERGE INTO qtable: unsupported $what — supported: " +
+        "ON t.image_id = s.<key>; WHEN MATCHED [AND s.<boolCol>] THEN " +
+        "DELETE; WHEN MATCHED THEN UPDATE SET t.c = s.c; WHEN NOT " +
+        "MATCHED THEN INSERT *; WHEN NOT MATCHED BY SOURCE THEN DELETE")
+
+  private def translate(m: MergeIntoTable, root: String): LogicalPlan = {
+    if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
+    val tgtOut = m.targetTable.outputSet
+    val srcOut = m.sourceTable.outputSet
+    def isTgt(e: Expression) = e.references.subsetOf(tgtOut)
+    def isSrc(e: Expression) = e.references.subsetOf(srcOut)
+
+    // ON t.image_id = s.<key>, either side order
+    val srcKey = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (isTgt(a) && a.name == "image_id" && isSrc(b)) b.name
+        else if (isTgt(b) && b.name == "image_id" && isSrc(a)) a.name
+        else refuse(s"merge condition '${m.mergeCondition.sql}'")
+      case other => refuse(s"merge condition '${other.sql}'")
+    }
+
+    // matched actions: optional leading conditional DELETE + optional
+    // unconditional UPDATE (first-match-wins = MergeJob's flag split)
+    var deleteSrcCol: Option[String] = None
+    var updates: Seq[(String, String)] = Nil
+    m.matchedActions match {
+      case Seq() => ()
+      case Seq(d: DeleteAction) =>
+        deleteSrcCol = Some(d.condition.map(delFlag(_, srcOut)).getOrElse(""))
+      case Seq(u: UpdateAction) => updates = updateSets(u, srcOut)
+      case Seq(d: DeleteAction, u: UpdateAction) =>
+        val flag = d.condition.getOrElse(refuse(
+          "unconditional WHEN MATCHED THEN DELETE before an UPDATE " +
+            "(the UPDATE could never fire)"))
+        deleteSrcCol = Some(delFlag(flag, srcOut))
+        updates = updateSets(u, srcOut)
+      case other => refuse(s"matched-action shape (${other.map(_.getClass.getSimpleName).mkString(", ")})")
+    }
+
+    // not-matched: INSERT * only (explicit lists belong in the source)
+    val insertStar = m.notMatchedActions match {
+      case Seq() => false
+      case Seq(i: InsertStarAction) =>
+        if (i.condition.isDefined) refuse("conditional WHEN NOT MATCHED")
+        true
+      case Seq(i: InsertAction) =>
+        if (i.condition.isDefined) refuse("conditional WHEN NOT MATCHED")
+        // an explicit column list is fine when it is a same-name
+        // source-column relabeling of INSERT * (the parser produces
+        // this for INSERT (cols) VALUES (s.cols)); anything computed
+        // is refused toward the source subquery
+        val byName = i.assignments.forall { a =>
+          (a.key, bareValue(a.value)) match {
+            case (k: AttributeReference, v: AttributeReference) =>
+              isSrc(v) && (k.name == v.name || v.name == srcKey)
+            case _ => false
+          }
+        }
+        if (!byName) refuse("computed INSERT values (compose them in the USING subquery)")
+        true
+      case other => refuse(s"not-matched-action shape (${other.map(_.getClass.getSimpleName).mkString(", ")})")
+    }
+
+    val nmbsDelete = m.notMatchedBySourceActions match {
+      case Seq() => false
+      case Seq(d: DeleteAction) if d.condition.isEmpty => true
+      case other => refuse(s"not-matched-by-source shape (${other.map(_.getClass.getSimpleName).mkString(", ")})")
+    }
+
+    if (updates.isEmpty && deleteSrcCol.isEmpty && !insertStar && !nmbsDelete)
+      refuse("MERGE with no actions")
+    // INSERT * takes column c from source column c; an UPDATE feeding c
+    // from a DIFFERENTLY-named source column would give inserts and
+    // updates divergent values for one column — MergeJob reads one
+    // source row for both, so this shape cannot be expressed
+    if (insertStar && updates.exists { case (tc, sc) => tc != sc })
+      refuse("UPDATE SET from a renamed source column combined with " +
+        "INSERT * (alias the column in the USING subquery instead)")
+
+    MergeIntoQTableCommand(root, m.sourceTable, srcKey, updates,
+      deleteSrcCol, insertStar, nmbsDelete)
+  }
+
+  /** `WHEN MATCHED AND <flag>` — the flag must be a bare source boolean
+    * column (MergeJob's deleteCol contract). */
+  private def delFlag(e: Expression,
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): String =
+    e match {
+      case a: AttributeReference
+          if srcOut.contains(a) &&
+            a.dataType == org.apache.spark.sql.types.BooleanType => a.name
+      case other => refuse(s"matched-delete condition '${other.sql}' " +
+        "(must be a bare boolean source column)")
+    }
+
+  /** UPDATE SET list: every value a bare source column (expressions
+    * compose in the USING subquery); unconditional only. */
+  private def updateSets(u: UpdateAction,
+      srcOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Seq[(String, String)] = {
+    if (u.condition.isDefined) refuse("conditional WHEN MATCHED UPDATE")
+    u.assignments.map { a =>
+      (a.key, bareValue(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference) if srcOut.contains(v) =>
+          k.name -> v.name
+        case (k, v) => refuse(s"UPDATE assignment '${k.sql} = ${v.sql}' " +
+          "(values must be source columns; compute them in the USING subquery)")
+      }
+    }
+  }
+}
+
+/** The rerouted MERGE — one commit through [[graft.jobs.MergeJob]]'s
+  * copy-on-write path. The resolved source plan rides along and is
+  * re-wrapped as a DataFrame at execution; target names are produced
+  * by projection so renamed/differently-named source columns line up. */
+case class MergeIntoQTableCommand(
+    root: String,
+    source: LogicalPlan,
+    srcKey: String,
+    updates: Seq[(String, String)],      // target col -> source col
+    deleteSrcCol: Option[String],        // Some("") = unconditional delete
+    insertStar: Boolean,
+    nmbsDelete: Boolean) extends LeafRunnableCommand {
+  import org.apache.spark.sql.functions._
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = QTable(root, spark)
+    val src0 = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
+    val snapFields = t.currentSnapshot.schemaFields.map(_.name)
+    val updTargets = updates.map(_._1).toSet
+    // one projection builds the job's source: the key, each update
+    // target from its source column, the delete flag, and (INSERT *)
+    // every remaining table column the source exposes by name
+    val delFlagCol = deleteSrcCol.map {
+      case "" => lit(true).as("_graft_del")
+      case c => col(c).cast("boolean").as("_graft_del")
+    }
+    val passThrough =
+      if (!insertStar) Nil
+      else snapFields.filter(c => c != "image_id" && c != "pbucket" &&
+        !updTargets.contains(c) && src0.columns.contains(c)).map(col(_))
+    val proj = col(srcKey).as("image_id") +:
+      (updates.map { case (tc, sc) => col(sc).as(tc) } ++
+        passThrough ++ delFlagCol.toSeq)
+    graft.jobs.CommitRetry.withCommitRetry()(
+      new graft.jobs.MergeJob(t,
+        updateCols = updates.map(_._1),
+        deleteCol = delFlagCol.map(_ => "_graft_del"),
+        insertUnmatched = insertStar,
+        // Iceberg's write.merge.mode property picks the strategy
+        mergeOnRead = t.property("write.merge.mode").contains("merge-on-read"),
+        notMatchedBySourceDelete = nmbsDelete).run(src0.select(proj: _*)))
+    Seq.empty
   }
 }
 
@@ -77,16 +349,20 @@ class ResolveQTableUpdate(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** The rerouted UPDATE — one commit through UpdateJob (stats-pruned
-  * matched-file discovery, copy-on-write rewrite of only those). */
+  * matched-file discovery; copy-on-write rewrite of only those files,
+  * or merge-on-read when the table carries
+  * `write.update.mode = merge-on-read` — the Iceberg property). */
 case class UpdateQTableCommand(root: String, sets: Seq[(String, String)],
     condSql: Option[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
     val t = QTable(root, spark)
     graft.jobs.CommitRetry.withCommitRetry()(
-      new graft.jobs.UpdateJob(t).run(
-        sets.map { case (c, s) => c -> expr(s) },
-        condSql.map(expr).getOrElse(lit(true))))
+      new graft.jobs.UpdateJob(t,
+        mergeOnRead = t.property("write.update.mode").contains("merge-on-read"))
+        .run(
+          sets.map { case (c, s) => c -> expr(s) },
+          condSql.map(expr).getOrElse(lit(true))))
     Seq.empty
   }
 }
@@ -134,6 +410,55 @@ object QTableExtensions {
     case SubqueryAlias(_, c) => unwrap(c)
     case v: View => unwrap(v.child)
     case other => other
+  }
+
+  /** Expands `WHEN NOT MATCHED THEN INSERT *` over a qtable temp view
+    * into an explicit same-name assignment list MINUS the derived
+    * partition column `pbucket` (recomputed from the key on append).
+    * Must run BEFORE the Resolution batch: the built-in
+    * `ResolveReferences` both resolves a merge's children and
+    * star-expands its actions within ONE rule application, so an
+    * end-of-Resolution-batch rule never sees the plan before the
+    * expansion fails on pbucket. The target is still an
+    * `UnresolvedRelation` here — the qtable check goes through the
+    * session catalog's temp-view registry instead of the plan. */
+  private[spark] def expandMergeStar(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, MergeIntoTable}
+
+    /** Column names of the target iff it is a single-part temp-view name
+      * whose stored plan is a head-of-main qtable relation. */
+    def qtableViewSchema(target: LogicalPlan): Option[Seq[String]] = {
+      val name = target.collectFirst {
+        case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+          u.multipartIdentifier.head
+      }
+      name.flatMap(n =>
+        spark.sessionState.catalog.getTempView(n).flatMap { v =>
+          unwrap(v) match {
+            case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+                if dmlRoot(h).isDefined =>
+              Some(h.schema.fieldNames.toSeq)
+            case _ => None
+          }
+        })
+    }
+
+    plan.resolveOperators {
+      case m: MergeIntoTable
+          if m.notMatchedActions.exists(_.isInstanceOf[InsertStarAction]) =>
+        qtableViewSchema(m.targetTable) match {
+          case Some(cols) =>
+            val assigns = cols.filterNot(_ == "pbucket").map(c =>
+              Assignment(UnresolvedAttribute(c), UnresolvedAttribute(c)))
+            m.copy(notMatchedActions = m.notMatchedActions.map {
+              case i: InsertStarAction => InsertAction(i.condition, assigns)
+              case a => a
+            })
+          case None => m
+        }
+    }
   }
 
   /** The table root a DML statement over this relation may write to —

@@ -238,4 +238,65 @@ class MergeJobSpec extends AnyFunSuite {
     assert(ok, s"$bad violations after resumed merge")
     corr.unpersist()
   }
+
+  test("insertUnmatched=false: unmatched source rows are ignored (ANSI no-insert)") {
+    val t = freshTable(300, buckets = 2)
+    // 5 matched corrections + 4 unmatched rows that must NOT insert
+    val upd = t.read().limit(5).drop("pbucket")
+      .withColumn("caption", concat(lit("u: "), col("image_id")))
+    import spark.implicits._
+    val ghost = DataGen.generate(spark, 4, 9L, 1)
+      .map(r => r.copy(image_id = "zz-" + r.image_id)).toDF().drop("pbucket")
+    val snap = new MergeJob(t, insertUnmatched = false).run(upd.unionByName(ghost))
+    assert(t.read(snap).count() == 300, "no insert may happen")
+    assert(t.read(snap).where(col("image_id").startsWith("zz-")).count() == 0)
+    assert(snap.summary("rows-inserted") == "0")
+    assert(t.read(snap).where(col("caption").startsWith("u: ")).count() == 5)
+  }
+
+  test("empty updateCols: delete-only merge keeps non-flagged matched rows intact") {
+    val t = freshTable(400, buckets = 2)
+    val pre = t.read().cache()
+    // flag ~1/4 of the keys for deletion; the rest matched but untouched
+    val src = pre.select(col("image_id"),
+      (pmod(xxhash64(col("image_id")), lit(4)) === 0).as("kill"))
+    val nKill = src.where(col("kill")).count()
+    assert(nKill > 0)
+    val snap = new MergeJob(t, updateCols = Nil, deleteCol = Some("kill"),
+      insertUnmatched = false).run(src)
+    val post = t.read(snap)
+    assert(post.count() == 400 - nKill)
+    // surviving rows bit-identical (no update clause ran)
+    val surviving = pre.where(pmod(xxhash64(col("image_id")), lit(4)) =!= 0)
+    assert(post.exceptAll(surviving).count() == 0)
+    assert(surviving.exceptAll(post).count() == 0)
+    pre.unpersist()
+  }
+
+  test("no matched action: insert-only merge never rewrites matched files") {
+    val t = freshTable(300, buckets = 2)
+    val pre = t.currentSnapshot
+    import spark.implicits._
+    // half the source matches (must be ignored AND not rewritten),
+    // half is new (must append)
+    val newRows = DataGen.generate(spark, 4, 7L, 1)
+      .map(r => r.copy(image_id = "ins-" + r.image_id)).toDF()
+    val src = t.read().limit(6).drop("pbucket").unionByName(newRows.drop("pbucket"))
+    val snap = new MergeJob(t, updateCols = Nil).run(src)
+    assert(snap.summary("files-rewritten") == "0")
+    assert(snap.summary("rows-inserted") == "4")
+    assert(snap.summary("rows-updated") == "0")
+    assert(t.read(snap).count() == 304)
+    // every pre file carried by reference
+    assert(t.entries(pre).map(_.path).toSet
+      .subsetOf(t.entries(snap).map(_.path).toSet))
+  }
+
+  test("insert-only merge whose source fully matches commits nothing") {
+    val t = freshTable(200, buckets = 2)
+    val v0 = t.currentVersion
+    val snap = new MergeJob(t, updateCols = Nil)
+      .run(t.read().limit(10).drop("pbucket"))
+    assert(snap.version == v0, "fully-matched insert-only merge must be a no-op")
+  }
 }

@@ -229,6 +229,80 @@ class QTableSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView("qupd_imgs")
   }
 
+  test("SQL MERGE INTO a qtable view routes through MergeJob") {
+    val t = fresh(300)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qm_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    // source: corrections for ~1/3 of the keys + 3 fresh full rows
+    val upd = t.read().where(col("phash") % 3 === 0)
+      .withColumn("caption", concat(lit("m: "), col("image_id")))
+      .drop("pbucket")
+    val nUpd = upd.count()
+    val ins = graft.synth.DataGen.generate(spark, 3, 5L, 1).toDF()
+      .withColumn("image_id", concat(lit("sqlm-"), col("image_id")))
+      .drop("pbucket")
+    upd.unionByName(ins).createOrReplaceTempView("qm_src")
+    val v0 = t.currentVersion
+    spark.sql("""MERGE INTO qm_imgs t USING qm_src s
+      ON t.image_id = s.image_id
+      WHEN MATCHED THEN UPDATE SET t.caption = s.caption
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.currentVersion == v0 + 1)
+    assert(t.currentSnapshot.operation == "merge")
+    assert(t.currentSnapshot.summary("rows-updated").toLong == nUpd)
+    assert(t.currentSnapshot.summary("rows-inserted") == "3")
+    assert(t.read().count() == 303)
+    assert(t.read().where(col("phash") % 3 === 0 &&
+      !col("image_id").startsWith("sqlm-") &&
+      col("caption") =!= concat(lit("m: "), col("image_id"))).count() == 0)
+    spark.catalog.dropTempView("qm_src")
+    spark.catalog.dropTempView("qm_imgs")
+  }
+
+  test("SQL MERGE without NOT MATCHED ignores unmatched; DELETE clause fires") {
+    val t = fresh(200)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qm2_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    // matched rows: kill flagged ones, refresh the rest; plus one
+    // unmatched row that must NOT insert (no NOT MATCHED clause)
+    val src = t.read().limit(8)
+      .select(col("image_id"), concat(lit("d: "), col("image_id")).as("caption"),
+        (col("phash") % 2 === 0).as("kill"))
+      .unionByName(spark.sql(
+        "SELECT 'ghost-row' image_id, 'x' caption, true kill"))
+    src.createOrReplaceTempView("qm2_src")
+    val nKill = src.where(col("kill") && col("image_id") =!= "ghost-row").count()
+    spark.sql("""MERGE INTO qm2_imgs t USING qm2_src s
+      ON t.image_id = s.image_id
+      WHEN MATCHED AND s.kill THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.caption = s.caption""")
+    assert(t.read().count() == 200 - nKill, "kills applied, ghost not inserted")
+    assert(t.read().where(col("caption").startsWith("d: ")).count() == 8 - nKill)
+    // unsupported shape is refused with the supported-grammar message
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO qm2_imgs t USING qm2_src s
+        ON t.caption = s.caption
+        WHEN MATCHED THEN UPDATE SET t.caption = s.caption""")
+    }
+    assert(e.getMessage.contains("unsupported merge condition") ||
+      Option(e.getCause).exists(_.getMessage.contains("unsupported merge condition")),
+      s"got: ${e.getMessage}")
+    spark.catalog.dropTempView("qm2_src")
+    spark.catalog.dropTempView("qm2_imgs")
+  }
+
+  test("write.update.mode=merge-on-read routes SQL UPDATE to MOR") {
+    val t = fresh(200)
+    t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qmor_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    spark.sql("UPDATE qmor_imgs SET caption = 'mor' WHERE fmt = 'png'")
+    assert(t.currentSnapshot.operation == "update")
+    assert(t.currentSnapshot.summary("strategy") == "merge-on-read")
+    assert(t.currentSnapshot.summary("files-rewritten") == "0")
+    spark.catalog.dropTempView("qmor_imgs")
+  }
+
   test("SQL INSERT into a time-traveled view is refused, not misrouted") {
     val t = fresh(100)
     AppendJob.append(t, DataGen.generate(spark, 10, 9L, 1).toDF(), 1)
