@@ -124,6 +124,25 @@ class UpdateJobSpec extends AnyFunSuite {
       new UpdateJob(t).run(Nil, lit(true)) }
   }
 
+  test("CoW UPDATE is resumable per group: committed groups reused") {
+    val t = freshTable(800)
+    val jobId = "update-resume"
+    val sets = Seq("caption" -> concat(lit("r: "), col("image_id")))
+    // phash LSB is constant-odd in the generator; %3 splits ~1/3
+    val cond = col("phash") % 3 === 0
+    intercept[RuntimeException] {
+      new UpdateJob(t, jobId).run(sets, cond, failAfterGroups = 1)
+    }
+    val committed = new Checkpoint(t, jobId).committed
+    assert(committed.nonEmpty, "first attempt must have committed a group")
+    val matched = t.read().where(cond).count()
+    val snap = new UpdateJob(t, jobId).run(sets, cond)
+    assert(t.read(snap).count() == 800)
+    assert(t.read(snap).where(col("caption").startsWith("r: ")).count() == matched)
+    assert(t.read(snap).where(cond &&
+      !col("caption").startsWith("r: ")).count() == 0)
+  }
+
   test("row lineage: updated rows keep their _row_id on both strategies") {
     for (morFlag <- Seq(false, true)) {
       val t = freshTable(300, buckets = 2)
