@@ -60,12 +60,14 @@ class QTableExtensions extends (SparkSessionExtensions => Unit) {
 class QTableSqlParser(session: SparkSession,
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
   extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  private def post(p: LogicalPlan): LogicalPlan =
+    QTableExtensions.expandTimeTravel(session,
+      QTableExtensions.expandMergeStar(session, p))
   override def parsePlan(sqlText: String): LogicalPlan =
-    QTableExtensions.expandMergeStar(session, delegate.parsePlan(sqlText))
+    post(delegate.parsePlan(sqlText))
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    QTableExtensions.expandMergeStar(session,
-      delegate.parsePlanWithParameters(sqlText, ctx))
+    post(delegate.parsePlanWithParameters(sqlText, ctx))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String) =
@@ -410,6 +412,59 @@ object QTableExtensions {
     case SubqueryAlias(_, c) => unwrap(c)
     case v: View => unwrap(v.child)
     case other => other
+  }
+
+  /** SQL time travel: `SELECT ... FROM <qtable view> VERSION AS OF 3`
+    * (or `TIMESTAMP AS OF '2026-08-19T00:00:00Z'` / `FOR SYSTEM_TIME AS
+    * OF ...`) rewrites the parsed [[RelationTimeTravel]] into a fresh
+    * qtable relation created with the matching `version`/`as-of-ts`
+    * option — the same addressing the DataSource options already
+    * support, now reachable in plain SQL. Runs at PARSE time (Spark's
+    * analyzer supports time travel only for DSv2 tables and refuses it
+    * on temp views before any resolution rule could act). The view must
+    * be a HEAD-of-main view (a view created with its own time-travel
+    * option carries no root to re-address). */
+  private[spark] def expandTimeTravel(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    plan.resolveOperators {
+      case tt: RelationTimeTravel =>
+        val viewRoot: Option[String] = tt.relation match {
+          case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+            spark.sessionState.catalog.getTempView(u.multipartIdentifier.head)
+              .flatMap(v => unwrap(v) match {
+                case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
+                  dmlRoot(h)
+                case _ => None
+              })
+          case _ => None
+        }
+        viewRoot match {
+          case None => tt // not ours: leave for Spark's DSv2 handling
+          case Some(root) =>
+            val opt: (String, String) = (tt.version, tt.timestamp) match {
+              case (Some(v), _) => ("version", v)
+              case (_, Some(e)) if e.foldable =>
+                val ts = e.eval() match {
+                  case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+                  case l: java.lang.Long
+                      if e.dataType == org.apache.spark.sql.types.TimestampType =>
+                    (l / 1000L).toString // micros -> epoch millis
+                  case l: java.lang.Long => l.toString
+                  case other => throw new IllegalArgumentException(
+                    s"TIMESTAMP AS OF over a qtable view needs a string/" +
+                      s"timestamp literal, got: $other")
+                }
+                ("as-of-ts", ts)
+              case _ => throw new IllegalArgumentException(
+                "TIMESTAMP AS OF over a qtable view must be a literal " +
+                  "(non-foldable expressions are not supported)")
+            }
+            val rel = new QTableSource()
+              .createRelation(spark.sqlContext, Map("path" -> root, opt._1 -> opt._2))
+            LogicalRelation(rel)
+        }
+    }
   }
 
   /** Expands `WHEN NOT MATCHED THEN INSERT *` over a qtable temp view

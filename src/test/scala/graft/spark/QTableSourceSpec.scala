@@ -303,6 +303,27 @@ class QTableSourceSpec extends AnyFunSuite {
     spark.catalog.dropTempView("qmor_imgs")
   }
 
+  test("SQL VERSION AS OF / TIMESTAMP AS OF over a qtable view") {
+    val t = fresh(100) // v1
+    val ts1 = t.currentSnapshot.timestampMs
+    AppendJob.append(t, DataGen.generate(spark, 20, 3L, 1).toDF()
+      .withColumn("image_id", concat(lit("tt-"), col("image_id"))), 1) // v2
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW qtt_imgs USING qtable " +
+      s"OPTIONS (path '${t.root}')")
+    assert(spark.sql("SELECT count(*) FROM qtt_imgs").head().getLong(0) == 120)
+    assert(spark.sql("SELECT count(*) FROM qtt_imgs VERSION AS OF 1")
+      .head().getLong(0) == 100)
+    assert(spark.sql(
+      s"SELECT count(*) FROM qtt_imgs TIMESTAMP AS OF ${ts1}")
+      .head().getLong(0) == 100)
+    // ISO-instant literal form
+    val iso = java.time.Instant.ofEpochMilli(ts1).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM qtt_imgs TIMESTAMP AS OF '$iso'")
+      .head().getLong(0) == 100)
+    spark.catalog.dropTempView("qtt_imgs")
+  }
+
   test("SQL INSERT into a time-traveled view is refused, not misrouted") {
     val t = fresh(100)
     AppendJob.append(t, DataGen.generate(spark, 10, 9L, 1).toDF(), 1)
