@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   spark-submit --class graft.Main <jar> synth   --table T --rows N [--buckets B] [--files-per-bucket F] [--seed S]
   *   spark-submit --class graft.Main <jar> compact --table T [--target-mb M] [--job-id J] [--scope B1,B2]
-  *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--incremental] [--job-id J] [--scope B1,B2]
+  *   spark-submit --class graft.Main <jar> cluster --table T [--target-mb M] [--hilbert] [--incremental] [--by c1,c2] [--job-id J] [--scope B1,B2]   (--by: cluster by 1-3 stats-covered columns; persists as the sort.order table property)
   *   spark-submit --class graft.Main <jar> merge   --table T (--source DIR | --rows N [--inserts K]) [--set c1,c2] [--delete-col C] [--mor] [--sync] [--job-id J]   (--sync = WHEN NOT MATCHED BY SOURCE THEN DELETE)
   *   spark-submit --class graft.Main <jar> upsert  --table T (--source DIR | --rows N [--inserts K]) [--delete-col C] [--job-id J]   (scan-free whole-record upsert via equality deletes)
   *   spark-submit --class graft.Main <jar> delete  --table T --where 'SQL predicate'   (merge-on-read position deletes)
@@ -147,10 +147,14 @@ object Main {
         // --incremental: sort only files added since the last cluster
         // commit into a NEW sorted run (LSM-style); previous runs carry
         // by reference. A periodic full run merges the runs.
+        // --by c1,c2: cluster by 1-3 user columns instead of the image
+        // zkey (range-normalized from manifest stats; becomes the
+        // table-carried sort.order property for future runs)
         val snap = CommitRetry.withCommitRetry()(new ClusterJob(table, targetBytes,
           hilbert = opts.contains("hilbert"), jobId = jobId,
           concurrency = concurrency, bucketScope = bucketScope,
-          incremental = opts.contains("incremental")).run())
+          incremental = opts.contains("incremental"),
+          sortBy = opts.get("by").map(_.split(",").toSeq.map(_.trim))).run())
         report("cluster", snap.summary ++ Map("version" -> snap.version.toString))
 
       case "merge" =>

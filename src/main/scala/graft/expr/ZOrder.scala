@@ -12,6 +12,20 @@ object ZOrder {
   final val Bits = 21
   final val Max21: Long = (1L << Bits) - 1 // 2097151
 
+  /** Driver-side mirror of [[zfunctions.str_prefix_long]]: the same
+    * 7-byte big-endian order-preserving prefix, over manifest stat
+    * strings (sort-column range bounds, analyze overlap spans). */
+  def strPrefixLong(s: String): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      val b = if (s != null && i < s.length) math.min(s.charAt(i).toInt, 255) else 0
+      v |= b.toLong << (8 * (6 - i))
+      i += 1
+    }
+    v
+  }
+
   /** Spread the low 21 bits of x so bit i lands at bit 3*i (Morton magic
     * masks — public-domain bit trick, cf. "Bit Twiddling Hacks"). */
   def spread3(xIn: Long): Long = {

@@ -80,6 +80,24 @@ object zfunctions {
     }
   }
 
+  /** Order-preserving numeric image of a string: its first 7 bytes
+    * big-endian (codepoints clamped to 255, absent positions 0). 56 bits
+    * keeps the value positive, so Long comparisons match lexicographic
+    * order exactly on ASCII (approximately beyond). Range-normalizes
+    * string sort columns for clustering; the driver-side mirror over
+    * manifest stat strings is [[ZOrder.strPrefixLong]]. */
+  def str_prefix_long(c: Column): Column =
+    (0 until 7).map(i => shiftleft(
+      least(coalesce(ascii(substring(c, i + 1, 1)), lit(0)), lit(255))
+        .cast(LongType),
+      8 * (6 - i))).reduce(_ + _)
+
+  /** Range-scale a bounded DOUBLE column into [0, 2^21). */
+  def norm_double21(c: Column, lo: Double, hi: Double): Column =
+    if (hi <= lo) lit(0L)
+    else ((least(lit(hi), greatest(lit(lo), c.cast("double"))) - lit(lo)) *
+      lit(ZOrder.Max21.toDouble / (hi - lo))).cast(LongType)
+
   /** The engine's standard image-row clustering key (north rule):
     * interleave(norm(phash), norm(w*h), norm(xxhash64(image_id))). */
   def imageZKey(phash: Column, w: Column, h: Column, imageId: Column,

@@ -1,6 +1,7 @@
 package graft.jobs
 
 import graft.format.{QTable, Tags}
+import graft.model.DataFileEntry
 
 /** Maintenance-debt report, computed from snapshot + manifest metadata
   * ONLY — no data file is opened, so it costs the same on a 10^12-row
@@ -65,13 +66,35 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
     // by the small-file/bucket metrics instead, so they are excluded)
     val byBucket = entries.filter(e => e.pbucketMin == e.pbucketMax)
       .groupBy(_.pbucketMin)
-    val overlaps = byBucket.values.toSeq.flatMap { fs =>
-      val lo = fs.map(_.phashMin).min
-      val hi = fs.map(_.phashMax).max
-      val span = hi.toDouble - lo.toDouble
-      if (span <= 0 || fs.size < 2) None
-      else Some((fs.map(f => f.phashMax.toDouble - f.phashMin.toDouble).sum
-        / span, fs.size))
+    // overlap spans follow the table's LEADING sort column: phash (the
+    // image zkey's first plane) by default, or sort.order's first entry
+    // when the table was clustered --by user columns — measuring overlap
+    // on a column the layout never sorted would misreport debt both ways
+    val leading = snap.props.get("sort.order")
+      .map(_.split(",")(0).trim).filter(_.nonEmpty)
+    val leadPhys = leading.flatMap(c =>
+      snap.schemaFields.find(_.name == c).map(_.phys))
+    def range(e: DataFileEntry): Option[(Double, Double)] = leading match {
+      case None | Some("phash") => Some((e.phashMin.toDouble, e.phashMax.toDouble))
+      case Some("image_id") => Some((
+        graft.expr.ZOrder.strPrefixLong(e.imageIdMin).toDouble,
+        graft.expr.ZOrder.strPrefixLong(e.imageIdMax).toDouble))
+      case Some(_) =>
+        leadPhys.flatMap(p => e.stats.get(p)).map(s => s.kind match {
+          case "string" => (graft.expr.ZOrder.strPrefixLong(s.min).toDouble,
+            graft.expr.ZOrder.strPrefixLong(s.max).toDouble)
+          case _ => (s.min.toDouble, s.max.toDouble)
+        })
+    }
+    val overlaps = byBucket.values.toSeq.flatMap { fs0 =>
+      val fs = fs0.flatMap(f => range(f).map(f -> _))
+      if (fs.size < 2) None else {
+        val lo = fs.map(_._2._1).min
+        val hi = fs.map(_._2._2).max
+        val span = hi - lo
+        if (span <= 0) None
+        else Some((fs.map { case (_, (l, h)) => h - l }.sum / span, fs.size))
+      }
     }
     val clusterOverlap =
       if (overlaps.isEmpty) 1.0

@@ -4,6 +4,7 @@ import graft.expr.zfunctions._
 import graft.format.QTable
 import graft.model._
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Z-order / Hilbert clustering rewrite.
@@ -40,7 +41,8 @@ class ClusterJob(
     minGroupBytes: Long = -1L,
     gridBatchGroups: Int = ClusterJob.GridBatchGroups,
     bucketScope: Option[Set[Int]] = None,
-    incremental: Boolean = false) {
+    incremental: Boolean = false,
+    sortBy: Option[Seq[String]] = None) {
 
   final case class Plan(group: String, inputs: Seq[DataFileEntry]) {
     def bytes: Long = inputs.map(_.byteCount).sum
@@ -90,6 +92,67 @@ class ClusterJob(
 
   private def jobType = if (hilbert) "cluster-hilbert" else "cluster-zorder"
 
+  /** Effective sort columns: explicit `--by` beats the table-carried
+    * `sort.order` property beats the built-in image key (None). */
+  private def effectiveSortCols(snap: Snapshot): Option[Seq[String]] =
+    sortBy.orElse(snap.props.get("sort.order")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty))
+
+  /** Clustering key for this run — the north-rule image key by default,
+    * or a Z-order/Hilbert interleave of 1-3 USER columns (`cluster --by
+    * c1,c2` / table property `sort.order`), each range-normalized to 21
+    * bits using bounds read from the MANIFEST stats of the planned
+    * inputs (zero extra scan): long/double stats scale linearly, string
+    * stats through the order-preserving 7-byte prefix, phash through the
+    * unsigned-hash map. Fewer than 3 columns pad with constant-zero
+    * planes (interleaving against a constant is order-preserving), so
+    * one kernel serves every arity. NULLs in evolved nullable columns
+    * normalize to 0 (sort first). Only stats-covered primitive columns
+    * qualify — the same set the skipping index can prune on, which is
+    * the point of clustering by them. */
+  private def sortKeyFor(snap: Snapshot, inputs: Seq[DataFileEntry]): Column =
+    effectiveSortCols(snap) match {
+      case None =>
+        imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
+      case Some(cs) =>
+        require(cs.size <= 3, s"cluster --by takes 1-3 columns, got ${cs.size}")
+        val byName = snap.schemaFields.map(f => f.name -> f).toMap
+        val comps = cs.map { c =>
+          val f = byName.getOrElse(c, throw new IllegalArgumentException(
+            s"unknown sort column: $c"))
+          val comp: Column = c match {
+            case "pbucket" => throw new IllegalArgumentException(
+              "pbucket is the partition key; clustering already groups by it")
+            case "image_id" =>
+              norm_range21(str_prefix_long(col(f.phys)),
+                graft.expr.ZOrder.strPrefixLong(inputs.map(_.imageIdMin).min),
+                graft.expr.ZOrder.strPrefixLong(inputs.map(_.imageIdMax).max))
+            case "phash" => norm_hash21(col(f.phys))
+            case _ =>
+              val stats = inputs.flatMap(_.stats.get(f.phys))
+              require(stats.nonEmpty, s"no manifest stats for sort column " +
+                s"'$c' — only stats-covered primitive columns can cluster")
+              stats.head.kind match {
+                case "long" => norm_range21(col(f.phys).cast("long"),
+                  stats.map(_.min.toLong).min, stats.map(_.max.toLong).max)
+                case "double" => norm_double21(col(f.phys),
+                  stats.map(_.min.toDouble).min, stats.map(_.max.toDouble).max)
+                case "string" =>
+                  norm_range21(str_prefix_long(col(f.phys)),
+                    stats.map(s => graft.expr.ZOrder.strPrefixLong(s.min)).min,
+                    stats.map(s => graft.expr.ZOrder.strPrefixLong(s.max)).max)
+                case k => throw new IllegalArgumentException(
+                  s"cannot cluster by '$c' (stat kind $k)")
+              }
+          }
+          coalesce(comp, lit(0L))
+        }
+        val padded = comps.padTo(3, lit(0L))
+        if (hilbert) hilbert_key(padded(0), padded(1), padded(2))
+        else zorder_key(padded(0), padded(1), padded(2))
+    }
+
   /** Quantile grid resolution for bin boundaries (boundaries for nOut
     * bins are read off the grid, so one pass serves every group). */
   private val QuantileGrid = 128
@@ -105,8 +168,8 @@ class ClusterJob(
     * key components are independent of the slicing key — each file is a
     * near-uniform sample of its group's key distribution; boundary error
     * only skews output file sizes a few percent, never correctness. */
-  private def boundsByGroup(plans: Seq[Plan]): Map[String, Array[Long]] = {
-    val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
+  private def boundsByGroup(plans: Seq[Plan],
+      zkeyCol: Column): Map[String, Array[Long]] = {
     // every 4th file per group (min 1): pre-cluster files are id-range
     // slices independent of the key components, so each is a near-uniform
     // sample; 1/4 of rows is ample for a 128-point grid and halves the
@@ -148,12 +211,13 @@ class ClusterJob(
     // unchanged, job count grows O(groups / batch) — a constant few even
     // at 10^5 groups). Checkpointed resume is unaffected: groups commit
     // individually and `already` is re-read per batch.
+    val zkeyCol = sortKeyFor(snap, plans.flatMap(_.inputs))
     val outputs = plans.grouped(math.max(1, gridBatchGroups)).flatMap { batch =>
       val tB0 = System.nanoTime()
-      val grids = boundsByGroup(batch)
+      val grids = boundsByGroup(batch, zkeyCol)
       if (sys.env.contains("GRAFT_TIMING"))
         System.err.println(f"[timing] cluster-bounds ${(System.nanoTime() - tB0) / 1e9}%6.2fs (${batch.size} groups)")
-      runBatch(snap, batch, grids, ckpt, jobTable, failAfterGroups)
+      runBatch(snap, batch, grids, zkeyCol, ckpt, jobTable, failAfterGroups)
     }.toSeq
 
     // out-of-scope files (bucketScope) carry by reference — an unscoped
@@ -165,16 +229,21 @@ class ClusterJob(
       untouched ++ outputs.flatMap(_.outputFiles), Map(
         "job-id" -> jobId,
         "bytes-rewritten" -> plans.map(_.bytes).sum.toString,
-        "groups" -> plans.size.toString),
+        "groups" -> plans.size.toString,
+        "sort-order" -> effectiveSortCols(snap).map(_.mkString(",")).getOrElse("image-zkey")),
       deletesOverride =
         Some(table.retainDeletes(snap, delPairs, untouched.map(_.path))),
-      eqDeletesOverride = Some(table.retainEqDeletes(snap, untouched)))
+      eqDeletesOverride = Some(table.retainEqDeletes(snap, untouched)),
+      // an explicit --by becomes the table-carried sort order, so the
+      // next default run (and maintain --auto, and analyze's overlap
+      // metric) keep clustering the same way
+      propertiesOverride = sortBy.map(cs => snap.props + ("sort.order" -> cs.mkString(","))))
     ckpt.clear()
     committed
   }
 
   private def runBatch(snap: Snapshot, batch: Seq[Plan],
-      grids: Map[String, Array[Long]],
+      grids: Map[String, Array[Long]], zkeyCol: Column,
       ckpt: Checkpoint, jobTable: graft.format.QTable,
       failAfterGroups: Int): Seq[LineageEntry] = {
     // delete files join the checkpoint input identity (see CompactJob):
@@ -192,7 +261,6 @@ class ClusterJob(
       val dir = table.newDataDir(jobId, p.group)
       cleanDir(dir)
       val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
-      val zkeyCol = imageZKey(col("phash"), col("w"), col("h"), col("image_id"), hilbert)
       // decorated read: the rewrite folds position deletes away and
       // bakes initial defaults in (see CompactJob)
       val keyed = jobTable.readEntriesForRewrite(snap, p.inputs)

@@ -154,4 +154,76 @@ class ClusterJobSpec extends AnyFunSuite {
     assert(counts.max <= mean * 4,
       s"skewed file: max=${counts.max} mean=$mean%.1f files=${counts.size}")
   }
+
+  /** Sum of per-file spans of a colStats column, normalized by the table
+    * span — lower = better clustered on that column. */
+  private def colSpanScore(t: QTable, snap: graft.model.Snapshot,
+      phys: String): Double = {
+    val rs = t.entries(snap).flatMap(_.stats.get(phys))
+      .map(s => (s.min.toDouble, s.max.toDouble))
+    val span = rs.map(_._2).max - rs.map(_._1).min
+    rs.map { case (lo, hi) => (hi - lo) / span }.sum / rs.size
+  }
+
+  test("cluster --by user columns: spans tighten on them, property persists") {
+    val t = freshTable(1500)
+    val pre = t.currentSnapshot
+    val preDf = t.read(pre)
+    val preW = colSpanScore(t, pre, "w")
+
+    val snap = new ClusterJob(t, targetFileBytes = 60L << 10,
+      sortBy = Some(Seq("w", "h"))).run()
+    assert(snap.summary("sort-order") == "w,h")
+    assert(snap.props("sort.order") == "w,h", "explicit --by must persist")
+    val (ok, bad) = ScanEquivalence.check(preDf, t.read(snap))
+    assert(ok, s"$bad violations after --by clustering")
+    val postW = colSpanScore(t, snap, "w")
+    assert(postW < preW, s"w spans must tighten: $preW -> $postW")
+
+    // a later DEFAULT run keeps clustering by the carried property
+    AppendJob.append(t, DataGen.generate(spark, 300, 7L, 4).toDF(), 2)
+    val snap2 = new ClusterJob(t, targetFileBytes = 60L << 10).run()
+    assert(snap2.summary("sort-order") == "w,h")
+
+    // analyze's overlap metric follows the leading sort column: the
+    // freshly clustered table must read near-disjoint (low overlap)
+    val rep = new AnalyzeJob(t, 60L << 10).run()
+    assert(rep.clusterOverlap < 3.0,
+      s"overlap on leading sort column too high: ${rep.clusterOverlap}")
+  }
+
+  test("cluster --by a string column orders by its 7-byte prefix") {
+    val t = freshTable(800)
+    val pre = t.read(t.currentSnapshot)
+    val snap = new ClusterJob(t, targetFileBytes = 60L << 10,
+      sortBy = Some(Seq("caption"))).run()
+    val (ok, bad) = ScanEquivalence.check(pre, t.read(snap))
+    assert(ok, s"$bad violations")
+    // per-file caption ranges must be near-disjoint within a bucket:
+    // count pairwise overlaps through the same prefix the key used
+    val byBucket = t.entries(snap).filter(e => e.pbucketMin == e.pbucketMax)
+      .groupBy(_.pbucketMin)
+    val overlapping = byBucket.values.flatMap { fs =>
+      val rs = fs.flatMap(_.stats.get("caption"))
+        .map(s => (graft.expr.ZOrder.strPrefixLong(s.min),
+          graft.expr.ZOrder.strPrefixLong(s.max))).sortBy(_._1)
+      rs.sliding(2).collect { case Seq((_, hi1), (lo2, _)) if lo2 < hi1 => 1 }
+    }.sum
+    val total = byBucket.values.map(_.size).sum
+    assert(overlapping <= total / 2,
+      s"$overlapping of $total files overlap on caption after --by caption")
+  }
+
+  test("cluster --by refuses unknown, stat-less and partition columns") {
+    val t = freshTable(200)
+    intercept[IllegalArgumentException] {
+      new ClusterJob(t, 60L << 10, sortBy = Some(Seq("nope"))).run() }
+    intercept[IllegalArgumentException] {
+      new ClusterJob(t, 60L << 10, sortBy = Some(Seq("pbucket"))).run() }
+    intercept[IllegalArgumentException] {
+      new ClusterJob(t, 60L << 10, sortBy = Some(Seq("bytes"))).run() }
+    intercept[IllegalArgumentException] {
+      new ClusterJob(t, 60L << 10,
+        sortBy = Some(Seq("w", "h", "caption", "fmt"))).run() }
+  }
 }
