@@ -1075,6 +1075,7 @@ object Queries {
     q43Dir(s)
     q48Dir(s)
     q49Dir(s)
+    q50Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -2560,6 +2561,90 @@ object Queries {
        |  w, h
        |FROM s1""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Generalized-clustering fixture (`cluster --by w,h`): a 400-row
+    * table (16 random-slice files whose per-file w ranges each span
+    * nearly the whole domain) is clustered --by (w, h), a second batch
+    * appends, and a DEFAULT cluster run follows — which must pick the
+    * layout up from the persisted `sort.order` table property, not
+    * fall back to the image zkey. The head read must equal the two
+    * exported pre-cluster batches exactly (rewrites move rows between
+    * files, never change them), GATED on the layout claims no external
+    * engine can recompute: the final commit ran under sort-order w,h,
+    * the property survived both commits, and the manifest-level w
+    * spans actually tightened vs the recorded pre-cluster score. */
+  private val Q50Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cluster_by_v1"
+
+  private def q50Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q50Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q50Root
+    val lockPath = Paths.get(Q50Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ50(s)
+    } finally { lock.release(); ch.close() }
+    Q50Root
+  }
+
+  /** Mean per-file w-span normalized by the table's w span — the
+    * clustering-quality score the gate compares (lower = tighter). */
+  private def q50SpanScore(t: graft.format.QTable,
+      snap: graft.model.Snapshot): Double = {
+    val rs = t.entries(snap).flatMap(_.stats.get("w"))
+      .map(st => (st.min.toDouble, st.max.toDouble))
+    val span = rs.map(_._2).max - rs.map(_._1).min
+    rs.map { case (lo, hi) => (hi - lo) / span }.sum / rs.size
+  }
+
+  private def buildQ50(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q50Root)
+    val t = graft.format.QTable.create(s"$Q50Root/table", s, buckets = 4)
+    graft.jobs.AppendJob.append(t,
+      graft.synth.DataGen.generate(s, 400L, 77L).toDF(), filesPerBucket = 4)
+    t.read().select("image_id", "caption", "w", "h")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q50Root/exp/pre")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(Q50Root, "preW.txt"),
+      q50SpanScore(t, t.currentSnapshot).toString.getBytes)
+    new graft.jobs.ClusterJob(t, targetFileBytes = 48L << 10,
+      sortBy = Some(Seq("w", "h"))).run()
+    val b2 = graft.synth.DataGen.generate(s, 100L, 78L).toDF()
+      .withColumn("image_id", concat(lit("b2-"), col("image_id")))
+    graft.jobs.AppendJob.append(t, b2, filesPerBucket = 1)
+    b2.select("image_id", "caption", "w", "h")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q50Root/exp/b2")
+    // the DEFAULT run: no sortBy — must reuse the carried property
+    new graft.jobs.ClusterJob(t, targetFileBytes = 48L << 10).run()
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q50Root, "_FIXTURE_READY"))
+  }
+
+  /** Post-cluster table state, gated on the --by layout claims. */
+  def q50ClusterBy(s: SparkSession, dir: String): DataFrame = {
+    val root = q50Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val snap = t.currentSnapshot
+    val out = t.read().select("image_id", "caption", "w", "h")
+    val preW = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "preW.txt"))).toDouble
+    val layoutOk = snap.operation == "cluster-zorder" &&
+      snap.summary.get("sort-order").contains("w,h") &&
+      snap.props.get("sort.order").contains("w,h") &&
+      q50SpanScore(t, snap) < preW
+    if (layoutOk) out else out.limit(0)
+  }
+
+  val q50Sql: String =
+    s"""SELECT image_id, caption, w, h
+       |FROM read_parquet('$Q50Root/exp/pre/*.parquet')
+       |UNION ALL
+       |SELECT image_id, caption, w, h
+       |FROM read_parquet('$Q50Root/exp/b2/*.parquet')""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2609,7 +2694,8 @@ object Queries {
     "q46_cherry_pick" -> ((q46CherryPick _, q46Sql)),
     "q47_row_lineage" -> ((q47RowLineage _, q47Sql)),
     "q48_merge_sync" -> ((q48MergeSync _, q48Sql)),
-    "q49_update_dml" -> ((q49UpdateDml _, q49Sql)))
+    "q49_update_dml" -> ((q49UpdateDml _, q49Sql)),
+    "q50_cluster_by" -> ((q50ClusterBy _, q50Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
