@@ -49,6 +49,9 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> abort-staged --table T
   *   spark-submit --class graft.Main <jar> set-property --table T --key K --value V   (table-carried policy: write.target-mb, retention.keep-last, ndv.columns, write.update.mode/write.merge.mode = merge-on-read, ...)
   *   spark-submit --class graft.Main <jar> unset-property --table T --key K
+  *   spark-submit --class graft.Main <jar> set-constraint --table T --name N --expr 'SQL predicate'   (CHECK constraint: refused if existing data violates; enforced on every new-row writer)
+  *   spark-submit --class graft.Main <jar> drop-constraint --table T --name N
+  *   spark-submit --class graft.Main <jar> constraints --table T
   *   spark-submit --class graft.Main <jar> properties --table T
   *   spark-submit --class graft.Main <jar> tag     --table T --name N [--version V]
   *   spark-submit --class graft.Main <jar> untag   --table T --name N
@@ -706,6 +709,25 @@ object Main {
 
       case "properties" =>
         report("properties", table.currentSnapshot.props)
+
+      case "set-constraint" =>
+        // ALTER TABLE ADD CONSTRAINT ... CHECK analogue: refused unless
+        // existing data satisfies it; thereafter every new-row writer
+        // (append/merge/update/upsert + streaming/SQL surfaces) vetoes
+        // violating batches. SQL-standard 3VL: only FALSE violates.
+        val snap = CommitRetry.withCommitRetry()(Constraints.set(
+          table, req(opts, "name"), req(opts, "expr")))
+        report("set-constraint", Map("version" -> snap.version.toString,
+          "name" -> req(opts, "name"), "expr" -> req(opts, "expr")))
+
+      case "drop-constraint" =>
+        val snap = CommitRetry.withCommitRetry()(
+          Constraints.drop(table, req(opts, "name")))
+        report("drop-constraint", Map("version" -> snap.version.toString,
+          "name" -> req(opts, "name")))
+
+      case "constraints" =>
+        report("constraints", Constraints.of(table.currentSnapshot).toMap)
 
       case "branch" =>
         // writable named ref (Iceberg branch): fork at --at (default:

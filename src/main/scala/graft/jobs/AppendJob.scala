@@ -21,14 +21,17 @@ object AppendJob {
     val b = snap.buckets
     val dir = table.newDataDir(jobId, "append")
     val nFiles = math.max(1, b * filesPerBucket)
+    val aligned = JobPlanning.alignToPhysical(
+      rows.withColumn("pbucket",
+        pmod(xxhash64(col("image_id")), lit(b.toLong)).cast("int")),
+      snap)
+    // CHECK constraints veto the batch before any write (streaming
+    // ingest and SQL INSERT route through here, so they are covered)
+    Constraints.enforce(Constraints.logicalView(aligned, snap), snap, "append")
     graft.format.TableWrite.parquet(
-      JobPlanning.alignToPhysical(
-        rows.withColumn("pbucket",
-          pmod(xxhash64(col("image_id")), lit(b.toLong)).cast("int")),
-        snap)
-        // range-partition on (pbucket, image_id): files align with buckets,
-        // splitting each bucket into ~filesPerBucket files
-        .repartitionByRange(nFiles, col("pbucket"), col("image_id")), dir)
+      // range-partition on (pbucket, image_id): files align with buckets,
+      // splitting each bucket into ~filesPerBucket files
+      aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id")), dir)
     val files = table.harvest(dir)
     // append-only commit: parent manifests carried by reference, new files
     // land in fresh manifests — O(append) metadata, not O(table)

@@ -210,6 +210,39 @@ class MergeJob(
           // the left join, a null `_mm` row is an unmatched target row
           (if (notMatchedBySourceDelete) Seq(lit(true).as("_mm")) else Nil)): _*))
 
+    // CHECK constraints veto the merge's NEW row content — matched
+    // post-images (SET applied, delete-flagged rows excluded) plus
+    // inserts — before either strategy writes anything. One extra pass
+    // over the affected files + batch, only when constraints exist.
+    if (Constraints.of(snap).nonEmpty) {
+      val postImages =
+        if (noMatchedAction || affected.isEmpty) None
+        else Some {
+          var p = readLive(affected).join(updatesSrc, Seq("image_id"))
+          if (deleteCol.isDefined)
+            p = p.where(!coalesce(col("_del"), lit(false))).drop("_del")
+          if (notMatchedBySourceDelete) p = p.drop("_mm")
+          setFields.foreach { f =>
+            p = p.withColumn(f.phys,
+              coalesce(col(s"_new_${f.phys}"), col(f.phys)))
+              .drop(s"_new_${f.phys}")
+          }
+          JobPlanning.alignToPhysical(p, snap)
+        }
+      val insertRows =
+        if (insertCount == 0) None
+        else Some(JobPlanning.alignToPhysical(
+          inserts.withColumn("pbucket",
+            pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int")),
+          snap))
+      (postImages.toSeq ++ insertRows.toSeq).reduceOption(_.unionByName(_))
+        .foreach { df =>
+          try Constraints.enforce(Constraints.logicalView(df, snap), snap, "MERGE")
+          catch { case e: Throwable =>
+            source.unpersist(); inserts.unpersist(); throw e }
+        }
+    }
+
     // ------------------------------------------------- merge-on-read
     // MOR strategy: instead of rewriting every matched file, position-
     // delete the matched rows' OLD versions and append the patched/

@@ -109,6 +109,16 @@ class UpdateJob(
       "files-scanned" -> scanned.toString,
       "files-total" -> total.toString)
 
+    // CHECK constraints veto the POST-IMAGES (old rows matching the
+    // condition, SET applied) before either strategy writes — one extra
+    // pass over the affected files, only when constraints exist
+    if (Constraints.of(snap).nonEmpty)
+      Constraints.enforce(applySets(
+        toLogical(table.readEntriesForRewrite(snap, affected))
+          .where(condition), lit(true))
+        .select(snap.schemaFields.map(f => col(f.name)): _*),
+        snap, "UPDATE")
+
     // ------------------------------------------------- merge-on-read
     if (mergeOnRead) {
       val matched = toLogical(table.readEntriesForRewriteWithPos(snap, affected))

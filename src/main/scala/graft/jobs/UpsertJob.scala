@@ -80,6 +80,8 @@ class UpsertJob(
           .withColumn("pbucket",
             pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int")),
         snap)
+      // CHECK constraints veto the batch's live records before any write
+      Constraints.enforce(Constraints.logicalView(rows, snap), snap, "upsert")
       val dir = table.newDataDir(jobId, "rows")
       cleanDir(dir)
       graft.format.TableWrite.parquet(rows.repartition(col("pbucket")), dir)

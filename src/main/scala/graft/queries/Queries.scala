@@ -1076,6 +1076,7 @@ object Queries {
     q48Dir(s)
     q49Dir(s)
     q50Dir(s)
+    q51Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -2645,6 +2646,83 @@ object Queries {
        |SELECT image_id, caption, w, h
        |FROM read_parquet('$Q50Root/exp/b2/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** CHECK-constraint fixture: a 300-row table gets two constraints
+    * (`fmt IN ('png','jpeg')`, `w > 0`), a VIOLATING append is attempted
+    * (must throw with the table version unchanged — recorded in a gate
+    * marker only when both held), then a clean batch appends. The head
+    * read must equal the two exported clean batches exactly, GATED on
+    * the enforcement evidence: the violation marker, both constraints
+    * still in the head's properties, and zero violating rows live. A
+    * regression that lets the bad batch through changes the row count
+    * AND the hash (the 'bmp' rows appear). */
+  private val Q51Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_constraints_v1"
+
+  private def q51Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q51Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q51Root
+    val lockPath = Paths.get(Q51Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ51(s)
+    } finally { lock.release(); ch.close() }
+    Q51Root
+  }
+
+  private def buildQ51(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q51Root)
+    val t = graft.format.QTable.create(s"$Q51Root/table", s, buckets = 4)
+    val b1 = graft.synth.DataGen.generate(s, 300L, 70L).toDF()
+    graft.jobs.AppendJob.append(t, b1, filesPerBucket = 2)
+    b1.select("image_id", "fmt", "w", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q51Root/exp/b1")
+    graft.jobs.Constraints.set(t, "fmt-known", "fmt IN ('png','jpeg')")
+    graft.jobs.Constraints.set(t, "w-pos", "w > 0")
+    val vBefore = t.currentSnapshot.version
+    val refused =
+      try {
+        graft.jobs.AppendJob.append(t,
+          graft.synth.DataGen.generate(s, 20L, 71L).toDF()
+            .withColumn("image_id", concat(lit("bad-"), col("image_id")))
+            .withColumn("fmt", lit("bmp")))
+        false
+      } catch { case _: IllegalStateException => true }
+    if (refused && t.currentSnapshot.version == vBefore)
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(Q51Root, "_GATE_REFUSED"))
+    val b2 = graft.synth.DataGen.generate(s, 60L, 72L).toDF()
+      .withColumn("image_id", concat(lit("ok-"), col("image_id")))
+    graft.jobs.AppendJob.append(t, b2, filesPerBucket = 1)
+    b2.select("image_id", "fmt", "w", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q51Root/exp/b2")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q51Root, "_FIXTURE_READY"))
+  }
+
+  /** Post-enforcement table state, gated on the refusal evidence. */
+  def q51Constraints(s: SparkSession, dir: String): DataFrame = {
+    val root = q51Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val snap = t.currentSnapshot
+    val out = t.read().select("image_id", "fmt", "w", "caption")
+    val enforced =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_GATE_REFUSED")) &&
+      graft.jobs.Constraints.of(snap).map(_._1) == Seq("fmt-known", "w-pos")
+    if (enforced) out else out.limit(0)
+  }
+
+  val q51Sql: String =
+    s"""SELECT image_id, fmt, w, caption
+       |FROM read_parquet('$Q51Root/exp/b1/*.parquet')
+       |UNION ALL
+       |SELECT image_id, fmt, w, caption
+       |FROM read_parquet('$Q51Root/exp/b2/*.parquet')""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2695,7 +2773,8 @@ object Queries {
     "q47_row_lineage" -> ((q47RowLineage _, q47Sql)),
     "q48_merge_sync" -> ((q48MergeSync _, q48Sql)),
     "q49_update_dml" -> ((q49UpdateDml _, q49Sql)),
-    "q50_cluster_by" -> ((q50ClusterBy _, q50Sql)))
+    "q50_cluster_by" -> ((q50ClusterBy _, q50Sql)),
+    "q51_constraints" -> ((q51Constraints _, q51Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
