@@ -49,6 +49,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> abort-staged --table T
   *   spark-submit --class graft.Main <jar> set-property --table T --key K --value V   (table-carried policy: write.target-mb, retention.keep-last, ndv.columns, write.update.mode/write.merge.mode = merge-on-read, ...)
   *   spark-submit --class graft.Main <jar> unset-property --table T --key K
+  *   spark-submit --class graft.Main <jar> clone --table SRC --target DST   (shallow clone: zero-copy independent table; expiry never deletes files outside its own root)
   *   spark-submit --class graft.Main <jar> set-constraint --table T --name N --expr 'SQL predicate'   (CHECK constraint: refused if existing data violates; enforced on every new-row writer)
   *   spark-submit --class graft.Main <jar> drop-constraint --table T --name N
   *   spark-submit --class graft.Main <jar> constraints --table T
@@ -304,7 +305,17 @@ object Main {
             res.deletedDataFiles.toString,
           (if (res.dryRun) "dead-manifests" else "deleted-manifests") ->
             res.deletedManifests.toString,
-          "reclaimable-bytes" -> res.reclaimableBytes.toString))
+          "reclaimable-bytes" -> res.reclaimableBytes.toString) ++
+          (if (res.externalSkipped == 0) Map.empty[String, String]
+          else Map("external-files-skipped" -> res.externalSkipped.toString)))
+
+      case "clone" =>
+        // SHALLOW CLONE: zero-copy independent table at --target; see
+        // QTable.cloneTo for version-floor + ownership semantics
+        val c = table.cloneTo(req(opts, "target"))
+        val cs = c.currentSnapshot
+        report("clone", cs.summary ++ Map("version" -> cs.version.toString,
+          "target" -> req(opts, "target")))
 
       case "rebucket" =>
         val snap = CommitRetry.withCommitRetry()(new RebucketJob(table,

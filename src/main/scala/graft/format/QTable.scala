@@ -760,6 +760,75 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       lastId, deletes, eqDels, props, nextRid)
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` analogue):
+    * a new INDEPENDENT table at `targetRoot` whose first snapshot
+    * references this table's current live data/delete files — zero data
+    * bytes copied; the only cost is rewriting the file-entry metadata
+    * into the clone's own manifests (manifest names are a per-table
+    * namespace, so they cannot carry by reference). The clone adopts
+    * the schema (with its retired field ids), table properties
+    * (constraints, maintenance policy), bucket count, and the
+    * row-lineage high-water mark.
+    *
+    * Version numbering: the clone's first snapshot claims SOURCE
+    * version + 1 with `parentVersion = -1` — a chain that simply starts
+    * there, the same shape a table whose older history was expired
+    * already has. Every later clone commit claims a strictly higher
+    * number, so the cloned data/eq-delete SEQUENCE stamps keep their
+    * meaning: an old cloned equality delete (seq ≤ source version) can
+    * never kill rows appended to the clone (seq > source version).
+    * Starting at v0 instead would invert that order and silently
+    * swallow re-inserted keys.
+    *
+    * Isolation: writers never touch the other table's files — rewrites
+    * write under their own root, and expiry skips (and reports) dead
+    * entries outside the table root, so "compact the clone, then
+    * expire it" frees only clone-local bytes. Caveat (exactly Delta's):
+    * expiring the SOURCE can remove files a clone still references —
+    * tag the cloned source version, or compact the clone (localizing
+    * its data) before deep source cleanup. */
+  def cloneTo(targetRoot: String): QTable = {
+    val snap = currentSnapshot
+    val t = new QTable(targetRoot, spark)
+    require(!t.io.exists(t.metadataDir) ||
+      t.io.listNames(t.metadataDir).isEmpty,
+      s"clone target already exists: $targetRoot")
+    t.io.mkdirs(t.metadataDir)
+    t.io.mkdirs(t.dataDir)
+    val sorted = entries(snap).sortBy(f => (f.pbucketMin, f.phashMin, f.path))
+    val manifests = sorted.grouped(512).map { group =>
+      val name = s"manifest-${java.util.UUID.randomUUID()}.json"
+      t.io.writeAtomic(s"${t.metadataDir}/$name",
+        Json.toBytes(ManifestData(group)))
+      ManifestMeta(name, group.size.toLong, group.map(_.rowCount).sum,
+        group.map(_.byteCount).sum, group.map(_.pbucketMin).min,
+        group.map(_.pbucketMax).max, group.map(_.phashMin).min,
+        group.map(_.phashMax).max)
+    }.toSeq
+    val deletes = snap.deleteFiles
+    val eqDels = snap.eqDeleteFiles
+    val summary = Map(
+      "total-files" -> manifests.map(_.fileCount).sum.toString,
+      "total-rows" -> manifests.map(_.rowCount).sum.toString,
+      "total-bytes" -> manifests.map(_.byteCount).sum.toString,
+      "source-table" -> root,
+      "source-version" -> snap.version.toString) ++
+      (if (deletes.isEmpty) Map.empty[String, String] else Map(
+        "total-delete-files" -> deletes.size.toString,
+        "total-delete-rows" -> deletes.map(_.rowCount).sum.toString)) ++
+      (if (eqDels.isEmpty) Map.empty[String, String] else Map(
+        "total-eq-delete-files" -> eqDels.size.toString,
+        "total-eq-delete-keys" -> eqDels.map(_.rowCount).sum.toString))
+    val v = snap.version + 1
+    val cloneSnap = Snapshot(v, -1L, "clone", manifests, summary,
+      snap.buckets, System.currentTimeMillis(), snap.schema,
+      snap.highestFieldId, deletes, eqDels, snap.props, snap.nextRowId)
+    require(t.io.writeNew(t.versionFile(v), Json.toBytes(cloneSnap)),
+      s"concurrent clone already claimed v$v at $targetRoot")
+    t.publishHint(v)
+    t
+  }
+
   /** Metadata-only property change (ALTER TABLE SET TBLPROPERTIES
     * analogue): the table carries its own policy — write targets,
     * retention, tracked NDV columns — so jobs and scheduler ticks read

@@ -26,7 +26,7 @@ class ExpireSnapshotsJob(table: QTable,
 
   final case class Result(expiredVersions: Seq[Long], deletedDataFiles: Int,
       deletedManifests: Int, reclaimableBytes: Long = 0L,
-      dryRun: Boolean = false)
+      dryRun: Boolean = false, externalSkipped: Int = 0)
 
   private def delete(pathStr: String): Boolean = {
     val hp = new HPath(pathStr)
@@ -116,15 +116,25 @@ class ExpireSnapshotsJob(table: QTable,
       .flatMap(s => s.deleteFiles.map(d => (d.path, d.byteCount)) ++
         s.eqDeleteFiles.map(d => (d.path, d.byteCount)))
       .filterNot(e => liveFiles.contains(e._1)).distinct
-    val deadDataEntries = (deadManifests.toSeq
+    // SHALLOW-CLONE guard: never delete a file outside this table's
+    // root. A cloned snapshot references the SOURCE table's files by
+    // absolute path; when a clone-local rewrite strands them in the
+    // clone's dead set, they belong to the source's lifecycle, not the
+    // clone's — skip and report them instead of reaching into another
+    // table (QTable.cloneTo scaladoc has the ownership contract).
+    val rootPrefix = new HPath(table.root).toUri.getPath
+      .stripSuffix("/") + "/"
+    val (deadDataEntries, externalEntries) = (deadManifests.toSeq
       .flatMap(m => table.readManifest(m).files.map(f => (f.path, f.byteCount)))
       .filterNot(e => liveFiles.contains(e._1)) ++ deadDeleteEntries)
       .groupBy(_._1).map(_._2.head).toSeq
+      .partition(_._1.startsWith(rootPrefix))
     val deadDataPaths = deadDataEntries.map(_._1)
 
     if (dryRun)
       return Result(expired, deadDataPaths.size, deadManifests.size,
-        reclaimableBytes = deadDataEntries.map(_._2).sum, dryRun = true)
+        reclaimableBytes = deadDataEntries.map(_._2).sum, dryRun = true,
+        externalSkipped = externalEntries.size)
 
     val dataDeleted =
       if (deadDataPaths.size < distributeThreshold) deadDataPaths.count(delete)
@@ -159,7 +169,8 @@ class ExpireSnapshotsJob(table: QTable,
     }
     expired.foreach(v => table.io.delete(s"${table.metadataDir}/v$v.json"))
     Result(expired, dataDeleted, manifestsDeleted,
-      reclaimableBytes = deadDataEntries.map(_._2).sum)
+      reclaimableBytes = deadDataEntries.map(_._2).sum,
+      externalSkipped = externalEntries.size)
   }
 }
 

@@ -1077,6 +1077,7 @@ object Queries {
     q49Dir(s)
     q50Dir(s)
     q51Dir(s)
+    q52Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -2723,6 +2724,85 @@ object Queries {
        |SELECT image_id, fmt, w, caption
        |FROM read_parquet('$Q51Root/exp/b2/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Shallow-clone fixture ([[graft.format.QTable.cloneTo]]): a 300-row
+    * source is cloned zero-copy, the CLONE takes an append + a full
+    * compact (rewriting every cloned reference into clone-local files)
+    * + an expiry of its pre-compact history. The clone read must equal
+    * source-batch ∪ clone-batch exactly, GATED on the ownership
+    * evidence: expiry reported the source files as external-skipped,
+    * every one of them still exists on disk, and the source still reads
+    * 300 rows at its original version — a guard regression deletes
+    * source bytes and the gate empties the result. */
+  private val Q52Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_clone_v1"
+
+  private def q52Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q52Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q52Root
+    val lockPath = Paths.get(Q52Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ52(s)
+    } finally { lock.release(); ch.close() }
+    Q52Root
+  }
+
+  private def buildQ52(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q52Root)
+    val src = graft.format.QTable.create(s"$Q52Root/src", s, buckets = 4)
+    val b1 = graft.synth.DataGen.generate(s, 300L, 90L).toDF()
+    graft.jobs.AppendJob.append(src, b1, filesPerBucket = 2)
+    b1.select("image_id", "fmt", "w", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q52Root/exp/b1")
+    val srcFiles = src.entries(src.currentSnapshot).map(_.path)
+    val clone = src.cloneTo(s"$Q52Root/clone")
+    val b2 = graft.synth.DataGen.generate(s, 60L, 91L).toDF()
+      .withColumn("image_id", concat(lit("c-"), col("image_id")))
+    graft.jobs.AppendJob.append(clone, b2, filesPerBucket = 1)
+    b2.select("image_id", "fmt", "w", "caption")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q52Root/exp/b2")
+    new graft.jobs.CompactJob(clone, targetFileBytes = 8L << 20).run()
+    val res = new graft.jobs.ExpireSnapshotsJob(clone).run(keepLast = 1)
+    val conf = s.sessionState.newHadoopConf()
+    val sourceIntact = srcFiles.forall { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    // a source file compact judged already-packed carries by reference
+    // into the clone head and stays LIVE there — the guard must skip
+    // exactly the source files the clone's history stranded
+    val liveClone = clone.entries(clone.currentSnapshot).map(_.path).toSet
+    val expectedExternal = srcFiles.count(p => !liveClone.contains(p))
+    if (res.externalSkipped == expectedExternal && sourceIntact &&
+      src.read().count() == 300)
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(Q52Root, "_GATE_GUARDED"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q52Root, "_FIXTURE_READY"))
+  }
+
+  /** The clone's post-maintenance state, gated on the ownership guard. */
+  def q52Clone(s: SparkSession, dir: String): DataFrame = {
+    val root = q52Dir(s)
+    val t = graft.format.QTable(s"$root/clone", s)
+    val out = t.read().select("image_id", "fmt", "w", "caption")
+    val guarded = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_GATE_GUARDED")) &&
+      t.currentSnapshot.operation == "compact"
+    if (guarded) out else out.limit(0)
+  }
+
+  val q52Sql: String =
+    s"""SELECT image_id, fmt, w, caption
+       |FROM read_parquet('$Q52Root/exp/b1/*.parquet')
+       |UNION ALL
+       |SELECT image_id, fmt, w, caption
+       |FROM read_parquet('$Q52Root/exp/b2/*.parquet')""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2774,7 +2854,8 @@ object Queries {
     "q48_merge_sync" -> ((q48MergeSync _, q48Sql)),
     "q49_update_dml" -> ((q49UpdateDml _, q49Sql)),
     "q50_cluster_by" -> ((q50ClusterBy _, q50Sql)),
-    "q51_constraints" -> ((q51Constraints _, q51Sql)))
+    "q51_constraints" -> ((q51Constraints _, q51Sql)),
+    "q52_shallow_clone" -> ((q52Clone _, q52Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))

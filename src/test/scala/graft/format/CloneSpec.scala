@@ -1,0 +1,131 @@
+package graft.format
+
+import graft.TestSpark
+import graft.jobs._
+import graft.synth.DataGen
+import graft.verify.ScanEquivalence
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shallow clone ([[QTable.cloneTo]]): zero-copy independent tables,
+  * version-floor sequence safety, and the expiry ownership guard. */
+class CloneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def dataFilesUnder(root: String): Seq[String] =
+    ParquetStats.listParquet(s"$root/data",
+      spark.sessionState.newHadoopConf())
+
+  test("clone reads the source exactly, copies no data, adopts schema+props") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src"), spark, 4)
+    AppendJob.append(src, DataGen.generate(spark, 400, 42L, 4).toDF(),
+      filesPerBucket = 2)
+    src.addColumn("alt", "string")
+    Constraints.set(src, "w-pos", "w > 0")
+    val targetRoot = TestSpark.tmpDir("clone-dst")
+    val clone = src.cloneTo(targetRoot)
+
+    val cs = clone.currentSnapshot
+    assert(cs.operation == "clone")
+    assert(cs.version == src.currentSnapshot.version + 1, "version floor")
+    assert(cs.parentVersion == -1L)
+    assert(cs.summary("source-table") == src.root)
+    val (ok, bad) = ScanEquivalence.check(src.read(), clone.read())
+    assert(ok, s"$bad violations between source and clone")
+    assert(dataFilesUnder(targetRoot).isEmpty, "shallow: no data copied")
+    assert(clone.currentSnapshot.schemaFields.map(_.name) ==
+      src.currentSnapshot.schemaFields.map(_.name))
+    assert(cs.props("constraint.w-pos") == "w > 0", "properties adopted")
+    // constraints enforce on the clone too
+    intercept[IllegalStateException] {
+      AppendJob.append(clone, DataGen.generate(spark, 5, 7L, 1).toDF()
+        .withColumn("image_id", concat(lit("c-"), col("image_id")))
+        .withColumn("w", lit(-1)))
+    }
+  }
+
+  test("clone and source evolve independently") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src2"), spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 200, 43L, 2).toDF())
+    val clone = src.cloneTo(TestSpark.tmpDir("clone-dst2"))
+    val srcV = src.currentSnapshot.version
+
+    AppendJob.append(clone, DataGen.generate(spark, 50, 44L, 2).toDF()
+      .withColumn("image_id", concat(lit("c-"), col("image_id"))))
+    assert(clone.read().count() == 250)
+    assert(src.currentSnapshot.version == srcV, "clone write must not touch source")
+    assert(src.read().count() == 200)
+
+    AppendJob.append(src, DataGen.generate(spark, 30, 45L, 2).toDF()
+      .withColumn("image_id", concat(lit("s-"), col("image_id"))))
+    assert(src.read().count() == 230)
+    assert(clone.read().count() == 250, "source write must not leak into clone")
+  }
+
+  test("maintenance on the clone localizes data; expiry skips source files") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src3"), spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 300, 46L, 2).toDF(),
+      filesPerBucket = 4)
+    val srcFiles = src.entries(src.currentSnapshot).map(_.path)
+    val cloneRoot = TestSpark.tmpDir("clone-dst3")
+    val clone = src.cloneTo(cloneRoot)
+    val pre = clone.read()
+
+    // compact rewrites INTO the clone's root; source files untouched
+    // (a source file compact judges already-packed may carry by
+    // reference — still legal, it stays live in the clone head)
+    val c = new CompactJob(clone, targetFileBytes = 8L << 20).run()
+    val (ok, bad) = ScanEquivalence.check(pre, clone.read(c))
+    assert(ok, s"$bad violations after clone compact")
+    val rootPrefix = cloneRoot.stripSuffix("/") + "/"
+    val liveClone = clone.entries(c).map(_.path).toSet
+    assert(clone.entries(c).exists(_.path.startsWith(rootPrefix)),
+      "compact must write clone-local files")
+
+    // expiring the clone's pre-compact history must delete NOTHING of
+    // the source (the external guard) while sweeping clone-local debt
+    val res = new ExpireSnapshotsJob(clone).run(keepLast = 1)
+    val expectedExternal = srcFiles.count(p => !liveClone.contains(p))
+    assert(expectedExternal > 0, "fixture needs stranded source references")
+    assert(res.externalSkipped == expectedExternal,
+      s"expected $expectedExternal external files skipped, got ${res.externalSkipped}")
+    val conf = spark.sessionState.newHadoopConf()
+    srcFiles.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      assert(hp.getFileSystem(conf).exists(hp), s"source file deleted: $p")
+    }
+    assert(src.read().count() == 300, "source unharmed after clone expiry")
+    assert(clone.read().count() == 300)
+  }
+
+  test("version floor keeps cloned equality deletes from killing new rows") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src4"), spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 100, 47L, 2).toDF())
+    // burn versions so the source head (and its eq-delete seq stamps)
+    // sit well above the clone's first few local commits
+    (1 to 3).foreach(i => src.setProperties(Map(s"burn.$i" -> "x")))
+    // eq-upsert a batch: its keys land as an equality delete stamped
+    // with the source's high version
+    val batch = DataGen.generate(spark, 10, 47L, 1).toDF()
+    new UpsertJob(src).run(batch)
+    assert(src.currentSnapshot.eqDeleteFiles.nonEmpty, "fixture needs eq debt")
+
+    val clone = src.cloneTo(TestSpark.tmpDir("clone-dst4"))
+    assert(clone.read().count() == 100)
+    // re-upsert the SAME keys into the clone: the new rows' seq must
+    // exceed every cloned eq-delete seq, so they survive (a v0-based
+    // clone would silently swallow them)
+    new UpsertJob(clone).run(batch.withColumn("caption", lit("clone-upserted")))
+    assert(clone.read().count() == 100)
+    assert(clone.read().where(col("caption") === "clone-upserted").count() == 10,
+      "upserted rows must survive the cloned equality deletes")
+  }
+
+  test("clone refuses an existing target") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src5"), spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 20, 48L, 1).toDF())
+    val dst = TestSpark.tmpDir("clone-dst5")
+    src.cloneTo(dst)
+    intercept[IllegalArgumentException] { src.cloneTo(dst) }
+  }
+}
