@@ -64,10 +64,12 @@ class QTableSqlParser(session: SparkSession,
     QTableExtensions.expandTimeTravel(session,
       QTableExtensions.expandMergeStar(session, p))
   override def parsePlan(sqlText: String): LogicalPlan =
-    post(delegate.parsePlan(sqlText))
+    QTableExtensions.parseCall(sqlText)
+      .getOrElse(post(delegate.parsePlan(sqlText)))
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    post(delegate.parsePlanWithParameters(sqlText, ctx))
+    QTableExtensions.parseCall(sqlText)
+      .getOrElse(post(delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String) =
@@ -408,6 +410,50 @@ case class DeleteFromQTableCommand(root: String, condSql: String)
 }
 
 object QTableExtensions {
+
+  /** SQL maintenance procedures (the Iceberg `CALL catalog.system.*`
+    * stored-procedure analogue): `CALL qtable.<verb>(name => value,
+    * ...)` dispatches to the engine's jobs — every maintenance
+    * operation reachable from pure SQL, not just the DML statements.
+    * Intercepted at PARSE time (qtable views are temp views, not
+    * catalog procedures, so Spark's own CALL resolution can never
+    * apply); the statement must match the `qtable.` namespace exactly
+    * or it falls through to the delegate untouched. */
+  private val CallRe =
+    """(?is)\s*CALL\s+qtable\.([A-Za-z_]+)\s*\((.*)\)\s*;?\s*""".r
+
+  private[spark] def parseCall(sql: String): Option[LogicalPlan] =
+    sql match {
+      case CallRe(verb, argStr) =>
+        Some(QTableCallCommand(verb.toLowerCase(java.util.Locale.ROOT),
+          parseNamedArgs(argStr)))
+      case _ => None
+    }
+
+  /** `name => value` argument list: values are 'quoted strings' or bare
+    * literals (numbers, booleans); commas inside quotes don't split. */
+  private def parseNamedArgs(s: String): Map[String, String] = {
+    if (s.trim.isEmpty) return Map.empty
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var inQ = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    parts.map(_.trim).filter(_.nonEmpty).map { p =>
+      val i = p.indexOf("=>")
+      require(i > 0, s"CALL arguments must be name => value, got: '$p'")
+      val k = p.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+      var v = p.substring(i + 2).trim
+      if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+        v = v.substring(1, v.length - 1)
+      k -> v
+    }.toMap
+  }
+
   private[spark] def unwrap(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, c) => unwrap(c)
     case v: View => unwrap(v.child)
@@ -600,5 +646,136 @@ case class AppendToQTableCommand(
     graft.jobs.CommitRetry.withCommitRetry()(
       graft.jobs.AppendJob.append(t, aligned))
     Seq.empty
+  }
+}
+
+/** `CALL qtable.<verb>(...)` — SQL maintenance procedures over a table
+  * path (Iceberg stored-procedure analogue). Every verb takes
+  * `table => '/path'` (plus `branch => 'name'` to address a branch) and
+  * returns the job's summary as (key, value) rows:
+  *
+  *  - compact / cluster (`target_mb`, cluster: `by`, `hilbert`,
+  *    `incremental`) — the rewrite jobs, commit-retried
+  *  - expire (`keep`, `older_than_hours`, `dry_run`)
+  *  - rewrite_manifests; remove_orphans (`grace_hours`, `dry_run`)
+  *  - analyze (`target_mb`) — the metadata-only debt report
+  *  - maintain — one debt-driven auto tick (built-in dial defaults)
+  *  - set_constraint (`name`, `expr`) / drop_constraint (`name`)
+  *  - set_property (`key`, `value`) / unset_property (`key`)
+  *  - clone (`target`); tag / untag (`name`); rollback (`to`)
+  *
+  * Flag precedence matches the CLI: explicit argument beats the
+  * table-carried property beats the built-in default. */
+final case class QTableCallCommand(verb: String, args: Map[String, String])
+  extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.jobs._
+    def req(k: String): String = args.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"CALL qtable.$verb requires $k => ..."))
+    val t0 = QTable(req("table"), spark)
+    val t = args.get("branch").map(t0.onBranch).getOrElse(t0)
+    def prop(k: String): Option[String] =
+      t.currentSnapshotOpt.flatMap(_.props.get(k))
+    def targetBytes: Long = args.get("target_mb")
+      .orElse(prop("write.target-mb")).map(_.toLong << 20)
+      .getOrElse(128L << 20)
+    def flag(k: String): Boolean = args.get(k).exists(_.toBoolean)
+    def summaryOf(s: graft.model.Snapshot): Map[String, String] =
+      s.summary + ("version" -> s.version.toString)
+
+    val result: Map[String, String] = verb match {
+      case "compact" =>
+        summaryOf(CommitRetry.withCommitRetry()(
+          new CompactJob(t, targetBytes).run()))
+      case "cluster" =>
+        summaryOf(CommitRetry.withCommitRetry()(new ClusterJob(t, targetBytes,
+          hilbert = flag("hilbert"), incremental = flag("incremental"),
+          sortBy = args.get("by").map(_.split(",").toSeq.map(_.trim))).run()))
+      case "expire" =>
+        val cutoff = args.get("older_than_hours").map(h =>
+          System.currentTimeMillis() - (h.toDouble * 3600 * 1000).toLong)
+        val r = new ExpireSnapshotsJob(t).run(
+          args.get("keep").orElse(prop("retention.keep-last"))
+            .getOrElse("2").toInt, cutoff, dryRun = flag("dry_run"))
+        Map(
+          "expired-versions" -> r.expiredVersions.mkString(","),
+          "deleted-data-files" -> r.deletedDataFiles.toString,
+          "deleted-manifests" -> r.deletedManifests.toString,
+          "reclaimable-bytes" -> r.reclaimableBytes.toString,
+          "dry-run" -> r.dryRun.toString) ++
+          (if (r.externalSkipped == 0) Map.empty[String, String]
+          else Map("external-files-skipped" -> r.externalSkipped.toString))
+      case "rewrite_manifests" =>
+        summaryOf(CommitRetry.withCommitRetry()(new RewriteManifestsJob(t).run()))
+      case "remove_orphans" =>
+        val r = new RemoveOrphanFilesJob(t, graceMs = args.get("grace_hours")
+          .map(h => (h.toDouble * 3600 * 1000).toLong)
+          .getOrElse(24L * 3600 * 1000)).run(flag("dry_run"))
+        Map("deleted" -> r.deleted.toString, "kept" -> r.kept.toString,
+          "dry-run" -> flag("dry_run").toString)
+      case "analyze" =>
+        val r = new AnalyzeJob(t, targetBytes).run()
+        Map(
+          "version" -> r.version.toString,
+          "files" -> r.files.toString,
+          "total-bytes" -> r.totalBytes.toString,
+          "small-files" -> r.smallFiles.toString,
+          "small-file-debt-bytes" -> r.smallFileDebtBytes.toString,
+          "manifests" -> r.manifests.toString,
+          "cluster-overlap" -> f"${r.clusterOverlap}%.2f",
+          "delete-files" -> r.deleteFiles.toString,
+          "delete-rows" -> r.deleteRows.toString,
+          "eq-delete-files" -> r.eqDeleteFiles.toString,
+          "retained-versions" -> r.retainedVersions.toString)
+      case "maintain" =>
+        val r = AutoMaintain.run(t, targetBytes)
+        Map(
+          "actions" -> (if (r.plan.isNoop) "(none)"
+            else r.plan.actions.mkString(",")),
+          "pre-version" -> r.preVersion.toString,
+          "version" -> r.postVersion.toString,
+          "scan-equivalent" -> r.scanEquivalent.map(_.toString)
+            .getOrElse("(no rewrite)"))
+      case "set_constraint" =>
+        summaryOf(CommitRetry.withCommitRetry()(
+          Constraints.set(t, req("name"), req("expr"))))
+      case "drop_constraint" =>
+        summaryOf(CommitRetry.withCommitRetry()(
+          Constraints.drop(t, req("name"))))
+      case "set_property" =>
+        summaryOf(CommitRetry.withCommitRetry()(
+          t.setProperties(Map(req("key") -> req("value")))))
+      case "unset_property" =>
+        summaryOf(CommitRetry.withCommitRetry()(
+          t.unsetProperties(Seq(req("key")))))
+      case "clone" =>
+        val c = t.cloneTo(req("target"))
+        summaryOf(c.currentSnapshot) + ("target" -> req("target"))
+      case "tag" =>
+        graft.format.Tags.create(t, req("name"),
+          args.get("version").map(_.toLong).getOrElse(t.currentVersion))
+        Map("tag" -> req("name"))
+      case "untag" =>
+        require(graft.format.Tags.delete(t, req("name")),
+          s"no such tag: ${req("name")}")
+        Map("untagged" -> req("name"))
+      case "rollback" =>
+        summaryOf(CommitRetry.withCommitRetry()(
+          new RollbackJob(t).run(req("to").toLong)))
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure: CALL qtable.$other — supported: compact, " +
+          "cluster, expire, rewrite_manifests, remove_orphans, analyze, " +
+          "maintain, set_constraint, drop_constraint, set_property, " +
+          "unset_property, clone, tag, untag, rollback")
+    }
+    result.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }

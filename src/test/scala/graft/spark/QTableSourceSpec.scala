@@ -418,4 +418,43 @@ class QTableSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("renamed"))
   }
+
+  test("CALL qtable.* procedures run maintenance from pure SQL") {
+    val t = fresh(400)
+    def call(sql: String): Map[String, String] = spark.sql(sql).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val pre = t.read()
+
+    val c = call(s"CALL qtable.compact(table => '${t.root}', target_mb => 4)")
+    assert(c("version") == "2")
+    val (ok, bad) = graft.verify.ScanEquivalence.check(pre, t.read())
+    assert(ok, s"$bad violations after CALL compact")
+
+    val z = call(
+      s"CALL qtable.cluster(table => '${t.root}', target_mb => 4, by => 'w,h')")
+    assert(z("sort-order") == "w,h")
+    assert(t.currentSnapshot.props("sort.order") == "w,h")
+
+    val a = call(s"CALL qtable.analyze(table => '${t.root}')")
+    assert(a("files").toInt > 0)
+
+    call(s"CALL qtable.set_constraint(table => '${t.root}', " +
+      "name => 'w-pos', expr => 'w > 0')")
+    assert(t.currentSnapshot.props("constraint.w-pos") == "w > 0")
+
+    call(s"CALL qtable.tag(table => '${t.root}', name => 'call-rel')")
+    assert(Tags.list(t).exists(_.name == "call-rel"))
+    call(s"CALL qtable.untag(table => '${t.root}', name => 'call-rel')")
+    assert(!Tags.list(t).exists(_.name == "call-rel"))
+
+    val e = call(
+      s"CALL qtable.expire(table => '${t.root}', keep => 1, dry_run => true)")
+    assert(e("dry-run") == "true")
+    assert(t.currentSnapshot.version == 4, "dry-run must not expire")
+
+    intercept[Exception] {
+      spark.sql(s"CALL qtable.nope(table => '${t.root}')") }
+    // a CALL outside the qtable namespace falls through to the delegate
+    intercept[Exception] { spark.sql("CALL other.thing(1)") }
+  }
 }
