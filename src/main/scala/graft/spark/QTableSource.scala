@@ -159,8 +159,20 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
           case "manifests" => t.manifestsDF(snap)
           case "partitions" => t.partitionsDF(snap)
           case "history" => t.historyDF
+          // row-level CDC as a SQL view: OPTIONS (meta 'changes',
+          // from '2' [, to '5']) — insert/delete/update pre/post images
+          // tagged with the committing version (the `changes` CLI
+          // surface, queryable; `to` defaults to the addressed
+          // snapshot, so version/tag/branch addressing composes)
+          case "changes" =>
+            val from = parameters.getOrElse("from",
+              throw new IllegalArgumentException("meta 'changes' requires " +
+                "a from version: OPTIONS (meta 'changes', from '2')"))
+            t.readChanges(from.toLong,
+              parameters.get("to").map(_.toLong).getOrElse(snap.version))
           case other => throw new IllegalArgumentException(
-            s"unknown meta table '$other' (files | manifests | partitions | history)")
+            s"unknown meta table '$other' " +
+              "(files | manifests | partitions | history | changes)")
         }
         return new BaseRelation with TableScan {
           override def sqlContext: SQLContext = ctx

@@ -419,6 +419,23 @@ class QTableSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("renamed"))
   }
 
+  test("meta 'changes' serves the row-level CDC changelog in SQL") {
+    val t = fresh(200)                                            // v1
+    new MergeJob(t).run(
+      DataGen.correctionsDF(spark, 200, 42L, inserts = 3))        // v2
+    val view = s"chg_${System.nanoTime()}"
+    spark.sql(s"CREATE TEMPORARY VIEW $view USING qtable OPTIONS " +
+      s"(path '${t.root}', meta 'changes', from '1')")
+    val byType = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM $view GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lib = t.readChanges(1L, 2L).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == lib, s"SQL $byType vs library $lib")
+    assert(byType("insert") == 3)
+    assert(byType("update_postimage") == byType("update_preimage"))
+  }
+
   test("CALL qtable.* procedures run maintenance from pure SQL") {
     val t = fresh(400)
     def call(sql: String): Map[String, String] = spark.sql(sql).collect()
