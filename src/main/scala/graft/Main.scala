@@ -632,7 +632,9 @@ object Main {
           "delete-files" -> r.deleteFiles.toString,
           "delete-rows" -> r.deleteRows.toString,
           "eq-delete-files" -> r.eqDeleteFiles.toString,
-          "eq-delete-keys" -> r.eqDeleteKeys.toString))
+          "eq-delete-keys" -> r.eqDeleteKeys.toString,
+          "external-files" -> r.externalFiles.toString,
+          "external-bytes" -> r.externalBytes.toString))
 
       case "agg" =>
         // metadata-only COUNT/MIN/MAX from manifest stats; hybrid

@@ -45,7 +45,13 @@ object AnalyzeJob {
       deleteFiles: Int,
       deleteRows: Long,
       eqDeleteFiles: Int,
-      eqDeleteKeys: Long)
+      eqDeleteKeys: Long,
+      // shallow-clone debt: live entries referencing files OUTSIDE the
+      // table root (QTable.cloneTo). External bytes depend on the
+      // source table's retention — a compact localizes them (and is the
+      // fix when the source is about to be cleaned up)
+      externalFiles: Int = 0,
+      externalBytes: Long = 0L)
 }
 
 class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
@@ -56,6 +62,7 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
     val entries = table.entries(snap)
     val files = entries.size
     val totalBytes = entries.map(_.byteCount).sum
+    val external = externalEntries(entries)
     // a file is "small" below half the target: binpack output lands in
     // [half, full] by construction, so anything below it is real debt
     val small = entries.filter(_.byteCount < targetFileBytes / 2)
@@ -130,6 +137,15 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
       // equality-delete debt (scan-free upserts): same fold story —
       // compact plans eq-affected files as mandatory work
       eqDeleteFiles = snap.eqDeleteFiles.size,
-      eqDeleteKeys = snap.eqDeleteFiles.map(_.rowCount).sum)
+      eqDeleteKeys = snap.eqDeleteFiles.map(_.rowCount).sum,
+      externalFiles = external.size,
+      externalBytes = external.map(_.byteCount).sum)
+  }
+
+  /** Live entries outside the table root — shallow-clone references. */
+  private def externalEntries(entries: Seq[DataFileEntry]): Seq[DataFileEntry] = {
+    val rootPrefix = new org.apache.hadoop.fs.Path(table.root)
+      .toUri.getPath.stripSuffix("/") + "/"
+    entries.filterNot(_.path.startsWith(rootPrefix))
   }
 }

@@ -67,11 +67,20 @@ class CompactJob(
       table.eqAffectedNames(snap, entries)
     def hasDeletes(e: DataFileEntry) =
       delRef.contains(graft.format.QTable.fileName(e.path))
+    // shallow-clone localization: entries referencing files OUTSIDE the
+    // table root ([[QTable.cloneTo]]) are mandatory work regardless of
+    // size — a clone compact is the "localize before source cleanup"
+    // operation, and a right-sized external file left by reference
+    // would keep the clone hostage to the source's retention forever
+    val rootPrefix = new HPath(table.root).toUri.getPath
+      .stripSuffix("/") + "/"
+    def isExternal(e: DataFileEntry) = !e.path.startsWith(rootPrefix)
     val small = entries
-      .filter(e => e.byteCount < threshold || hasDeletes(e))
+      .filter(e => e.byteCount < threshold || hasDeletes(e) || isExternal(e))
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
     val perBucket = small.groupBy(_.pbucketMin).toSeq
-      .filter { case (_, fs) => fs.size >= 2 || fs.exists(hasDeletes) }
+      .filter { case (_, fs) =>
+        fs.size >= 2 || fs.exists(hasDeletes) || fs.exists(isExternal) }
       .sortBy(_._1)
     JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
       .map { case (name, fs) => Plan(name, fs) }

@@ -71,24 +71,29 @@ class CloneSpec extends AnyFunSuite {
     val clone = src.cloneTo(cloneRoot)
     val pre = clone.read()
 
-    // compact rewrites INTO the clone's root; source files untouched
-    // (a source file compact judges already-packed may carry by
-    // reference — still legal, it stays live in the clone head)
+    // the analyze report prices the clone's external references (the
+    // "localize before source cleanup" dial); a compact pays it down
+    val repPre = new AnalyzeJob(clone, 8L << 20).run()
+    assert(repPre.externalFiles == srcFiles.size,
+      s"analyze must report ${srcFiles.size} externals, got ${repPre.externalFiles}")
+    assert(repPre.externalBytes > 0)
+
+    // compact LOCALIZES the clone: external entries are mandatory work
+    // regardless of size, so afterwards every live entry is clone-local
+    // and the external-debt dial reads zero
     val c = new CompactJob(clone, targetFileBytes = 8L << 20).run()
     val (ok, bad) = ScanEquivalence.check(pre, clone.read(c))
     assert(ok, s"$bad violations after clone compact")
     val rootPrefix = cloneRoot.stripSuffix("/") + "/"
-    val liveClone = clone.entries(c).map(_.path).toSet
-    assert(clone.entries(c).exists(_.path.startsWith(rootPrefix)),
-      "compact must write clone-local files")
+    assert(clone.entries(c).forall(_.path.startsWith(rootPrefix)),
+      "compact must localize every external reference")
+    assert(new AnalyzeJob(clone, 8L << 20).run().externalFiles == 0)
 
     // expiring the clone's pre-compact history must delete NOTHING of
     // the source (the external guard) while sweeping clone-local debt
     val res = new ExpireSnapshotsJob(clone).run(keepLast = 1)
-    val expectedExternal = srcFiles.count(p => !liveClone.contains(p))
-    assert(expectedExternal > 0, "fixture needs stranded source references")
-    assert(res.externalSkipped == expectedExternal,
-      s"expected $expectedExternal external files skipped, got ${res.externalSkipped}")
+    assert(res.externalSkipped == srcFiles.size,
+      s"expected ${srcFiles.size} external files skipped, got ${res.externalSkipped}")
     val conf = spark.sessionState.newHadoopConf()
     srcFiles.foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
