@@ -935,6 +935,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       s"column $to collides with an existing logical or stored name")
     require(to.nonEmpty && to.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"invalid column name: $to")
+    requireNoConstraintOn(snap, from, "rename")
     val next = cur.map(c => if (c.id == f.id) c.copy(name = to) else c)
     commit(Some(snap), "rename-column", Nil,
       Map("renamed-column" -> s"$from -> $to"),
@@ -978,10 +979,32 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     val f = cur.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no such column: $name"))
     require(!baseFieldIds.contains(f.id), s"cannot drop base column $name")
+    requireNoConstraintOn(snap, name, "drop")
     commit(Some(snap), "drop-column", Nil,
       Map("dropped-column" -> name),
       reuseManifests = snap.manifests,
       schemaOverride = Some(cur.filterNot(_.id == f.id)))
+  }
+
+  /** CHECK-constraint predicates are SQL text over LOGICAL column names
+    * (`constraint.<name>` properties), so dropping or renaming a column
+    * one references would break every later writer's enforcement pass
+    * with an analysis error instead of a policy decision. Refuse up
+    * front: the user drops/redefines the constraint first, explicitly.
+    * Identifier-token match — a column name inside a string literal is
+    * a (safe) false refusal, never a false pass. */
+  private def requireNoConstraintOn(snap: Snapshot, col: String,
+      what: String): Unit = {
+    val re = java.util.regex.Pattern.compile(
+      "(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(col) +
+        "($|[^A-Za-z0-9_])")
+    snap.props.foreach { case (k, v) =>
+      if (k.startsWith("constraint.") && re.matcher(v).find())
+        throw new IllegalArgumentException(
+          s"cannot $what column $col: constraint " +
+            s"'${k.stripPrefix("constraint.")}' CHECK ($v) references it " +
+            "— drop the constraint first")
+    }
   }
 
   private[format] def commitSnapshot(parentV: Long, operation: String,

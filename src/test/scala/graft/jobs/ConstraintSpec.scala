@@ -108,6 +108,22 @@ class ConstraintSpec extends AnyFunSuite {
     assert(t.read().count() == 100)
   }
 
+  test("schema evolution refuses to drop/rename a constrained column") {
+    val t = freshTable(60)
+    t.addColumn("views", "int")
+    Constraints.set(t, "views-pos", "views > 0")
+    val eDrop = intercept[IllegalArgumentException] { t.dropColumn("views") }
+    assert(eDrop.getMessage.contains("views-pos"))
+    val eRen = intercept[IllegalArgumentException] {
+      t.renameColumn("views", "hits") }
+    assert(eRen.getMessage.contains("views-pos"))
+    // after dropping the constraint both evolutions go through
+    Constraints.drop(t, "views-pos")
+    t.renameColumn("views", "hits")
+    t.dropColumn("hits")
+    assert(!t.currentSnapshot.schemaFields.exists(_.name == "hits"))
+  }
+
   test("drop lifts enforcement; dropping a missing constraint refuses") {
     val t = freshTable(50)
     Constraints.set(t, "fmt-known", "fmt IN ('png','jpeg')")
