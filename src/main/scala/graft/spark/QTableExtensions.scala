@@ -140,9 +140,9 @@ class ResolveQTableMerge(spark: SparkSession) extends Rule[LogicalPlan] {
             case a => a.condition.forall(_.resolved)
           } =>
       QTableExtensions.unwrap(m.targetTable) match {
-        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-            if QTableExtensions.dmlRoot(h).isDefined =>
-          translate(m, QTableExtensions.dmlRoot(h).get)
+        case lr: LogicalRelation
+            if QTableExtensions.dmlRootOf(lr).isDefined =>
+          translate(m, QTableExtensions.dmlRootOf(lr).get)
         case _ => m
       }
   }
@@ -329,8 +329,8 @@ class ResolveQTableUpdate(spark: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(tbl, assignments, cond)
         if assignments.forall(_.resolved) && cond.forall(_.resolved) =>
       QTableExtensions.unwrap(tbl) match {
-        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-            if QTableExtensions.dmlRoot(h).isDefined =>
+        case lr: LogicalRelation
+            if QTableExtensions.dmlRootOf(lr).isDefined =>
           def strip(e: org.apache.spark.sql.catalyst.expressions.Expression) =
             e.transform {
               case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
@@ -345,7 +345,7 @@ class ResolveQTableUpdate(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             name -> strip(a.value).sql
           }
-          UpdateQTableCommand(QTableExtensions.dmlRoot(h).get, sets,
+          UpdateQTableCommand(QTableExtensions.dmlRootOf(lr).get, sets,
             cond.map(c => strip(c).sql))
         case _ => u
       }
@@ -382,8 +382,8 @@ class ResolveQTableDelete(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case d @ DeleteFromTable(tbl, cond) if cond.resolved =>
       QTableExtensions.unwrap(tbl) match {
-        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-            if QTableExtensions.dmlRoot(h).isDefined =>
+        case lr: LogicalRelation
+            if QTableExtensions.dmlRootOf(lr).isDefined =>
           // Strip view qualifiers: the command replans the condition
           // against the table's own scan, where `viewname.col` would
           // not resolve — only the bare column names carry over.
@@ -391,7 +391,7 @@ class ResolveQTableDelete(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
               a.withQualifier(Nil)
           }
-          DeleteFromQTableCommand(QTableExtensions.dmlRoot(h).get, bare.sql)
+          DeleteFromQTableCommand(QTableExtensions.dmlRootOf(lr).get, bare.sql)
         case _ => d
       }
   }
@@ -479,8 +479,7 @@ object QTableExtensions {
           case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
             spark.sessionState.catalog.getTempView(u.multipartIdentifier.head)
               .flatMap(v => unwrap(v) match {
-                case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-                  dmlRoot(h)
+                case lr: LogicalRelation => dmlRootOf(lr)
                 case _ => None
               })
           case _ => None
@@ -538,9 +537,8 @@ object QTableExtensions {
       name.flatMap(n =>
         spark.sessionState.catalog.getTempView(n).flatMap { v =>
           unwrap(v) match {
-            case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-                if dmlRoot(h).isDefined =>
-              Some(h.schema.fieldNames.toSeq)
+            case lr: LogicalRelation if dmlRootOf(lr).isDefined =>
+              Some(lr.relation.schema.fieldNames.toSeq)
             case _ => None
           }
         })
@@ -569,6 +567,17 @@ object QTableExtensions {
       case q: QTableFileIndex => q.insertRoot
       case _ => None
     }
+
+  /** DML root across BOTH relation shapes: the fast-path
+    * HadoopFsRelation and the decorated-scan fallback a deletes/renames
+    * snapshot serves through — DML (which reloads the table at head via
+    * the jobs) keeps working when reads fell back. */
+  private[spark] def dmlRootOf(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case h: HadoopFsRelation => dmlRoot(h)
+      case d: QTableDecoratedScan => d.dmlRoot
+      case _ => None
+    }
 }
 
 /** Rewrites `InsertIntoStatement` over an insertable qtable relation
@@ -584,10 +593,9 @@ class ResolveQTableInsert(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case i: InsertIntoStatement if i.query.resolved =>
       unwrap(i.table) match {
-        case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
-            if h.location.isInstanceOf[QTableFileIndex] &&
-              h.location.asInstanceOf[QTableFileIndex].insertRoot.isDefined =>
-          val root = h.location.asInstanceOf[QTableFileIndex].insertRoot.get
+        case lr: LogicalRelation
+            if QTableExtensions.dmlRootOf(lr).isDefined =>
+          val root = QTableExtensions.dmlRootOf(lr).get
           require(!i.overwrite,
             "qtable is append-only through SQL INSERT: use the MERGE/" +
               "DELETE/upsert jobs for row changes (INSERT OVERWRITE " +
@@ -595,7 +603,7 @@ class ResolveQTableInsert(spark: SparkSession) extends Rule[LogicalPlan] {
           require(i.partitionSpec.isEmpty,
             "qtable derives its bucket partition from the key; " +
               "PARTITION clauses are not supported")
-          val relCols = h.schema.fieldNames.toSeq
+          val relCols = lr.relation.schema.fieldNames.toSeq
           // an explicit column list names TARGETS for the query's
           // positional outputs; only `BY NAME` trusts the query's names
           val byName = i.byName

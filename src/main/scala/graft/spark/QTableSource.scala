@@ -24,12 +24,12 @@ import org.apache.spark.sql.types.StructType
   * at relation creation, so a registered view is snapshot-isolated like
   * any other reader.
   *
-  * Limitation (documented, fail-fast): a table with RENAMED columns
-  * needs the physical->logical aliasing projection that only the
-  * `QTable.read`/`readIndexed` API attaches — a `RelationProvider` has
-  * no hook above its relation. Renames are rare (added-column renames
-  * only; base columns never rename); such tables read through the
-  * library API.
+  * A snapshot the raw file relation cannot serve — RENAMED columns
+  * (need the physical->logical aliasing projection) or live
+  * merge-on-read deletes (need the anti-joins) — falls back to
+  * [[QTableDecoratedScan]]: the full `QTable.read` DataFrame wrapped as
+  * a `PrunedFilteredScan`, so reads always work; the fast-path relation
+  * returns once maintenance folds the deletes.
   */
 class QTableSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
@@ -182,14 +182,21 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
         }
       case None => ()
     }
-    require(!snap.hasRenames,
-      "this table has renamed columns; read it via QTable.read/readIndexed " +
-        "(the DataSource relation cannot attach the aliasing projection)")
-    require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
-      "this snapshot has live merge-on-read deletes (position or " +
-        "equality); read it via QTable.read/readIndexed (the DataSource " +
-        "relation cannot attach the delete anti-joins) or fold them " +
-        "first with a compact run")
+    // decorated-read FALLBACK: a snapshot with renamed columns (needs
+    // the physical->logical aliasing projection) or live merge-on-read
+    // deletes (needs the anti-joins) cannot be served by the raw
+    // HadoopFsRelation — instead of refusing, wrap the full
+    // [[QTable.read]] DataFrame as a PrunedFilteredScan: column pruning
+    // and best-effort filter pushdown flow INTO the inner plan (whose
+    // stats-skipping FileIndex still prunes files), and Spark
+    // re-applies every filter above a V1 source, so unconverted
+    // predicates stay correct. Head-of-main fallbacks stay DML-capable
+    // (the rules match on dmlRoot and the jobs reload at head).
+    if (snap.hasRenames || snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty)
+      return new QTableDecoratedScan(ctx, t.read(snap),
+        s"QTableDecorated($path, v${snap.version})",
+        dmlRoot = if (Seq("version", "tag", "branch", "as-of-ts")
+          .forall(!parameters.contains(_))) Some(path) else None)
     val (rel, index) = t.relationFor(snap)
     // SQL INSERT INTO: only a head-of-main relation is appendable (a
     // time-traveled or branch view must never take writes aimed at
@@ -206,4 +213,50 @@ object QTableSource {
   private[graft] def parseTs(s: String): Long =
     if (s.forall(_.isDigit)) s.toLong
     else java.time.Instant.parse(s).toEpochMilli
+}
+
+/** V1 relation over a DECORATED read (renames aliased, deletes
+  * anti-joined): requested columns project into the inner DataFrame and
+  * convertible filters apply to it — both reach the inner plan's
+  * stats-skipping scan — while Spark's V1 contract re-evaluates every
+  * filter above the source, so unconverted predicates cost nothing in
+  * correctness. */
+private[spark] class QTableDecoratedScan(ctx: SQLContext, df: DataFrame,
+    label: String,
+    /** Table root DML over this view may target (head-of-main only) —
+      * the [[QTableFileIndex.insertRoot]] analogue, so SQL DML keeps
+      * working when a deletes/renames snapshot fell back to this
+      * relation (the jobs reload the table at head regardless). */
+    val dmlRoot: Option[String] = None) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.sources._
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def toString: String = label
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[Row] = {
+    val filtered = filters.flatMap(toColumn).foldLeft(df)(_.where(_))
+    (if (requiredColumns.isEmpty) filtered
+     else filtered.select(requiredColumns.map(col).toSeq: _*)).rdd
+  }
 }

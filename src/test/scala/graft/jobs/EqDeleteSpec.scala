@@ -295,7 +295,7 @@ class EqDeleteSpec extends AnyFunSuite {
       s"eq-delete application shuffled the data side:\n$plan")
   }
 
-  test("DataSource reads fail fast on live eq deletes; insert-only upsert skips the delete file") {
+  test("DataSource reads apply live eq deletes via the fallback; insert-only upsert skips the delete file") {
     val t = fresh(200, buckets = 2)
     // insert-only batch whose keys overlap NO existing file: the delete
     // entry would be permanent dead weight, so it is skipped entirely
@@ -308,12 +308,11 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(t.read().count() == 203)
     assert(spark.read.format("qtable").load(t.root).count() == 203)
 
-    // an overlapping upsert records one; the DataSource then refuses
+    // an overlapping upsert records one; the DataSource serves it
+    // through the decorated-scan fallback (anti-joins applied), and
+    // the fast path takes over again once a compact folds the deletes
     new UpsertJob(t, deleteCol = Some("is_delete")).run(batch(t, "3", "ds"))
-    val ex = intercept[IllegalArgumentException] {
-      spark.read.format("qtable").load(t.root).count()
-    }
-    assert(ex.getMessage.contains("merge-on-read deletes"))
+    assert(spark.read.format("qtable").load(t.root).count() == t.read().count())
     new CompactJob(t, targetFileBytes = 8L << 20).run()
     assert(spark.read.format("qtable").load(t.root).count() == t.read().count())
   }

@@ -314,13 +314,14 @@ class PositionDeleteSpec extends AnyFunSuite {
       s"delete application shuffled the data side:\n$plan")
   }
 
-  test("DataSource reads fail fast on live deletes and recover after a fold") {
+  test("DataSource reads apply live deletes via the fallback; fast path after a fold") {
     val t = fresh(200, buckets = 2)
     new DeleteJob(t).run(col("image_id").endsWith("2"))
-    val ex = intercept[IllegalArgumentException] {
-      spark.read.format("qtable").load(t.root).count()
-    }
-    assert(ex.getMessage.contains("merge-on-read deletes"))
+    // live deletes: served through the decorated-scan fallback with the
+    // anti-joins applied — deleted rows invisible immediately
+    val fb = spark.read.format("qtable").load(t.root)
+    assert(fb.count() == t.read().count())
+    assert(fb.where(col("image_id").endsWith("2")).count() == 0)
     new CompactJob(t, targetFileBytes = 8L << 20).run()
     assert(spark.read.format("qtable").load(t.root).count() == t.read().count())
   }

@@ -409,14 +409,37 @@ class QTableSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("renamed tables are refused with a pointer to the library API") {
+  test("renamed tables read through the decorated-scan fallback") {
     val t = fresh(50)
     t.addColumn("alt", "string")
     t.renameColumn("alt", "alt_text")
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("qtable").load(t.root).count()
-    }
-    assert(e.getMessage.contains("renamed"))
+    val df = spark.read.format("qtable").load(t.root)
+    assert(df.columns.contains("alt_text"))
+    assert(df.count() == 50)
+    assert(df.select("image_id").except(
+      t.read().select("image_id")).count() == 0)
+  }
+
+  test("snapshots with live MOR deletes read through the fallback, filters apply") {
+    val t = fresh(300)
+    new graft.jobs.DeleteJob(t).run(col("image_id").endsWith("7"))
+    assert(t.currentSnapshot.deleteFiles.nonEmpty, "fixture needs live deletes")
+    val lib = t.read()
+    val view = s"mor_${System.nanoTime()}"
+    spark.sql(s"CREATE TEMPORARY VIEW $view USING qtable OPTIONS (path '${t.root}')")
+    assert(spark.sql(s"SELECT count(*) FROM $view").head().getLong(0) == lib.count())
+    // deleted rows are invisible through SQL; filters flow into the plan
+    assert(spark.sql(
+      s"SELECT count(*) FROM $view WHERE image_id LIKE '%7'").head().getLong(0) == 0)
+    val pngSql = spark.sql(
+      s"SELECT image_id FROM $view WHERE fmt = 'png'").count()
+    assert(pngSql == lib.where(col("fmt") === "png").count())
+    // DML through the fallback view still routes to the jobs at head
+    val preCount = lib.count()
+    spark.sql(s"DELETE FROM $view WHERE image_id LIKE '%3'")
+    assert(t.currentSnapshot.operation == "delete")
+    assert(t.read().where(col("image_id").endsWith("3")).count() == 0)
+    assert(t.read().count() < preCount)
   }
 
   test("meta 'changes' serves the row-level CDC changelog in SQL") {
