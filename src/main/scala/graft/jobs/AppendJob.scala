@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   * it can always be recomputed from the key. `filesPerBucket` controls
   * initial file granularity; tests deliberately write MANY small files so
   * the maintenance jobs have real work (FIXTURES.md §1).
+  *
+  * `write.sort-on-append = true` (Iceberg `write.sort-order` analogue):
+  * each batch is range-partitioned and sorted WITHIN the batch by the
+  * table's sort key — the `sort.order` columns lexicographically, or the
+  * north-rule image zkey — so appended files land with tight,
+  * near-disjoint key ranges instead of id-slices. The steady-state
+  * payoff is amortized clustering: per-file stats prune immediately and
+  * an incremental cluster run has less to re-sort. A batch sort can
+  * never replace clustering ACROSS batches (each batch spans the key
+  * domain), which is exactly the LSM shape `cluster --incremental`
+  * merges.
   */
 object AppendJob {
 
@@ -28,10 +39,25 @@ object AppendJob {
     // CHECK constraints veto the batch before any write (streaming
     // ingest and SQL INSERT route through here, so they are covered)
     Constraints.enforce(Constraints.logicalView(aligned, snap), snap, "append")
-    graft.format.TableWrite.parquet(
-      // range-partition on (pbucket, image_id): files align with buckets,
-      // splitting each bucket into ~filesPerBucket files
-      aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id")), dir)
+    val laidOut =
+      if (!snap.props.get("write.sort-on-append").contains("true"))
+        // range-partition on (pbucket, image_id): files align with
+        // buckets, splitting each bucket into ~filesPerBucket files
+        aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id"))
+      else {
+        val byName = snap.schemaFields.map(f => f.name -> f.phys).toMap
+        val keys = snap.props.get("sort.order")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          .filter(_.nonEmpty) match {
+          case Some(cs) => cs.map(c => col(byName.getOrElse(c,
+            throw new IllegalArgumentException(s"sort.order names unknown column $c"))))
+          case None => Seq(graft.expr.zfunctions.imageZKey(
+            col("phash"), col("w"), col("h"), col("image_id"), hilbert = false))
+        }
+        val all = col("pbucket") +: keys
+        aligned.repartitionByRange(nFiles, all: _*).sortWithinPartitions(all: _*)
+      }
+    graft.format.TableWrite.parquet(laidOut, dir)
     val files = table.harvest(dir)
     // append-only commit: parent manifests carried by reference, new files
     // land in fresh manifests — O(append) metadata, not O(table)

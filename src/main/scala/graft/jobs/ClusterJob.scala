@@ -169,13 +169,16 @@ class ClusterJob(
     * near-uniform sample of its group's key distribution; boundary error
     * only skews output file sizes a few percent, never correctness. */
   private def boundsByGroup(plans: Seq[Plan],
-      zkeyCol: Column): Map[String, Array[Long]] = {
+      zkeyCol: Column, sampleEvery: Int): Map[String, Array[Long]] = {
     // every 4th file per group (min 1): pre-cluster files are id-range
     // slices independent of the key components, so each is a near-uniform
     // sample; 1/4 of rows is ample for a 128-point grid and halves the
-    // fixed pass cost vs round 2's every-2nd sampling
+    // fixed pass cost vs round 2's every-2nd sampling. Under
+    // write.sort-on-append the premise inverts — appended files are KEY
+    // slices, so skipping files skips key ranges — and the caller passes
+    // sampleEvery = 1 (every file; the pass is still column-pruned).
     val sampled = plans.flatMap(_.inputs.sortBy(_.path).zipWithIndex
-      .collect { case (f, i) if i % 4 == 0 => f.path })
+      .collect { case (f, i) if i % sampleEvery == 0 => f.path })
     val grid = (1 until QuantileGrid).map(_.toDouble / QuantileGrid).toArray
     val rows = table.readFiles(sampled)
       .select(col("pbucket"), zkeyCol.as("zkey"))
@@ -212,9 +215,11 @@ class ClusterJob(
     // at 10^5 groups). Checkpointed resume is unaffected: groups commit
     // individually and `already` is re-read per batch.
     val zkeyCol = sortKeyFor(snap, plans.flatMap(_.inputs))
+    val sampleEvery =
+      if (snap.props.get("write.sort-on-append").contains("true")) 1 else 4
     val outputs = plans.grouped(math.max(1, gridBatchGroups)).flatMap { batch =>
       val tB0 = System.nanoTime()
-      val grids = boundsByGroup(batch, zkeyCol)
+      val grids = boundsByGroup(batch, zkeyCol, sampleEvery)
       if (sys.env.contains("GRAFT_TIMING"))
         System.err.println(f"[timing] cluster-bounds ${(System.nanoTime() - tB0) / 1e9}%6.2fs (${batch.size} groups)")
       runBatch(snap, batch, grids, zkeyCol, ckpt, jobTable, failAfterGroups)
