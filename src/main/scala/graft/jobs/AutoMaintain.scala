@@ -100,7 +100,15 @@ object AutoMaintain {
     if (deleteFold) reasons += f"delete debt $debtRows rows, " +
       f"$rowRatio%.3f of table > ${c.deleteRowRatio}%.3f"
 
-    val compact = smallDebt || deleteFold
+    // shallow-clone localization: any entry referencing a file outside
+    // the table root is compaction work (compact treats externals as
+    // mandatory), so a cloned table's first tick localizes it and stops
+    // depending on the source's retention
+    val externalDebt = r.externalFiles > 0
+    if (externalDebt) reasons += s"${r.externalFiles} external (cloned) " +
+      s"file references, ${r.externalBytes} bytes to localize"
+
+    val compact = smallDebt || deleteFold || externalDebt
 
     // consolidation only matters while the debt stays UNfolded
     val rewriteDeletes = !compact &&

@@ -126,6 +126,20 @@ class CloneSpec extends AnyFunSuite {
       "upserted rows must survive the cloned equality deletes")
   }
 
+  test("maintain --auto localizes a fresh clone in one tick") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src6"), spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 200, 49L, 2).toDF(),
+      filesPerBucket = 2)
+    val clone = src.cloneTo(TestSpark.tmpDir("clone-dst6"))
+    val res = AutoMaintain.run(clone, targetBytes = 8L << 20)
+    assert(res.plan.compact, s"tick must plan a localize, got ${res.plan.actions}")
+    assert(res.scanEquivalent.contains(true))
+    assert(new AnalyzeJob(clone, 8L << 20).run().externalFiles == 0)
+    // second tick: clean, commits nothing
+    val res2 = AutoMaintain.run(clone, targetBytes = 8L << 20)
+    assert(res2.plan.isNoop, s"second tick must be a no-op, got ${res2.plan.actions}")
+  }
+
   test("clone refuses an existing target") {
     val src = QTable.create(TestSpark.tmpDir("clone-src5"), spark, 2)
     AppendJob.append(src, DataGen.generate(spark, 20, 48L, 1).toDF())

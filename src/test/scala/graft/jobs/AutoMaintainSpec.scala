@@ -58,6 +58,11 @@ class AutoMaintainSpec extends AnyFunSuite {
     val ex = AutoMaintain.plan(clean.copy(retainedVersions = 20))
     assert(ex.expire && !ex.rewrites)
 
+    // external (cloned) references -> compact (localize), any count
+    val ext = AutoMaintain.plan(clean.copy(
+      externalFiles = 1, externalBytes = 1L << 20))
+    assert(ext.compact, "external references must trigger a localizing compact")
+
     // noise floor: 2 tiny files on a tiny table stay below minSmallFiles
     val noise = AutoMaintain.plan(clean.copy(
       smallFiles = 2, smallFileDebtBytes = 9L << 30))
