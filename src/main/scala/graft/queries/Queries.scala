@@ -1078,6 +1078,7 @@ object Queries {
     q50Dir(s)
     q51Dir(s)
     q52Dir(s)
+    q53Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -2803,6 +2804,74 @@ object Queries {
        |SELECT image_id, fmt, w, caption
        |FROM read_parquet('$Q52Root/exp/b2/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Sorted-append fixture (`write.sort-on-append`): the SAME batch
+    * lands in a plain table and a sorted one. The sorted read must equal
+    * the exported batch exactly (the layout property changes WHERE rows
+    * land, never what they are), GATED on the layout evidence: per-file
+    * phash spans (unsigned domain) tightened vs the plain twin, and a
+    * key-range probe through the stats-skipping index reads fewer files.
+    * DuckDB recomputes the rows from the export. */
+  private val Q53Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sorted_append_v1"
+
+  private def q53Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q53Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q53Root
+    val lockPath = Paths.get(Q53Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ53(s)
+    } finally { lock.release(); ch.close() }
+    Q53Root
+  }
+
+  private def q53Span(t: graft.format.QTable): Double = {
+    def u(x: Long): Double = (x ^ Long.MinValue).toDouble - Long.MinValue.toDouble
+    val es = t.entries(t.currentSnapshot)
+    es.map(e => (u(e.phashMax) - u(e.phashMin)) / math.pow(2, 64)).sum / es.size
+  }
+
+  private def q53FilesProbed(t: graft.format.QTable): Int = {
+    val (df, idx) = t.readIndexed()
+    df.where(col("phash") >= (Long.MinValue / 2) && col("phash") < 0L).count()
+    idx.lastSelection._1.toInt
+  }
+
+  private def buildQ53(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q53Root)
+    val plain = graft.format.QTable.create(s"$Q53Root/plain", s, buckets = 2)
+    val sorted = graft.format.QTable.create(s"$Q53Root/sorted", s, buckets = 2)
+    sorted.setProperties(Map("write.sort-on-append" -> "true"))
+    val batch = graft.synth.DataGen.generate(s, 600L, 93L).toDF()
+    graft.jobs.AppendJob.append(plain, batch, filesPerBucket = 16)
+    graft.jobs.AppendJob.append(sorted, batch, filesPerBucket = 16)
+    batch.select("image_id", "fmt", "w", "caption", "phash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q53Root/exp/batch")
+    if (q53Span(sorted) < q53Span(plain) * 0.7 &&
+      q53FilesProbed(sorted) < q53FilesProbed(plain))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(Q53Root, "_GATE_TIGHT"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q53Root, "_FIXTURE_READY"))
+  }
+
+  /** The sorted table's rows, gated on the layout evidence. */
+  def q53SortedAppend(s: SparkSession, dir: String): DataFrame = {
+    val root = q53Dir(s)
+    val t = graft.format.QTable(s"$root/sorted", s)
+    val out = t.read().select("image_id", "fmt", "w", "caption", "phash")
+    if (java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_GATE_TIGHT"))) out else out.limit(0)
+  }
+
+  val q53Sql: String =
+    s"""SELECT image_id, fmt, w, caption, phash
+       |FROM read_parquet('$Q53Root/exp/batch/*.parquet')""".stripMargin
+
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_manifest_stats" -> ((q01ManifestStats _, q01Sql)),
     "q02_pruned_scan" -> ((q02PrunedScan _, q02Sql)),
@@ -2855,7 +2924,8 @@ object Queries {
     "q49_update_dml" -> ((q49UpdateDml _, q49Sql)),
     "q50_cluster_by" -> ((q50ClusterBy _, q50Sql)),
     "q51_constraints" -> ((q51Constraints _, q51Sql)),
-    "q52_shallow_clone" -> ((q52Clone _, q52Sql)))
+    "q52_shallow_clone" -> ((q52Clone _, q52Sql)),
+    "q53_sorted_append" -> ((q53SortedAppend _, q53Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
