@@ -1240,12 +1240,19 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * 7", "what still predates the last upsert"). Metadata-sized by
     * construction: the rows ARE the planner's entries. */
   def filesDF(s: Snapshot): DataFrame = {
+    // `external` = the file lives outside this table's root (a shallow-
+    // clone reference, [[cloneTo]]): "what would a localizing compact
+    // rewrite" / "what does this clone still borrow" in plain SQL
+    val rootPrefix = new org.apache.hadoop.fs.Path(root)
+      .toUri.getPath.stripSuffix("/") + "/"
     val rows = entries(s).map(e => (e.path, e.rowCount, e.byteCount,
       e.pbucketMin, e.pbucketMax, e.phashMin, e.phashMax,
-      e.imageIdMin, e.imageIdMax, e.seq, e.blooms.nonEmpty, e.firstRowId))
+      e.imageIdMin, e.imageIdMax, e.seq, e.blooms.nonEmpty, e.firstRowId,
+      !e.path.startsWith(rootPrefix)))
     spark.createDataFrame(rows).toDF("path", "row_count", "byte_count",
       "pbucket_min", "pbucket_max", "phash_min", "phash_max",
-      "image_id_min", "image_id_max", "seq", "has_bloom", "first_row_id")
+      "image_id_min", "image_id_max", "seq", "has_bloom", "first_row_id",
+      "external")
   }
 
   def filesDF: DataFrame = filesDF(currentSnapshot)

@@ -77,6 +77,9 @@ class CloneSpec extends AnyFunSuite {
     assert(repPre.externalFiles == srcFiles.size,
       s"analyze must report ${srcFiles.size} externals, got ${repPre.externalFiles}")
     assert(repPre.externalBytes > 0)
+    // the files metadata table exposes the same fact per file
+    assert(clone.filesDF.where("external").count() == srcFiles.size)
+    assert(src.filesDF.where("external").count() == 0)
 
     // compact LOCALIZES the clone: external entries are mandatory work
     // regardless of size, so afterwards every live entry is clone-local
