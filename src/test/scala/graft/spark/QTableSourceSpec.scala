@@ -492,6 +492,12 @@ class QTableSourceSpec extends AnyFunSuite {
     assert(e("dry-run") == "true")
     assert(t.currentSnapshot.version == 4, "dry-run must not expire")
 
+    val cloneRoot = graft.TestSpark.tmpDir("call-clone")
+    val cl = call(s"CALL qtable.clone(table => '${t.root}', " +
+      s"target => '$cloneRoot/t')")
+    assert(cl("source-version") == "4")
+    assert(QTable(s"$cloneRoot/t", spark).read().count() == 400)
+
     intercept[Exception] {
       spark.sql(s"CALL qtable.nope(table => '${t.root}')") }
     // a CALL outside the qtable namespace falls through to the delegate
