@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> rewrite-deletes --table T   (consolidate position-delete files)
   *   spark-submit --class graft.Main <jar> maintain --table T [--target-mb M] [--hilbert] [--incremental] [--keep K] [--dry-run] [--scope B1,B2]
   *   spark-submit --class graft.Main <jar> maintain --table T --auto [--small-debt-ratio R] [--delete-row-ratio R] [--max-delete-files N] [--overlap-threshold X] [--max-versions V]   (debt-driven tick: only over-threshold jobs run; clean table = no commits)
-  *   spark-submit --class graft.Main <jar> verify  --table T [--against V | --against-tag N] [--sample F] [--staged]
+  *   spark-submit --class graft.Main <jar> verify  --table T [--against V | --against-tag N | --against-table DIR] [--sample F] [--staged]   (--against-table: cross-table equivalence, the shallow-clone audit)
   *   spark-submit --class graft.Main <jar> lookup  --table T --id IMG_ID
   *   spark-submit --class graft.Main <jar> history --table T
   *   spark-submit --class graft.Main <jar> files   --table T [--version V | --tag N | --as-of-ts T] [--branch B] [--out DIR]   (metadata table: one row per live data file)
@@ -424,15 +424,23 @@ object Main {
         val against = opts.get("against").map(_.toLong)
           .orElse(opts.get("against-tag").map(n => graft.format.Tags.ref(t, n).version))
           .getOrElse(cur.parentVersion)
-        require(against >= 0, "no parent snapshot to verify against; pass --against V")
+        require(against >= 0 || opts.contains("against-table"),
+          "no parent snapshot to verify against; pass --against V")
         // --sample F: deterministic keyed sample of both sides — the
         // 100 TB mode (a full check shuffles the fat bytes column twice)
         val frac = opts.get("sample").map(_.toDouble).getOrElse(1.0)
         require(frac > 0 && frac <= 1.0, "--sample must be in (0, 1]")
-        val pre = t.read(t.snapshotAt(against))
+        // --against-table DIR: CROSS-table equivalence (the shallow-clone
+        // audit — "does this clone still read exactly like its source",
+        // before or after localization), instead of an ancestor version
+        val pre = opts.get("against-table") match {
+          case Some(other) => QTable(other, spark).read()
+          case None => t.read(t.snapshotAt(against))
+        }
         val (ok, bad) = ScanEquivalence.check(pre, t.read(cur), sampleFraction = frac)
         report("verify", Map(
-          "against-version" -> against.toString,
+          "against-version" -> opts.get("against-table")
+            .getOrElse(against.toString),
           "current-version" -> cur.version.toString,
           "sample-fraction" -> frac.toString,
           "scan-equivalent" -> ok.toString,
