@@ -27,6 +27,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap budgeted against the environment AS FOUND at sbt load (round-5
+// fix: round 4's fixed 16g pre-touched heap, stacked on five resident
+// 4g pre-touched workers and a RAM-backed working set, was OOM-killed
+// (exit 137) in the driver's environment where sbt, DuckDB, and the
+// harness share the box). SPARK_DRIVER_MEM still overrides; the default
+// derives from MemAvailable with a reserve for the bench's worker JVMs
+// (<=5 x 4g), the tmpfs working set (~12g peak), and co-tenants.
+val memAvailGb: Long = {
+  try {
+    val src = scala.io.Source.fromFile("/proc/meminfo")
+    try src.getLines().find(_.startsWith("MemAvailable"))
+      .map(_.split("\\s+")(1).toLong / (1024 * 1024)).getOrElse(64L)
+    finally src.close()
+  } catch { case _: Throwable => 64L }
+}
+val driverHeapGb: Long = sys.env.get("SPARK_DRIVER_MEM") match {
+  case Some(m) => m.toLowerCase.stripSuffix("g").toLong
+  case None    => math.max(6L, math.min(16L, memAvailGb - 40L))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC: G1's humongous-allocation handling collapses on this
   // workload's fat binary rows (multi-second young pauses); the
@@ -34,14 +53,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${driverHeapGb}g",
 )
 // Bench/Main runs pre-touch the whole heap at startup: on this guest a
 // lazily grown heap faults fresh pages through the host-side page path
 // DURING measured work, and the penalty grows with thread count — the
 // same fix that made the executor-pair workers clean (Bench.scala).
-// Scoped to `run` so test JVMs keep fast startup.
-Compile / run / javaOptions ++= Seq(
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  "-XX:+AlwaysPreTouch",
-)
+// Scoped to `run` so test JVMs keep fast startup. Pre-touch COMMITS the
+// whole heap, so it is enabled only when MemAvailable leaves the full
+// reserve on top of it; on a tight box the run keeps a lazy heap and
+// survives (Bench.scala notes which mode ran).
+Compile / run / javaOptions ++= {
+  if (memAvailGb >= driverHeapGb + 48L)
+    Seq(s"-Xms${driverHeapGb}g", "-XX:+AlwaysPreTouch",
+      "-Dgraft.bench.heap=pretouched")
+  else Seq("-Dgraft.bench.heap=lazy")
+}

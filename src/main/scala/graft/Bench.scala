@@ -29,6 +29,68 @@ import scala.collection.mutable
   */
 object Bench {
 
+  // ---------------------------------------------------------------- memory
+  // Round-5: the bench budgets itself against the environment AS FOUND.
+  // Round 4's driver invocation was SIGKILLed (exit 137) mid-run: a fixed
+  // 16g pre-touched run JVM + five resident pre-touched 4g workers + a
+  // RAM-backed working set + /dev/shm shuffle dirs step-committed ~36 GiB
+  // of heap on a box the driver shares with sbt, DuckDB, and the harness.
+  // Every sizing decision below derives from MemAvailable (and the cgroup
+  // limit when one applies), re-read at the point of use.
+
+  /** GiB the kernel says are available, intersected with cgroup-v2
+    * headroom when this process runs under a memory limit. */
+  def memAvailableGb(): Long = {
+    def meminfo: Long = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("MemAvailable"))
+        .map(_.split("\\s+")(1).toLong >> 20).getOrElse(Long.MaxValue)
+      finally src.close()
+    } catch { case _: Throwable => Long.MaxValue }
+    def cgroup: Long = try {
+      val max = new String(Files.readAllBytes(
+        Paths.get("/sys/fs/cgroup/memory.max"))).trim
+      if (max == "max") Long.MaxValue
+      else {
+        val cur = new String(Files.readAllBytes(
+          Paths.get("/sys/fs/cgroup/memory.current"))).trim.toLong
+        (max.toLong - cur) >> 30
+      }
+    } catch { case _: Throwable => Long.MaxValue }
+    val g = math.min(meminfo, cgroup)
+    if (g == Long.MaxValue) 64L else g
+  }
+
+  // Decided ONCE at main start (a mid-run flip would split the working
+  // set across filesystems); threshold covers the ~12 GiB tmpfs peak
+  // (pristine + in-flight work copies + proc staging + shuffle) with
+  // margin for co-tenant growth. tmpfs pages count against MemAvailable,
+  // so a tight box automatically lands on disk.
+  @volatile private var shmOk: Boolean = true
+  private def shmUsable: Boolean =
+    shmOk && Files.isDirectory(Paths.get("/dev/shm")) &&
+      Files.isWritable(Paths.get("/dev/shm"))
+
+  // ------------------------------------------------------------- heartbeat
+  // A watchdog reading the driver's log must never mistake a silent phase
+  // (worker heap pre-touch, staging copies, a long query) for a hang; the
+  // r4 kill landed in exactly such a window. One daemon line every 20 s.
+  private val phase = new java.util.concurrent.atomic.AtomicReference[String]("init")
+  private def setPhase(p: String): Unit = phase.set(p)
+  private def startHeartbeat(): Unit = {
+    val t0 = System.nanoTime()
+    val th = new Thread(() => {
+      while (true) {
+        Thread.sleep(20000)
+        System.err.println(f"[bench] hb phase=${phase.get} " +
+          f"elapsed=${(System.nanoTime() - t0) / 1e9}%.0fs " +
+          f"memAvail=${memAvailableGb()}G")
+      }
+    }, "bench-heartbeat")
+    th.setDaemon(true)
+    th.start()
+  }
+
   private def withSession[T](cpus: Int)(f: SparkSession => T): T = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,8 +111,8 @@ object Bench {
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.local.dir",
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm/graft-spark-local" else System.getProperty("java.io.tmpdir"))
+        if (shmUsable) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -159,6 +221,17 @@ object Bench {
   }
 
   private def mainImpl(): Unit = {
+    startHeartbeat()
+    val availAtStart = memAvailableGb()
+    // 40 GiB covers the worst concurrent footprint this run can add on
+    // top of its own heap: <=5 worker JVMs (<=20g) + ~12g tmpfs peak +
+    // co-tenant margin. Below it, the working set and shuffle dirs go to
+    // disk — a slower but ALIVE run beats an OOM-killed artifact.
+    shmOk = availAtStart >= 40L
+    System.err.println(s"[bench] memAvail=${availAtStart}G " +
+      s"heap=${Runtime.getRuntime.maxMemory >> 30}G" +
+      s"(${System.getProperty("graft.bench.heap", "unknown")}) " +
+      s"workingSet=${if (shmUsable) "/dev/shm" else "disk"}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusMax = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Levels 1,2,4,8: primary N->4N pair is 1->4, secondary is 2->8.
@@ -196,12 +269,12 @@ object Bench {
     // tmpfs isolates the CPU-scaling signal the N-vs-4N gate asks for.
     val shm = Paths.get("/dev/shm")
     val base =
-      if (Files.isDirectory(shm) && Files.isWritable(shm))
-        Files.createTempDirectory(shm, "graft-bench")
+      if (shmUsable) Files.createTempDirectory(shm, "graft-bench")
       else Files.createTempDirectory("graft-bench")
     val pristine = base.resolve("pristine")
 
     // ---- generate the pristine table once (untimed; synthesis, not maintenance)
+    setPhase("generate")
     val (tableBytes, genSec) = withSession(cpusMax) { s =>
       time {
         val t = QTable.create(pristine.toString, s, buckets)
@@ -265,18 +338,46 @@ object Bench {
     // the driver's per-round bench has been proven to tolerate (the
     // round-4 best-of-3 query pack claimed back ~1 round's worth of
     // wall), while the per-phase minimum stays a stable estimator
+    // Up to nRounds rounds per level, with a convergence early-stop
+    // (round-5 envelope trim): once no level's per-phase minimum has
+    // improved by >2% over the last two full rounds (and at least
+    // minRounds ran), further rounds only re-measure an established
+    // floor. Best-of-N converges from above, so stopping early can only
+    // leave the estimate conservative, never inflate it.
     val nRounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "9").toInt
-    val rounds = for {
-      round <- 1 to nRounds
-      cpus <- levels
-    } yield {
-      val name = s"c$cpus-r$round"
-      val r = suite(cpus, name)
-      System.err.println(f"[bench] $name%-8s compact=${r.tCompact}%7.2fs cluster=${r.tCluster}%7.2fs total=${r.tRewrite}%7.2fs")
-      // keep the primary-high table of the last round for merge/verify
-      if (!(cpus == pHigh && round == nRounds)) delDir(base.resolve(s"work-$name"))
-      (cpus, r)
+    val minRounds = math.min(nRounds, 5)
+    val roundsBuf = mutable.ArrayBuffer[(Int, SuiteResult)]()
+    var keptWork: Option[Path] = None // last completed pHigh copy (merge input)
+    var round = 0
+    var converged = false
+    while (round < nRounds && !converged) {
+      round += 1
+      levels.foreach { cpus =>
+        val name = s"c$cpus-r$round"
+        setPhase(s"suite-$name")
+        val r = suite(cpus, name)
+        System.err.println(f"[bench] $name%-8s compact=${r.tCompact}%7.2fs cluster=${r.tCluster}%7.2fs total=${r.tRewrite}%7.2fs")
+        if (cpus == pHigh) {
+          keptWork.foreach(delDir) // previous round's copy gives way
+          keptWork = Some(base.resolve(s"work-$name"))
+        } else delDir(base.resolve(s"work-$name"))
+        roundsBuf += ((cpus, r))
+      }
+      if (round >= math.max(minRounds, 3)) {
+        def minsAt(upTo: Int): Map[Int, (Double, Double)] =
+          levels.map { c =>
+            val rs = roundsBuf.take(upTo * levels.size).filter(_._1 == c).map(_._2)
+            c -> (rs.map(_.tCompact).min, rs.map(_.tCluster).min)
+          }.toMap
+        val (now, prev) = (minsAt(round), minsAt(round - 2))
+        converged = levels.forall { c =>
+          now(c)._1 > prev(c)._1 * 0.98 && now(c)._2 > prev(c)._2 * 0.98
+        }
+        if (converged) System.err.println(
+          s"[bench] per-phase floors converged after $round/$nRounds rounds; stopping suite early")
+      }
     }
+    val rounds = roundsBuf.toSeq
     def phaseMin(cpus: Int): SuiteResult = {
       val rs = rounds.filter(_._1 == cpus).map(_._2)
       rs.head.copy(
@@ -291,22 +392,38 @@ object Bench {
 
     // ---- correctness gate on the primary-high run (untimed): scan
     //      equivalence + a MERGE pass, mirroring the north-rule oracle
+    // Best-of-3 since round 5 (the last two single-shot phase timings —
+    // r4's invocation #15 read its merge at 18.4 s against a 5-12 s band
+    // purely from a host burst). Each rep runs on a FRESH copy of the
+    // kept post-suite table (merge mutates it); copy + fixture synthesis
+    // stay untimed, the same estimator as the suite phases and the query
+    // pack. Correctness gates on EVERY rep passing.
+    val mergeReps = sys.env.getOrElse("GRAFT_BENCH_MERGE_REPS", "3").toInt
     val (mergeSec, verifySec, verifyOk) =
-      if (sys.env.contains("GRAFT_BENCH_SKIP_MERGE")) (0.0, 0.0, true)
+      if (sys.env.contains("GRAFT_BENCH_SKIP_MERGE") || keptWork.isEmpty)
+        (0.0, 0.0, true)
       else withSession(pHigh) { s =>
-      val t = QTable(base.resolve(s"work-c$pHigh-r" + nRounds).toString, s)
-      val v0 = t.snapshotAt(1) // post-append snapshot
-      // materialize the corrections fixture UNTIMED (synthesis, not merge
-      // cost — the round-1 number overstated merge by timing image
-      // re-encodes of the fixture generator)
-      val corr = DataGen.correctionsDF(s, rows, 42L, inserts = 10).cache()
-      corr.count()
-      val (snapM, tM) = time(new MergeJob(t, s"bench-merge").run(corr))
-      val ((ok, bad), tV) = time(
-        ScanEquivalence.checkMerged(t.read(v0), t.read(snapM), corr))
-      corr.unpersist()
-      (tM, tV, ok && bad == 0)
-    }
+        // materialize the corrections fixture UNTIMED (synthesis, not
+        // merge cost — the round-1 number overstated merge by timing
+        // image re-encodes of the fixture generator)
+        val corr = DataGen.correctionsDF(s, rows, 42L, inserts = 10).cache()
+        corr.count()
+        val reps = (1 to mergeReps).map { rep =>
+          setPhase(s"merge-rep$rep")
+          val work = base.resolve(s"merge-rep$rep")
+          copyDir(keptWork.get, work)
+          val t = QTable(work.toString, s)
+          val v0 = t.snapshotAt(1) // post-append snapshot
+          val (snapM, tM) = time(new MergeJob(t, s"bench-merge-$rep").run(corr))
+          val ((ok, bad), tV) = time(
+            ScanEquivalence.checkMerged(t.read(v0), t.read(snapM), corr))
+          delDir(work)
+          System.err.println(f"[bench] merge-rep$rep merge=$tM%6.2fs verify=$tV%6.2fs ok=${ok && bad == 0}")
+          (tM, tV, ok && bad == 0)
+        }
+        corr.unpersist()
+        (reps.map(_._1).min, reps.map(_._2).min, reps.forall(_._3))
+      }
 
     // ---- process-level scaling: 1 worker JVM vs 4 worker JVMs (2 cores
     //      each) over the same 4-shard input — the faithful sandbox
@@ -314,6 +431,7 @@ object Bench {
     //      adding JVMs with their own heaps/GC/shuffle dirs, not threads
     //      inside one heap. Startup/JIT sit outside the timed window
     //      (file-barrier protocol in BenchWorker).
+    setPhase("proc-scaling")
     val procScaling: Option[ProcScaling] =
       if (sys.env.contains("GRAFT_BENCH_SKIP_PROCS")) None
       else try Some(processScaling(base, rows, sizes, targetMb))
@@ -326,6 +444,7 @@ object Bench {
       // fixture synthesis (timeline qtable, IVF index, date layout) runs
       // UNTIMED, like the merge corrections fixture above — the first
       // q16/q20/q26-q28 timing must not include a build
+      setPhase("query-fixtures")
       Queries.prewarmFixtures(s, sfDir)
       val qs = Queries.withOracle.map { case (k, (fn, _)) => k -> fn } ++
         Queries.withoutOracle
@@ -335,6 +454,7 @@ object Bench {
       // burst). Iteration 1 additionally absorbs first-call codegen.
       val qReps = sys.env.getOrElse("GRAFT_BENCH_QUERY_REPS", "3").toInt
       qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        setPhase(s"query-$name")
         val secs = (1 to qReps).map { _ =>
           val (_, sec) = time {
             try fn(s, sfDir).write.mode("overwrite").format("noop").save()
@@ -403,7 +523,7 @@ object Bench {
       "GRAFT_BENCH_ROUNDS", "GRAFT_BENCH_PROC_ROUNDS",
       "GRAFT_BENCH_QUERY_REPS", "GRAFT_BENCH_QUIET_PR", "GRAFT_BENCH_KEEP")
     if (!iterationKnobs.exists(sys.env.contains))
-      writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, nRounds,
+      writeBenchMd(sfDir, rows, tableBytes, genSec, byLevel, levels, round,
         pLow, pHigh, sLow, sHigh, efficiencyP, efficiencyS, verifyOk, mergeSec,
         queryTimes.toMap, cpusMax, procScaling)
 
@@ -512,6 +632,21 @@ object Bench {
         .mkString(java.io.File.pathSeparator)
     }
 
+    // Worker heap plan, budgeted against MemAvailable AS OF the block
+    // start (round-5 fix: the fixed 5 x 4g pre-touched plan step-committed
+    // 20 GiB and was part of the r4 driver OOM). A worker holds one
+    // ~64 MiB group in flight per core, so even 2g is functionally ample;
+    // pre-touch (the r3 diagnosis' fix for lazily-grown heaps faulting
+    // during timed rounds) stays on only when the full five-heap commit
+    // leaves >=16 GiB residual headroom. Workers are also spawned
+    // STAGGERED (await each up-barrier before the next spawn), so five
+    // pre-touches never fault concurrently.
+    val availBlock = memAvailableGb()
+    val heapGb = if (availBlock >= 44) 4 else if (availBlock >= 34) 3 else 2
+    val preTouch = availBlock >= 5L * heapGb + 16
+    System.err.println(s"[bench] procs memAvail=${availBlock}G -> " +
+      s"worker heap=${heapGb}g preTouch=$preTouch")
+
     def spawn(syncDir: Path, id: String, nRounds: Int,
         shards: Seq[String]): Process = {
       // -Xms=-Xmx + AlwaysPreTouch: fault the whole heap in at STARTUP
@@ -520,12 +655,10 @@ object Bench {
       // timed rounds — the exact term the round-3 listener diagnosis
       // identified — and 4 concurrent workers pay it 4x. Standard JVM
       // benchmarking/production practice, no host state touched.
-      // 4g heap: a worker holds one ~64 MiB group in flight per core —
-      // 4g is ample, and 5 pre-touched heaps must coexist with the
-      // RAM-backed working set (8g x 5 pre-touched OOM'd the box)
+      val heapFlags = Seq(s"-Xmx${heapGb}g") ++
+        (if (preTouch) Seq(s"-Xms${heapGb}g", "-XX:+AlwaysPreTouch") else Nil)
       val cmd = (Seq(javaBin, "-cp", workerClasspath) ++
-        addOpens ++ Seq("-XX:+UseParallelGC", "-Xms4g", "-Xmx4g",
-        "-XX:+AlwaysPreTouch",
+        addOpens ++ Seq("-XX:+UseParallelGC") ++ heapFlags ++ Seq(
         "graft.BenchWorker", "2", syncDir.toString, id, nRounds.toString,
         targetMb.toString, shards.mkString(","))).toArray
       new ProcessBuilder(cmd: _*)
@@ -565,15 +698,20 @@ object Bench {
     val levels = Seq(low, high)
 
     levels.foreach(l => Files.createDirectories(l.sync))
-    val procs = levels.flatMap(l =>
-      l.workers.map { case (id, sh) => (id, spawn(l.sync, id, l.nRounds, sh)) })
+    // STAGGERED spawn: wait for each worker's up-barrier (its heap
+    // pre-touch and SparkSession init are complete by then) before
+    // spawning the next — five concurrent multi-GiB pre-touch faults
+    // were part of the r4 OOM window. Also fails FAST on a dead worker
+    // (bad classpath, OOM at pre-touch): waiting out the 900 s barrier
+    // on a process that already exited silently skips the authoritative
+    // executor pair.
+    val procsBuf = mutable.ArrayBuffer[(String, Process)]()
     try {
-      // fail FAST on a dead worker (bad classpath, OOM at pre-touch):
-      // waiting out the 900 s barrier on a process that already exited
-      // silently skips the authoritative executor pair
       levels.foreach(l =>
-        l.workers.foreach { case (id, _) =>
-          val p = procs.find(_._1 == id).get._2
+        l.workers.foreach { case (id, sh) =>
+          setPhase(s"procs-spawn-$id")
+          val p = spawn(l.sync, id, l.nRounds, sh)
+          procsBuf += ((id, p))
           val up = l.sync.resolve(s"up-$id")
           while (!Files.exists(up)) {
             if (!p.isAlive) {
@@ -594,15 +732,40 @@ object Bench {
       // original + compacted + clustered files (~3x pristine), and
       // whole-block accumulation on the RAM-backed tmpfs OOM'd the box
       stageIter(1)
-      val walls: Seq[(String, Double)] = (1 to rounds).flatMap { r =>
+      // convergence early-stop mirrors the suite loop (round-5 envelope
+      // trim): once NEITHER level's floor improved >2% over the last two
+      // iterations (min 5 run), stop — workers idle on the barrier and
+      // are reaped by the finally. Minima only tighten with more
+      // iterations, so stopping early is conservative for the gate.
+      val minIters = math.min(rounds, 5)
+      val wallsBuf = mutable.ArrayBuffer[(String, Double)]()
+      var it = 0
+      var done = false
+      while (it < rounds && !done) {
+        it += 1
+        val r = it
+        setPhase(s"procs-iter$r")
         val runLow = () => Seq("low" -> low.runRound(r))
         val runHigh = () =>
           Seq(2 * r - 1, 2 * r).map(j => "high" -> high.runRound(j))
-        val w = if (r % 2 == 1) runLow() ++ runHigh() else runHigh() ++ runLow()
+        wallsBuf ++= (if (r % 2 == 1) runLow() ++ runHigh()
+                      else runHigh() ++ runLow())
         dropRound("low", r); dropRound("high", 2 * r - 1); dropRound("high", 2 * r)
-        if (r < rounds) stageIter(r + 1)
-        w
+        if (r >= math.max(minIters, 3)) {
+          def mins(upToIter: Int): (Double, Double) = {
+            val ls = wallsBuf.take(3 * upToIter).collect { case ("low", w) => w }
+            val hs = wallsBuf.take(3 * upToIter).collect { case ("high", w) => w }
+            (ls.min, hs.min)
+          }
+          val (nl, nh) = mins(r)
+          val (pl, ph) = mins(r - 2)
+          done = nl > pl * 0.98 && nh > ph * 0.98
+          if (done) System.err.println(
+            s"[bench] procs floors converged after $r/$rounds iterations; stopping early")
+        }
+        if (it < rounds && !done) stageIter(it + 1)
       }
+      val walls = wallsBuf.toSeq
       def perRound(name: String): Seq[Double] =
         walls.collect { case (`name`, w) => w }
       val (lows, highs) = (perRound("low"), perRound("high"))
@@ -623,8 +786,8 @@ object Bench {
       System.err.println(f"[bench] procs best-of(${lows.size}L/${highs.size}H): " +
         f"low=$tLow%.2fs high=$tHigh%.2fs " +
         f"eff=${tLow / (nShards * tHigh)}%.3f pairedMedian=$pairedMedian%.3f")
-      ProcScaling(tLow, tHigh, tLow / (nShards * tHigh), pairedMedian, rounds)
-    } finally procs.foreach(_._2.destroyForcibly())
+      ProcScaling(tLow, tHigh, tLow / (nShards * tHigh), pairedMedian, lows.size)
+    } finally procsBuf.foreach(_._2.destroyForcibly())
   }
 
   private def writeBenchMd(sfDir: String, rows: Long, tableBytes: Long, genSec: Double,

@@ -78,6 +78,15 @@ object ChangelogScan {
       val v = s.version
       s.operation match {
         case op if RowPreserving.contains(op) || op == "create" => None
+        case "clone" =>
+          // clone-birth (parentVersion = -1): the cloned dataset IS the
+          // commit's change — every LIVE row emits as an insert. Routed
+          // through rowDiff with an empty removed side so the clone's
+          // adopted position/equality deletes apply (entries alone would
+          // over-emit killed rows); with no pre-side keys, suppression
+          // never fires and the cost stays O(clone's live rows).
+          Some(rowDiff(t, s, s, to,
+            removed = Nil, added = t.entries(s).map(_.path).sorted, phys, v))
         case "append" | "cherry-pick" => // both add files, parent manifests by reference
           val parentManifests = t.snapshotAt(s.parentVersion)
             .manifests.map(_.path).toSet

@@ -995,8 +995,12 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * a (safe) false refusal, never a false pass. */
   private def requireNoConstraintOn(snap: Snapshot, col: String,
       what: String): Unit = {
+    // backtick counts as a BOUNDARY on both sides (not an identifier
+    // char): a constraint written with quoted identifiers (`w` > 0) must
+    // still match, or drop/rename would pass despite the guard and every
+    // later writer's enforcement would fail at analysis (r5 advice fix)
     val re = java.util.regex.Pattern.compile(
-      "(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(col) +
+      "(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(col) +
         "($|[^A-Za-z0-9_])")
     snap.props.foreach { case (k, v) =>
       if (k.startsWith("constraint.") && re.matcher(v).find())
@@ -1149,6 +1153,20 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
           buf ++= s.manifests.filterNot(m => parentManifests.contains(m.path))
             .flatMap(m => readManifest(m).files)
         case "create" => () // table birth: no files by definition
+        case "clone" => // table birth WITH data (Delta-style: a clone is
+          // incrementally readable as an initial snapshot — its entire
+          // manifest set is the delta, parentVersion = -1 means there is
+          // no parent to diff against). Adopted delete debt would make
+          // "entries as appended" over-emit killed rows, so that one
+          // shape refuses toward the changelog (which applies deletes).
+          if (s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty)
+            throw new IllegalArgumentException(
+              s"cannot incrementally read across clone-birth v${s.version}: " +
+                "the clone adopted live delete files from its source, so " +
+                "its initial rows are not expressible as plain appends — " +
+                "use readChanges (CLI: changes), or compact the clone " +
+                "first to fold the adopted deletes")
+          buf ++= s.manifests.flatMap(m => readManifest(m).files)
         case op if RowPreservingOps.contains(op) => () // layout-only
         case op =>
           throw new IllegalArgumentException(
@@ -1196,6 +1214,14 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
           buf ++= s.manifests.filterNot(m => parentManifests.contains(m.path))
             .flatMap(m => readManifest(m).files).map(f => (f, s.timestampMs))
         case "create" => ()
+        case "clone" if s.deleteFiles.isEmpty && s.eqDeleteFiles.isEmpty =>
+          // a fresh streaming read of a cloned table emits the cloned
+          // dataset as its initial micro-batch (Delta-style clone-as-
+          // initial-snapshot); adopted delete debt falls through to the
+          // row-changing refusal below (or is skipped) because entries-
+          // as-appended would over-emit killed rows
+          buf ++= s.manifests.flatMap(m => readManifest(m).files)
+            .map(f => (f, s.timestampMs))
         case op if RowPreservingOps.contains(op) => ()
         case _ if skipChangeCommits => ()
         case op =>
@@ -1243,12 +1269,10 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     // `external` = the file lives outside this table's root (a shallow-
     // clone reference, [[cloneTo]]): "what would a localizing compact
     // rewrite" / "what does this clone still borrow" in plain SQL
-    val rootPrefix = new org.apache.hadoop.fs.Path(root)
-      .toUri.getPath.stripSuffix("/") + "/"
     val rows = entries(s).map(e => (e.path, e.rowCount, e.byteCount,
       e.pbucketMin, e.pbucketMax, e.phashMin, e.phashMax,
       e.imageIdMin, e.imageIdMax, e.seq, e.blooms.nonEmpty, e.firstRowId,
-      !e.path.startsWith(rootPrefix)))
+      !QTable.ownedBy(e.path, root)))
     spark.createDataFrame(rows).toDF("path", "row_count", "byte_count",
       "pbucket_min", "pbucket_max", "phash_min", "phash_max",
       "image_id_min", "image_id_max", "seq", "has_bloom", "first_row_id",
@@ -1331,6 +1355,25 @@ object QTable {
     * NAME identifies a file regardless of scheme/qualification — the
     * normalization every path-set comparison in the engine uses. */
   def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Normalized scheme://authority/path key for file-OWNERSHIP tests
+    * (the shallow-clone guards in expire/compact/analyze/filesDF). A
+    * bare `toUri.getPath` prefix test discards scheme and authority, so
+    * a clone whose source lives on a different filesystem but the same
+    * path string would be misclassified as table-local — and expire
+    * could then delete the source's files through the clone (r5 advice
+    * fix). Scheme-less paths normalize to an empty scheme/authority, so
+    * same-filesystem layouts compare exactly as before. */
+  def ownerKey(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    Option(u.getScheme).getOrElse("") + "://" +
+      Option(u.getAuthority).getOrElse("") + u.getPath
+  }
+
+  /** True iff `path` lives under `root` on the SAME filesystem
+    * (scheme + authority + path-prefix). */
+  def ownedBy(path: String, root: String): Boolean =
+    ownerKey(path).startsWith(ownerKey(root).stripSuffix("/") + "/")
 
   /** The row-lineage column name (Iceberg v3 `_row_id`). */
   val RowIdCol = "_row_id"

@@ -143,9 +143,6 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
   }
 
   /** Live entries outside the table root — shallow-clone references. */
-  private def externalEntries(entries: Seq[DataFileEntry]): Seq[DataFileEntry] = {
-    val rootPrefix = new org.apache.hadoop.fs.Path(table.root)
-      .toUri.getPath.stripSuffix("/") + "/"
-    entries.filterNot(_.path.startsWith(rootPrefix))
-  }
+  private def externalEntries(entries: Seq[DataFileEntry]): Seq[DataFileEntry] =
+    entries.filterNot(e => graft.format.QTable.ownedBy(e.path, table.root))
 }

@@ -72,9 +72,7 @@ class CompactJob(
     // size — a clone compact is the "localize before source cleanup"
     // operation, and a right-sized external file left by reference
     // would keep the clone hostage to the source's retention forever
-    val rootPrefix = new HPath(table.root).toUri.getPath
-      .stripSuffix("/") + "/"
-    def isExternal(e: DataFileEntry) = !e.path.startsWith(rootPrefix)
+    def isExternal(e: DataFileEntry) = !QTable.ownedBy(e.path, table.root)
     val small = entries
       .filter(e => e.byteCount < threshold || hasDeletes(e) || isExternal(e))
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))

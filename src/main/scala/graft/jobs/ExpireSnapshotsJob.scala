@@ -122,13 +122,11 @@ class ExpireSnapshotsJob(table: QTable,
     // clone's dead set, they belong to the source's lifecycle, not the
     // clone's — skip and report them instead of reaching into another
     // table (QTable.cloneTo scaladoc has the ownership contract).
-    val rootPrefix = new HPath(table.root).toUri.getPath
-      .stripSuffix("/") + "/"
     val (deadDataEntries, externalEntries) = (deadManifests.toSeq
       .flatMap(m => table.readManifest(m).files.map(f => (f.path, f.byteCount)))
       .filterNot(e => liveFiles.contains(e._1)) ++ deadDeleteEntries)
       .groupBy(_._1).map(_._2.head).toSeq
-      .partition(_._1.startsWith(rootPrefix))
+      .partition(e => QTable.ownedBy(e._1, table.root))
     val deadDataPaths = deadDataEntries.map(_._1)
 
     if (dryRun)

@@ -115,9 +115,9 @@ class ExpandQTableMergeStar(spark: SparkSession) extends Rule[LogicalPlan] {
   *    source-column values — arbitrary expressions belong in the
   *    source subquery, which SQL composes naturally);
   *  - `WHEN NOT MATCHED THEN INSERT *` (unconditional; without the
-  *    clause, unmatched source rows are suppressed by a semi-join
-  *    against the target's keys before the job runs — MergeJob itself
-  *    always inserts);
+  *    clause, the command passes `insertUnmatched = false` and MergeJob
+  *    suppresses unmatched source rows natively — no pre-job semi-join
+  *    or key broadcast exists);
   *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (mirror sync).
   *
   * Ordering rule: a conditional DELETE must precede the UPDATE (ANSI
@@ -431,25 +431,37 @@ object QTableExtensions {
     }
 
   /** `name => value` argument list: values are 'quoted strings' or bare
-    * literals (numbers, booleans); commas inside quotes don't split. */
+    * literals (numbers, booleans); commas inside quotes don't split, and
+    * a doubled quote inside a quoted value is the SQL-standard escape
+    * for one literal quote (r5 advice fix: constraint/filter predicates
+    * like `expr => 'fmt IN (''png'', ''jpeg'')'` are a common CALL
+    * argument and must round-trip to a parseable predicate). */
   private def parseNamedArgs(s: String): Map[String, String] = {
     if (s.trim.isEmpty) return Map.empty
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     var inQ = false
     val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case ',' if !inQ => parts += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' if inQ && i + 1 < s.length && s.charAt(i + 1) == '\'' =>
+          // '' while inside quotes: consume the pair, emit one quote and
+          // STAY in-quote — the tokenizer must not see two toggles
+          cur += '\''; cur += '\''; i += 1
+        case '\'' => inQ = !inQ; cur += '\''
+        case ',' if !inQ => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      i += 1
     }
     parts += cur.toString
     parts.map(_.trim).filter(_.nonEmpty).map { p =>
-      val i = p.indexOf("=>")
-      require(i > 0, s"CALL arguments must be name => value, got: '$p'")
-      val k = p.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
-      var v = p.substring(i + 2).trim
+      val j = p.indexOf("=>")
+      require(j > 0, s"CALL arguments must be name => value, got: '$p'")
+      val k = p.substring(0, j).trim.toLowerCase(java.util.Locale.ROOT)
+      var v = p.substring(j + 2).trim
       if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
-        v = v.substring(1, v.length - 1)
+        v = v.substring(1, v.length - 1).replace("''", "'")
       k -> v
     }.toMap
   }

@@ -143,6 +143,60 @@ class CloneSpec extends AnyFunSuite {
     assert(res2.plan.isNoop, s"second tick must be a no-op, got ${res2.plan.actions}")
   }
 
+  test("clone birth is stream-, changelog-, and incrementally readable") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src7"), spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 80, 50L, 2).toDF())
+    val clone = src.cloneTo(TestSpark.tmpDir("clone-dst7"))
+    val cloneV = clone.currentSnapshot.version
+
+    // incremental scan: the cloned dataset IS the initial delta
+    assert(clone.readIncremental(-1, cloneV).count() == 80)
+    // changelog: every cloned row emits as an insert at the birth commit
+    val ch = clone.readChanges(-1, cloneV)
+    assert(ch.count() == 80)
+    assert(ch.where(col(ChangelogScan.ChangeTypeCol) =!= "insert").count() == 0)
+    assert(ch.select(ChangelogScan.CommitVersionCol).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(cloneV))
+    // a fresh streaming read emits the clone as its initial micro-batch,
+    // then follows clone-local appends exactly once
+    val ckpt = TestSpark.tmpDir("clone-ckpt7")
+    val out = TestSpark.tmpDir("clone-out7")
+    def drain(): Long = {
+      val q = spark.readStream.format("qtable").load(clone.root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).count()
+    }
+    assert(drain() == 80L, "clone birth must stream as the initial snapshot")
+    AppendJob.append(clone, DataGen.generate(spark, 15, 51L, 1).toDF()
+      .withColumn("image_id", concat(lit("c-"), col("image_id"))))
+    assert(drain() == 95L)
+  }
+
+  test("clone with adopted eq-delete debt: changelog applies it, incremental refuses") {
+    val src = QTable.create(TestSpark.tmpDir("clone-src8"), spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 60, 52L, 2).toDF())
+    // eq-upsert leaves live equality-delete debt in the source head
+    new UpsertJob(src).run(DataGen.generate(spark, 10, 52L, 1).toDF()
+      .withColumn("caption", lit("patched")))
+    assert(src.currentSnapshot.eqDeleteFiles.nonEmpty, "fixture needs eq debt")
+    val clone = src.cloneTo(TestSpark.tmpDir("clone-dst8"))
+    val cloneV = clone.currentSnapshot.version
+
+    // the changelog emits LIVE rows only (adopted deletes applied): 60
+    // keys, the 10 patched ones with their post-upsert caption
+    val ch = clone.readChanges(-1, cloneV)
+    assert(ch.count() == 60)
+    assert(ch.where(col("caption") === "patched").count() == 10)
+    // entries-as-appended would over-emit the 10 killed pre-images, so
+    // the incremental/streaming shape refuses with the clone remedy
+    val e = intercept[IllegalArgumentException] {
+      clone.readIncremental(-1, cloneV)
+    }
+    assert(e.getMessage.contains("clone"), s"unexpected message: ${e.getMessage}")
+  }
+
   test("clone refuses an existing target") {
     val src = QTable.create(TestSpark.tmpDir("clone-src5"), spark, 2)
     AppendJob.append(src, DataGen.generate(spark, 20, 48L, 1).toDF())

@@ -124,6 +124,23 @@ class ConstraintSpec extends AnyFunSuite {
     assert(!t.currentSnapshot.schemaFields.exists(_.name == "hits"))
   }
 
+  test("guard matches backtick-quoted identifiers in the predicate") {
+    // `w` > 0 references w just as surely as w > 0 — the boundary class
+    // must treat the backtick as a boundary, or drop/rename would pass
+    // and every later writer's enforcement would fail at analysis (r5
+    // advice fix)
+    val t = freshTable(40)
+    t.addColumn("views", "int")
+    Constraints.set(t, "views-bt", "`views` IS NULL OR `views` > 0")
+    val e = intercept[IllegalArgumentException] { t.dropColumn("views") }
+    assert(e.getMessage.contains("views-bt"))
+    val eRen = intercept[IllegalArgumentException] {
+      t.renameColumn("views", "hits") }
+    assert(eRen.getMessage.contains("views-bt"))
+    Constraints.drop(t, "views-bt")
+    t.dropColumn("views")
+  }
+
   test("drop lifts enforcement; dropping a missing constraint refuses") {
     val t = freshTable(50)
     Constraints.set(t, "fmt-known", "fmt IN ('png','jpeg')")

@@ -498,6 +498,15 @@ class QTableSourceSpec extends AnyFunSuite {
     assert(cl("source-version") == "4")
     assert(QTable(s"$cloneRoot/t", spark).read().count() == 400)
 
+    // SQL-standard '' escapes inside a quoted CALL argument (r5 advice
+    // fix): the stored predicate must carry SINGLE quotes and parse
+    call(s"CALL qtable.set_constraint(table => '${t.root}', " +
+      "name => 'fmt-known', expr => 'fmt IN (''png'', ''jpeg'')')")
+    assert(t.currentSnapshot.props("constraint.fmt-known") ==
+      "fmt IN ('png', 'jpeg')")
+    call(s"CALL qtable.drop_constraint(table => '${t.root}', " +
+      "name => 'fmt-known')")
+
     intercept[Exception] {
       spark.sql(s"CALL qtable.nope(table => '${t.root}')") }
     // a CALL outside the qtable namespace falls through to the delegate
