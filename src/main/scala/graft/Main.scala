@@ -63,6 +63,9 @@ import org.apache.spark.sql.SparkSession
   *   spark-submit --class graft.Main <jar> fast-forward --table T --branch N   (publish the branch to main; main must be an ancestor)
   *   spark-submit --class graft.Main <jar> cherry-pick --table T --version V    (apply one append commit's files to main without publishing its branch)
   *   spark-submit --class graft.Main <jar> describe --table T
+  *   spark-submit --class graft.Main <jar> register --name N --table DIR [--catalog DIR]   (persistent catalog: name -> table root; thereafter any --table accepts the bare name)
+  *   spark-submit --class graft.Main <jar> unregister --name N [--catalog DIR]
+  *   spark-submit --class graft.Main <jar> tables [--catalog DIR]   (catalog root: --catalog > spark.graft.catalog conf > GRAFT_CATALOG env)
   */
 object Main {
 
@@ -85,6 +88,9 @@ object Main {
     val spark = (if (sys.props.contains("spark.master")) builder
       else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --catalog DIR on ANY command scopes name resolution to that
+    // catalog for the run (same key the session conf / env set)
+    opts.get("catalog").foreach(spark.conf.set(graft.format.Catalog.ConfKey, _))
 
     // --staged: the job claims its commit but the version hint stays put
     // (write-audit-publish) — audit with `verify --against <staged>`,
@@ -93,8 +99,13 @@ object Main {
     // of main (create one first with `branch --name N`); --staged gates
     // the main head (the two do not compose — a branch IS an audited,
     // unpublished line of history)
+    // --table accepts a PATH or a catalog NAME (a bare value without a
+    // path separator, resolved through the spark.graft.catalog /
+    // GRAFT_CATALOG pointer directory — see graft.format.Catalog and
+    // the register/unregister/tables subcommands)
+    def tableRoot = graft.format.Catalog.resolveTableArg(spark, req(opts, "table"))
     def table = {
-      val t0 = QTable(req(opts, "table"), spark)
+      val t0 = QTable(tableRoot, spark)
       val t = opts.get("branch")
         .filterNot(_ => cmd == "branch" || cmd == "fast-forward")
         .map(t0.onBranch).getOrElse(t0)
@@ -103,7 +114,7 @@ object Main {
     // table-property read for flag defaults; None when the table does not
     // exist yet (synth) or the command carries no --table
     def tableProp(k: String): Option[String] =
-      try QTable(req(opts, "table"), spark).currentSnapshotOpt
+      try QTable(tableRoot, spark).currentSnapshotOpt
         .flatMap(_.props.get(k))
       catch { case _: Exception => None }
     // precedence: explicit flag > table property > built-in default —
@@ -414,7 +425,7 @@ object Main {
         // --branch: audit a branch head before fast-forwarding it (the
         // branch workflow's gate); --staged: audit the claimed-but-
         // unpublished snapshot (the WAP gate) — else the published head
-        val t0 = QTable(req(opts, "table"), spark)
+        val t0 = QTable(tableRoot, spark)
         val t = opts.get("branch").map(t0.onBranch).getOrElse(t0)
         val cur =
           if (opts.contains("staged"))
@@ -606,13 +617,13 @@ object Main {
           "added-bytes" -> added.map(_.byteCount).sum.toString))
 
       case "publish" =>
-        val snap = QTable(req(opts, "table"), spark).publishStaged()
+        val snap = QTable(tableRoot, spark).publishStaged()
         report("publish", snap.summary ++ Map(
           "version" -> snap.version.toString,
           "operation" -> snap.operation))
 
       case "abort-staged" =>
-        val aborted = QTable(req(opts, "table"), spark).abortStaged()
+        val aborted = QTable(tableRoot, spark).abortStaged()
         report("abort-staged", Map(
           "aborted-version" -> aborted.map(_.toString).getOrElse("none")))
 
@@ -843,6 +854,33 @@ object Main {
           "avg-file-bytes" ->
             (if (es.isEmpty) "0" else (es.map(_.byteCount).sum / es.size).toString),
           "versions" -> t.listVersions.mkString(",")))
+
+      // ---- persistent catalog: name -> table-root pointers (see
+      //      graft.format.Catalog; root from --catalog, the
+      //      spark.graft.catalog conf, or GRAFT_CATALOG)
+      case "register" =>
+        val root = opts.get("catalog")
+          .orElse(graft.format.Catalog.rootFor(spark)).getOrElse(
+            sys.error("no catalog configured: pass --catalog DIR or set GRAFT_CATALOG"))
+        graft.format.Catalog.register(root, req(opts, "name"),
+          req(opts, "table"), spark)
+        report("register", Map("catalog" -> root,
+          "name" -> req(opts, "name"), "table" -> req(opts, "table")))
+
+      case "unregister" =>
+        val root = opts.get("catalog")
+          .orElse(graft.format.Catalog.rootFor(spark)).getOrElse(
+            sys.error("no catalog configured: pass --catalog DIR or set GRAFT_CATALOG"))
+        val removed = graft.format.Catalog.unregister(root, req(opts, "name"), spark)
+        report("unregister", Map("catalog" -> root,
+          "name" -> req(opts, "name"), "removed" -> removed.toString))
+
+      case "tables" =>
+        val root = opts.get("catalog")
+          .orElse(graft.format.Catalog.rootFor(spark)).getOrElse(
+            sys.error("no catalog configured: pass --catalog DIR or set GRAFT_CATALOG"))
+        graft.format.Catalog.list(root, spark).foreach { case (n, t) =>
+          report("tables", Map("name" -> n, "table" -> t)) }
 
       case other =>
         System.err.println(s"unknown command: $other\n$usage"); sys.exit(2)

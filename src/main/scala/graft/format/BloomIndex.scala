@@ -102,12 +102,26 @@ object BloomIndex {
 object TableWrite {
   def parquet(df: DataFrame, dir: String): Unit = {
     val conf = df.sparkSession.conf
-    val w = df.write
-    (if (conf.get("spark.graft.bloom.enabled", "true").toBoolean &&
-        !sys.env.get("GRAFT_BLOOM_OFF").contains("1"))
-      w.option("parquet.bloom.filter.enabled#image_id", "true")
-        .option("parquet.bloom.filter.expected.ndv#image_id",
-          conf.get("spark.graft.bloom.ndv", "4096"))
-    else w).parquet(dir)
+    // the engine's files store timestamps as INT64 micros, never the
+    // legacy INT96: parquet-mr writes NO usable stats for INT96, which
+    // would blind the footer harvest — and with it stats skipping and
+    // the days(ts) partition pruning — on any timestamp column. Session
+    // conf (no per-write option exists); save/restore around the write,
+    // and rewrites of old INT96 files migrate them to micros.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val saved = conf.getOption(tsKey)
+    conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val w = df.write
+      (if (conf.get("spark.graft.bloom.enabled", "true").toBoolean &&
+          !sys.env.get("GRAFT_BLOOM_OFF").contains("1"))
+        w.option("parquet.bloom.filter.enabled#image_id", "true")
+          .option("parquet.bloom.filter.expected.ndv#image_id",
+            conf.get("spark.graft.bloom.ndv", "4096"))
+      else w).parquet(dir)
+    } finally saved match {
+      case Some(v) => conf.set(tsKey, v)
+      case None => conf.unset(tsKey)
+    }
   }
 }

@@ -838,6 +838,9 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
   def setProperties(kv: Map[String, String]): Snapshot = {
     require(kv.nonEmpty, "no properties given")
     val snap = currentSnapshot
+    // partition-spec evolution rides the property path; validate the
+    // source column NOW (a typo must fail the ALTER, not every append)
+    kv.get(DayPartition.Prop).foreach(DayPartition.validate(snap, _))
     commit(Some(snap), "set-properties", Nil,
       Map("set" -> kv.keys.toSeq.sorted.mkString(",")),
       reuseManifests = snap.manifests,
@@ -936,6 +939,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     require(to.nonEmpty && to.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"invalid column name: $to")
     requireNoConstraintOn(snap, from, "rename")
+    requireNotPartitionSource(snap, from, "rename")
     val next = cur.map(c => if (c.id == f.id) c.copy(name = to) else c)
     commit(Some(snap), "rename-column", Nil,
       Map("renamed-column" -> s"$from -> $to"),
@@ -980,6 +984,7 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
       throw new IllegalArgumentException(s"no such column: $name"))
     require(!baseFieldIds.contains(f.id), s"cannot drop base column $name")
     requireNoConstraintOn(snap, name, "drop")
+    requireNotPartitionSource(snap, name, "drop")
     commit(Some(snap), "drop-column", Nil,
       Map("dropped-column" -> name),
       reuseManifests = snap.manifests,
@@ -993,6 +998,16 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * front: the user drops/redefines the constraint first, explicitly.
     * Identifier-token match — a column name inside a string literal is
     * a (safe) false refusal, never a false pass. */
+  /** The day-partition spec references its source column by LOGICAL name
+    * ([[DayPartition.Prop]]); dropping or renaming it would orphan the
+    * spec. Unset the property (spec evolution) first, explicitly. */
+  private def requireNotPartitionSource(snap: Snapshot, col: String,
+      what: String): Unit =
+    if (snap.props.get(DayPartition.Prop).contains(col))
+      throw new IllegalArgumentException(
+        s"cannot $what column $col: it is the ${DayPartition.Prop} " +
+          "partition source — unset the property first")
+
   private def requireNoConstraintOn(snap: Snapshot, col: String,
       what: String): Unit = {
     // backtick counts as a BOUNDARY on both sides (not an identifier

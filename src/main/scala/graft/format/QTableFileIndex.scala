@@ -156,6 +156,19 @@ class QTableFileIndex(entries: Seq[DataFileEntry]) extends FileIndex {
     case (x: Int, y: Long) => Some(java.lang.Long.compare(x.toLong, y))
     case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
     case (x: Int, y: Int) => Some(Integer.compare(x, y))
+    // timestamp/date predicates against INT64-micros / INT32-days stats
+    // (the day-partition pruning path, [[DayPartition]]): source filters
+    // carry java.sql or java.time values depending on
+    // spark.sql.datetime.java8API.enabled — convert to the parquet
+    // physical domain the harvest recorded
+    case (x: Long, y: java.sql.Timestamp) => Some(java.lang.Long.compare(x,
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(y)))
+    case (x: Long, y: java.time.Instant) => Some(java.lang.Long.compare(x,
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(y)))
+    case (x: Long, y: java.sql.Date) => Some(java.lang.Long.compare(x,
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(y).toLong))
+    case (x: Long, y: java.time.LocalDate) =>
+      Some(java.lang.Long.compare(x, y.toEpochDay))
     case (x: Double, y: Double) => cmpD(x, y)
     case (x: Double, y: Float) => cmpD(x, y.toDouble)
     case (x: Double, y: Int) => cmpD(x, y.toDouble)

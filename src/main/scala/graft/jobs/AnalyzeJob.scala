@@ -71,8 +71,15 @@ class AnalyzeJob(table: QTable, targetFileBytes: Long = 128L << 20) {
     // (cross-bucket files — pre-rebucket history — count as overlap 1
     // in each bucket they span is overstated; they are rare and flagged
     // by the small-file/bucket metrics instead, so they are excluded)
+    // under a days(ts) partition spec, overlap compartments are
+    // (bucket, day): two days' files in one bucket are NOT sort debt —
+    // a date-range scan prunes them by day before zkey ranges matter,
+    // and the day-aware cluster can never reduce cross-day overlap, so
+    // counting it would make `maintain --auto` tick forever
+    val dayF = graft.format.DayPartition.fieldOf(snap)
     val byBucket = entries.filter(e => e.pbucketMin == e.pbucketMax)
-      .groupBy(_.pbucketMin)
+      .groupBy(e => (e.pbucketMin,
+        dayF.flatMap(f => graft.format.DayPartition.entryDay(f, e))))
     // overlap spans follow the table's LEADING sort column: phash (the
     // image zkey's first plane) by default, or sort.order's first entry
     // when the table was clustered --by user columns — measuring overlap

@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object AppendJob {
 
+  /** The batch sort key under `write.sort-on-append`: the `sort.order`
+    * columns lexicographically, or the north-rule image zkey. */
+  private def sortKeys(snap: Snapshot): Seq[org.apache.spark.sql.Column] = {
+    val byName = snap.schemaFields.map(f => f.name -> f.phys).toMap
+    snap.props.get("sort.order")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty) match {
+      case Some(cs) => cs.map(c => col(byName.getOrElse(c,
+        throw new IllegalArgumentException(s"sort.order names unknown column $c"))))
+      case None => Seq(graft.expr.zfunctions.imageZKey(
+        col("phash"), col("w"), col("h"), col("image_id"), hilbert = false))
+    }
+  }
+
   def append(table: QTable, rows: DataFrame, filesPerBucket: Int = 1,
       jobId: String = java.util.UUID.randomUUID().toString): Snapshot = {
     val snap = table.currentSnapshot
@@ -39,24 +53,56 @@ object AppendJob {
     // CHECK constraints veto the batch before any write (streaming
     // ingest and SQL INSERT route through here, so they are covered)
     Constraints.enforce(Constraints.logicalView(aligned, snap), snap, "append")
-    val laidOut =
-      if (!snap.props.get("write.sort-on-append").contains("true"))
-        // range-partition on (pbucket, image_id): files align with
-        // buckets, splitting each bucket into ~filesPerBucket files
-        aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id"))
-      else {
-        val byName = snap.schemaFields.map(f => f.name -> f.phys).toMap
-        val keys = snap.props.get("sort.order")
-          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-          .filter(_.nonEmpty) match {
-          case Some(cs) => cs.map(c => col(byName.getOrElse(c,
-            throw new IllegalArgumentException(s"sort.order names unknown column $c"))))
-          case None => Seq(graft.expr.zfunctions.imageZKey(
-            col("phash"), col("w"), col("h"), col("image_id"), hilbert = false))
+    val sortOn = snap.props.get("write.sort-on-append").contains("true")
+    val dayField = graft.format.DayPartition.fieldOf(snap)
+    val laidOut = dayField match {
+      case Some(f) =>
+        // days(ts) spec: EXACT-bin the batch on (day, bucket, subfile)
+        // so no output file ever straddles a day — that per-file
+        // invariant is what makes the column's min/max stats prune
+        // date-range scans to O(days touched). Cost model is Iceberg's
+        // fanout writer: a batch spanning D days writes >= D x B files
+        // (bounded below; a months-long backfill splits into batches).
+        // One extra column-pruned pass computes the batch's day span.
+        val day = graft.format.DayPartition.dayExpr(f)
+        val mm = aligned.agg(min(day), max(day)).head()
+        if (mm.isNullAt(0)) {
+          // all-null partition source: single null-day cell, plain layout
+          aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id"))
+        } else {
+          val (d0, d1) = (mm.getLong(0), mm.getLong(1))
+          val span = d1 - d0 + 1
+          require(span * b * filesPerBucket <= 32768,
+            s"append spans $span days x $b buckets x $filesPerBucket files " +
+              "> 32768 output cells — split the backfill into smaller batches")
+          val fpb = filesPerBucket.toLong
+          // sub-file hash is SALTED: pbucket is pmod(xxhash64(id), b), so
+          // an unsalted pmod(xxhash64(id), fpb) is a deterministic
+          // function of pbucket whenever fpb shares a factor with b —
+          // the split would then produce one file per cell, not fpb
+          val sub = pmod(xxhash64(col("image_id"), lit("sub")), lit(fpb))
+          val dayIdx = day - lit(d0)
+          // null days get their own trailing fpb-cell block (no bucket
+          // fan-out — they are rare by construction)
+          val bin = when(day.isNull, lit(span * b * fpb) + sub)
+            .otherwise((dayIdx * lit(b.toLong) + col("pbucket")) * lit(fpb) + sub)
+          val nBins = (span * b * fpb + fpb).toInt
+          val binned = ExactShuffle.repartitionByBin(aligned, nBins, bin)
+          // within a (day, bucket) cell, sort-on-append still applies;
+          // otherwise sort by id so id stats stay tight per file
+          if (sortOn) binned.sortWithinPartitions(sortKeys(snap): _*)
+          else binned.sortWithinPartitions(col("image_id"))
         }
-        val all = col("pbucket") +: keys
-        aligned.repartitionByRange(nFiles, all: _*).sortWithinPartitions(all: _*)
-      }
+      case None =>
+        if (!sortOn)
+          // range-partition on (pbucket, image_id): files align with
+          // buckets, splitting each bucket into ~filesPerBucket files
+          aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id"))
+        else {
+          val all = col("pbucket") +: sortKeys(snap)
+          aligned.repartitionByRange(nFiles, all: _*).sortWithinPartitions(all: _*)
+        }
+    }
     graft.format.TableWrite.parquet(laidOut, dir)
     val files = table.harvest(dir)
     // append-only commit: parent manifests carried by reference, new files

@@ -44,7 +44,8 @@ class ClusterJob(
     incremental: Boolean = false,
     sortBy: Option[Seq[String]] = None) {
 
-  final case class Plan(group: String, inputs: Seq[DataFileEntry]) {
+  final case class Plan(group: String, inputs: Seq[DataFileEntry],
+      compartment: String = "") {
     def bytes: Long = inputs.map(_.byteCount).sum
   }
 
@@ -65,12 +66,25 @@ class ClusterJob(
     val lastRun: Set[String] =
       if (!incremental) Set.empty
       else lastClusterOutputs(snap).getOrElse(Set.empty)
-    val perBucket = table.entries(snap)
+    val inScope = table.entries(snap)
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
       .filterNot(e => lastRun.contains(QTable.fileName(e.path)))
-      .groupBy(_.pbucketMin).toSeq.sortBy(_._1)
-    JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
-      .map { case (name, fs) => Plan(name, fs) }
+    def groupsOf(sub: Seq[DataFileEntry], prefix: String): Seq[Plan] = {
+      val perBucket = sub.groupBy(_.pbucketMin).toSeq.sortBy(_._1)
+      JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
+        .map { case (name, fs) => Plan(prefix + name, fs, prefix) }
+    }
+    // days(ts) spec: the clustering sort runs WITHIN each day (group
+    // per (day, bucket)) — Iceberg's partition-outer / sort-order-inner
+    // composition, so a full cluster never erodes date pruning
+    graft.format.DayPartition.fieldOf(snap) match {
+      case None => groupsOf(inScope, "")
+      case Some(f) =>
+        inScope.groupBy(e => graft.format.DayPartition.entryDay(f, e)).toSeq
+          .sortBy(_._1.getOrElse(Long.MinValue))
+          .flatMap { case (d, fs) =>
+            groupsOf(fs, d.map(x => s"d$x-").getOrElse("dx-")) }
+    }
   }
 
   /** File names live in the most recent cluster-* snapshot on the
@@ -217,7 +231,14 @@ class ClusterJob(
     val zkeyCol = sortKeyFor(snap, plans.flatMap(_.inputs))
     val sampleEvery =
       if (snap.props.get("write.sort-on-append").contains("true")) 1 else 4
-    val outputs = plans.grouped(math.max(1, gridBatchGroups)).flatMap { batch =>
+    // batches never span day compartments: the bucket->group quantile
+    // lookup assumes one group per bucket within a pass, and two days'
+    // groups share bucket ranges — a mixed batch would pool both days'
+    // rows into each group's grid (sizes skew; the per-compartment pass
+    // stays exact because it scans only that compartment's files)
+    val outputs = plans.groupBy(_.compartment).toSeq.sortBy(_._1)
+      .flatMap(_._2.grouped(math.max(1, gridBatchGroups)))
+      .flatMap { batch =>
       val tB0 = System.nanoTime()
       val grids = boundsByGroup(batch, zkeyCol, sampleEvery)
       if (sys.env.contains("GRAFT_TIMING"))

@@ -76,12 +76,26 @@ class CompactJob(
     val small = entries
       .filter(e => e.byteCount < threshold || hasDeletes(e) || isExternal(e))
       .filter(e => bucketScope.forall(_.contains(e.pbucketMin)))
-    val perBucket = small.groupBy(_.pbucketMin).toSeq
-      .filter { case (_, fs) =>
-        fs.size >= 2 || fs.exists(hasDeletes) || fs.exists(isExternal) }
-      .sortBy(_._1)
-    JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
-      .map { case (name, fs) => Plan(name, fs) }
+    def groupsOf(sub: Seq[DataFileEntry], prefix: String): Seq[Plan] = {
+      val perBucket = sub.groupBy(_.pbucketMin).toSeq
+        .filter { case (_, fs) =>
+          fs.size >= 2 || fs.exists(hasDeletes) || fs.exists(isExternal) }
+        .sortBy(_._1)
+      JobPlanning.coalesceGroups(perBucket, targetFileBytes, minGroupBytes)
+        .map { case (name, fs) => Plan(prefix + name, fs) }
+    }
+    // days(ts) partition spec: never merge files across days — group
+    // work per (day, bucket) so compaction PRESERVES the date layout
+    // (same-day files pack together; pre-spec straddlers form their own
+    // compartment and stay straddlers until a spec-aware re-append)
+    graft.format.DayPartition.fieldOf(snap) match {
+      case None => groupsOf(small, "")
+      case Some(f) =>
+        small.groupBy(e => graft.format.DayPartition.entryDay(f, e)).toSeq
+          .sortBy(_._1.getOrElse(Long.MinValue))
+          .flatMap { case (d, fs) =>
+            groupsOf(fs, d.map(x => s"d$x-").getOrElse("dx-")) }
+    }
   }
 
   /** Run compaction; `failAfterGroups` is a test hook simulating a killed

@@ -1079,6 +1079,7 @@ object Queries {
     q51Dir(s)
     q52Dir(s)
     q53Dir(s)
+    q54Dir(s)
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
@@ -2164,6 +2165,87 @@ object Queries {
         col("thumb_bytes") > 0)
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Day-partition fixture: a qtable with an added epoch-ms `ts` column
+    * under the Iceberg-style `days(ts)` partition spec
+    * ([[graft.format.DayPartition]]) — two 5-day appends land
+    * day-isolated files, then a compact proves maintenance PRESERVES
+    * the date layout (day-aware grouping). Live rows exported raw for
+    * the DuckDB oracle. */
+  private val Q54Root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q54_v1"
+  private val Q54DayMs = 86400000L
+  private val Q54D0 = 20100L // fixture epoch-day origin
+
+  private def q54Dir(s: SparkSession): String = synchronized {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val ready = Paths.get(Q54Root, "_FIXTURE_READY")
+    if (Files.exists(ready)) return Q54Root
+    val lockPath = Paths.get(Q54Root + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      if (!Files.exists(ready)) buildQ54(s)
+    } finally { lock.release(); ch.close() }
+    Q54Root
+  }
+
+  private def buildQ54(s: SparkSession): Unit = {
+    new graft.format.LocalCommitIO().deleteRecursive(Q54Root)
+    val t = graft.format.QTable.create(s"$Q54Root/table", s, buckets = 4)
+    t.addColumn("ts", "long")
+    t.setProperties(Map(graft.format.DayPartition.Prop -> "ts"))
+    def batch(seed: Long, n: Long, tag: String) =
+      graft.synth.DataGen.generate(s, n, seed, 4).toDF()
+        .withColumn("image_id", concat(lit(tag + "-"), col("image_id")))
+        .withColumn("ts",
+          (lit(Q54D0) + pmod(xxhash64(col("image_id"), lit("day")), lit(5L)))
+            * Q54DayMs + pmod(xxhash64(col("caption")), lit(Q54DayMs)))
+    graft.jobs.AppendJob.append(t, batch(91L, 300, "a"), filesPerBucket = 2)
+    graft.jobs.AppendJob.append(t, batch(92L, 200, "b"), filesPerBucket = 2)
+    // day-aware compact: packs within days, never across them
+    new graft.jobs.CompactJob(t, targetFileBytes = 8L << 20).run()
+    t.read().select("image_id", "w", "fmt", "caption", "phash", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Q54Root/exp/rows")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(Q54Root, "_FIXTURE_READY"))
+  }
+
+  /** Date-range scan over the day-partitioned table. GATED on the spec's
+    * two claims actually holding on the LIVE post-compact table: (a)
+    * every file is day-isolated (stats span one epoch day — the layout
+    * invariant appends AND the day-aware compact must keep), and (b) the
+    * 2-of-5-day range read opened strictly fewer files than the table
+    * holds (manifest-stat pruning observed on the real indexed scan). A
+    * regression that silently de-isolates files or stops pruning still
+    * returns correct rows — the gate zeroes the row count so the driver
+    * catches it. */
+  def q54DayPruned(s: SparkSession, dir: String): DataFrame = {
+    val root = q54Dir(s)
+    val t = graft.format.QTable(s"$root/table", s)
+    val snap = t.currentSnapshot
+    val f = graft.format.DayPartition.fieldOf(snap).get
+    val entries = t.entries(snap)
+    val isolated = entries.nonEmpty &&
+      entries.forall(e => graft.format.DayPartition.entryDay(f, e).isDefined)
+    val lo = (Q54D0 + 1) * Q54DayMs
+    val hi = (Q54D0 + 3) * Q54DayMs - 1 // days 1-2 of the 5
+    val (df, index) = t.readIndexed()
+    val out = df.where(col("ts").between(lo, hi))
+      .select("image_id", "w", "fmt", "caption", "phash", "ts")
+    out.count() // force one evaluation so the index records the selection
+    val (selected, all) = index.lastSelection
+    val pruned = isolated && snap.operation == "compact" &&
+      all == entries.size && selected < all
+    if (pruned) out else out.limit(0)
+  }
+
+  val q54Sql: String =
+    s"""SELECT image_id, w, fmt, caption, phash, ts
+       |FROM read_parquet('$Q54Root/exp/rows/*.parquet')
+       |WHERE ts BETWEEN ${(Q54D0 + 1) * Q54DayMs} AND ${(Q54D0 + 3) * Q54DayMs - 1}""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   // ---------------------------------------------------------------- q43
@@ -2948,8 +3030,10 @@ object Queries {
     "q50_cluster_by" -> ((q50ClusterBy _, q50Sql)),
     "q51_constraints" -> ((q51Constraints _, q51Sql)),
     "q52_shallow_clone" -> ((q52Clone _, q52Sql)),
-    "q53_sorted_append" -> ((q53SortedAppend _, q53Sql)))
+    "q53_sorted_append" -> ((q53SortedAppend _, q53Sql)),
+    "q54_day_pruned" -> ((q54DayPruned _, q54Sql)))
 
   val withoutOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m2_image_features" -> (m2ImageFeatures _))
+
 }

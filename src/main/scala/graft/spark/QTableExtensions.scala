@@ -700,7 +700,10 @@ final case class QTableCallCommand(verb: String, args: Map[String, String])
     def req(k: String): String = args.getOrElse(k,
       throw new IllegalArgumentException(
         s"CALL qtable.$verb requires $k => ..."))
-    val t0 = QTable(req("table"), spark)
+    // `table =>` takes a path or a catalog name (bare value, resolved
+    // through spark.graft.catalog / GRAFT_CATALOG — graft.format.Catalog)
+    val t0 = QTable(
+      graft.format.Catalog.resolveTableArg(spark, req("table")), spark)
     val t = args.get("branch").map(t0.onBranch).getOrElse(t0)
     def prop(k: String): Option[String] =
       t.currentSnapshotOpt.flatMap(_.props.get(k))

@@ -42,8 +42,7 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
     * `option("skip-change-commits", true)`. */
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("qtable source requires a path"))
+    val path = QTableSource.resolvePath(parameters, ctx.sparkSession)
     require(schema.isEmpty, "qtable streams its recorded table schema; " +
       "a user-specified schema is not supported")
     val t0 = QTable(path, ctx.sparkSession)
@@ -62,8 +61,7 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("qtable source requires a path"))
+    val path = QTableSource.resolvePath(parameters, ctx.sparkSession)
     new graft.streaming.QTableStreamSource(ctx, path,
       skipChangeCommits =
         parameters.getOrElse("skip-change-commits", "false").toBoolean,
@@ -87,8 +85,7 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
       s"qtable streaming sink supports Append output mode only, got $outputMode")
     require(partitionColumns.isEmpty,
       "qtable manages its own bucket partitioning; partitionBy is not supported")
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("qtable sink requires a path"))
+    val path = QTableSource.resolvePath(parameters, ctx.sparkSession)
     val queryName = parameters.getOrElse("query-name",
       path.split('/').filter(_.nonEmpty).lastOption.getOrElse("qtable-sink"))
     val fpb = parameters.getOrElse("files-per-bucket", "1").toInt
@@ -118,8 +115,7 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
     require(mode == SaveMode.Append,
       s"qtable sink supports SaveMode.Append only, got $mode " +
         "(create tables with QTable.create / the synth CLI)")
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("qtable sink requires a path"))
+    val path = QTableSource.resolvePath(parameters, ctx.sparkSession)
     val t = QTable(path, ctx.sparkSession)
     val fpb = parameters.getOrElse("files-per-bucket", "1").toInt
     graft.jobs.CommitRetry.withCommitRetry()(
@@ -129,8 +125,7 @@ class QTableSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      throw new IllegalArgumentException("qtable source requires a path"))
+    val path = QTableSource.resolvePath(parameters, ctx.sparkSession)
     val t = QTable(path, ctx.sparkSession)
     require(Seq("version", "tag", "branch", "as-of-ts").count(parameters.contains) <= 1,
       "pass at most one of version, tag, branch, as-of-ts")
@@ -213,6 +208,26 @@ object QTableSource {
   private[graft] def parseTs(s: String): Long =
     if (s.forall(_.isDigit)) s.toLong
     else java.time.Instant.parse(s).toEpochMilli
+
+  /** Table addressing for every relation/source/sink entry point:
+    * `path '<dir>'` wins; `name '<n>'` resolves through the persistent
+    * catalog ([[graft.format.Catalog]], root from the
+    * `spark.graft.catalog` conf or `GRAFT_CATALOG`) — so
+    * `CREATE TEMPORARY VIEW v USING qtable OPTIONS (name 'imgs')`
+    * works in any session pointed at the catalog. */
+  private[graft] def resolvePath(parameters: Map[String, String],
+      spark: org.apache.spark.sql.SparkSession): String =
+    parameters.get("path").orElse(
+      parameters.get("name").map { n =>
+        val root = graft.format.Catalog.rootFor(spark).getOrElse(
+          throw new IllegalArgumentException(
+            s"OPTIONS (name '$n') needs a catalog: set the " +
+              s"${graft.format.Catalog.ConfKey} conf or ${graft.format.Catalog.EnvKey}"))
+        graft.format.Catalog.resolve(root, n, spark).getOrElse(
+          throw new IllegalArgumentException(
+            s"no table named '$n' in catalog $root"))
+      }).getOrElse(throw new IllegalArgumentException(
+      "qtable needs OPTIONS (path '<table dir>') or (name '<catalog name>')"))
 }
 
 /** V1 relation over a DECORATED read (renames aliased, deletes

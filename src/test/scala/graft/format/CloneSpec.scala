@@ -197,6 +197,28 @@ class CloneSpec extends AnyFunSuite {
     assert(e.getMessage.contains("clone"), s"unexpected message: ${e.getMessage}")
   }
 
+  test("clone by catalog name: resolve source, register the clone") {
+    val cat = TestSpark.tmpDir("clone-cat")
+    val srcRoot = TestSpark.tmpDir("clone-src9")
+    val src = QTable.create(srcRoot, spark, 2)
+    AppendJob.append(src, DataGen.generate(spark, 40, 53L, 1).toDF())
+    Catalog.register(cat, "gold", srcRoot, spark)
+
+    val s2 = spark.newSession()
+    s2.conf.set(Catalog.ConfKey, cat)
+    val resolved = Catalog.resolveTableArg(s2, "gold")
+    val cloneRoot = TestSpark.tmpDir("clone-dst9")
+    val clone = QTable(resolved, s2).cloneTo(cloneRoot)
+    Catalog.register(cat, "gold_dev", cloneRoot, s2)
+
+    // a third session sees both names and reads the clone zero-copy
+    val s3 = spark.newSession()
+    s3.conf.set(Catalog.ConfKey, cat)
+    assert(Catalog.list(cat, s3).map(_._1) == Seq("gold", "gold_dev"))
+    assert(QTable(Catalog.resolveTableArg(s3, "gold_dev"), s3).read().count() == 40)
+    assert(clone.currentSnapshot.summary("source-table") == srcRoot)
+  }
+
   test("clone refuses an existing target") {
     val src = QTable.create(TestSpark.tmpDir("clone-src5"), spark, 2)
     AppendJob.append(src, DataGen.generate(spark, 20, 48L, 1).toDF())

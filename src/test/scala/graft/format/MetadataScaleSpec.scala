@@ -127,4 +127,66 @@ class MetadataScaleSpec extends AnyFunSuite {
     // no data file exists: every one of the calls above planned a
     // ~51 TB table without a single filesystem touch
   }
+
+  test("10^4-version chain: changelog + expiry walks stay O(chain) metadata") {
+    // a year of ~hourly streaming micro-batches / maintenance ticks is
+    // ~10^4 commits — the round-4 verdict asked for a measured bound on
+    // the driver-side parent-chain walks (changelog, expiry) at this
+    // depth. The chain here is real on-disk metadata: one ghost append,
+    // then 10^4 row-preserving property commits, then one more append.
+    val root = TestSpark.tmpDir("mdscale-chain")
+    val t = QTable.create(root, spark, Buckets)
+    val snap0 = t.currentSnapshot
+    val first = t.commit(Some(snap0), "append", ghost(root, 0, 64),
+      reuseManifests = snap0.manifests)
+
+    val Depth = 10000
+    val t0 = System.nanoTime()
+    var cur = first
+    var i = 0
+    while (i < Depth) {
+      cur = t.commit(Some(cur), "set-properties", Nil,
+        Map("set" -> s"p$i"), reuseManifests = cur.manifests,
+        propertiesOverride = Some(cur.props + ("chain.tick" -> i.toString)))
+      i += 1
+    }
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    val head = t.commit(Some(cur), "append", ghost(root, 64, 32),
+      reuseManifests = cur.manifests)
+
+    // CHANGELOG across the full chain: 10^4 row-preserving commits
+    // contribute nothing; only the two appends' rows surface. Budget:
+    // 10 ms/version of driver metadata reads — an order of magnitude
+    // above the observed cost, so the assert catches an accidental
+    // O(chain^2) regression, not host noise (actuals in info/NOTES).
+    val t1 = System.nanoTime()
+    val entries = t.addedEntries(first.version, head.version)
+    val walkMs = (System.nanoTime() - t1) / 1e6
+    assert(entries.size == 32)
+    assert(walkMs < 10.0 * Depth,
+      f"changelog-chain walk took $walkMs%.0f ms for $Depth versions")
+
+    // streaming batch resolution over the same chain
+    val t2 = System.nanoTime()
+    val streamed = t.streamedEntries(first.version, head.version,
+      skipChangeCommits = false)
+    val streamMs = (System.nanoTime() - t2) / 1e6
+    assert(streamed.size == 32)
+
+    // EXPIRY of the whole chain window: keeps the last 5, sweeps ~10^4
+    // dead snapshot files, deletes zero data (every manifest is carried
+    // by reference along the chain)
+    val t3 = System.nanoTime()
+    val res = new graft.jobs.ExpireSnapshotsJob(t).run(keepLast = 5)
+    val expireMs = (System.nanoTime() - t3) / 1e6
+    assert(res.expiredVersions.size > Depth - 10,
+      s"expected ~the whole chain expired, got ${res.expiredVersions.size}")
+    assert(res.deletedDataFiles == 0, "carried manifests must keep all data")
+    assert(expireMs < 10.0 * Depth,
+      f"expiry took $expireMs%.0f ms for $Depth versions")
+    assert(t.entries(t.currentSnapshot).size == 96)
+
+    info(f"$Depth-version chain: build $buildMs%.0f ms, changelog walk " +
+      f"$walkMs%.0f ms, streaming plan $streamMs%.0f ms, expire $expireMs%.0f ms")
+  }
 }

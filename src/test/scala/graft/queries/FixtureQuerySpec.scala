@@ -122,6 +122,38 @@ class FixtureQuerySpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("fixture builders are idempotent and crash-replay safe") {
+    // The driver can re-invoke any entry mid-session (crash replay), so
+    // every build-once fixture must (a) serve identical results from its
+    // ready marker on a second same-JVM call, and (b) REBUILD to the
+    // same results when the marker is missing over a stale/partial dir
+    // (the deleteRecursive-then-build path). Three fixtures spanning the
+    // shapes: metadata delete (q38), NDV sketches (q43), day partition
+    // (q54).
+    val cases: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("q38", Queries.q38MetaDelete _, "graft_q38_v1"),
+      ("q43", Queries.q43NdvSketch _, "graft_q43_v2"),
+      ("q54", Queries.q54DayPruned _, "graft_q54_v1"))
+    cases.foreach { case (name, fn, dirName) =>
+      val first = fn(spark, dir).count()
+      assert(first > 0, s"$name fixture produced no rows")
+      // same-JVM re-call: ready-marker fast path, identical result
+      assert(fn(spark, dir).count() == first, s"$name re-call diverged")
+      // crash-replay shape: marker gone, dir still populated -> rebuild
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), dirName)
+      val marker = root.resolve("_FIXTURE_READY")
+      if (java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.delete(marker)
+        assert(fn(spark, dir).count() == first,
+          s"$name rebuild over a stale dir diverged")
+        assert(java.nio.file.Files.exists(marker),
+          s"$name rebuild must restore its ready marker")
+      } else fail(s"$name fixture has no ready marker at $marker")
+    }
+  }
+
   test("q32 fixture: one snapshot per micro-batch, replayed batch adds none") {
     val df = Queries.q32StreamIngest(spark, dir)
     assert(df.count() == 180)
