@@ -128,6 +128,39 @@ class DayPartitionSpec extends AnyFunSuite {
       b.where(col("ts").isNull).count())
   }
 
+  test("retention: DELETE WHERE ts < cutoff drops whole days at metadata level") {
+    // the day-partition layout makes age-based retention a METADATA
+    // operation: every file's ts stats span one day, so a cutoff
+    // predicate proves whole files and StatsDelete drops them with zero
+    // delete rows and zero data reads — "delete day X" at any scale
+    val t = dayTable("daypart-ret", 600, days = 4)
+    val pre = t.read()
+    val cutoff = (D0 + 1) * DayMs // retire day 0
+    val dropped = pre.where(col("ts") < cutoff).count()
+    assert(dropped > 0)
+    val keep = pre.where(col("ts") >= cutoff).count()
+    new graft.jobs.DeleteJob(t).run(col("ts") < cutoff)
+    val snap = t.currentSnapshot
+    assert(snap.summary("files-dropped").toInt > 0)
+    assert(snap.summary("new-delete-files") == "0",
+      s"expected a pure metadata delete, got ${snap.summary}")
+    assert(snap.summary("files-scanned") == "0")
+    assert(t.read().count() == keep)
+  }
+
+  test("maintain --auto converges on a day-partitioned table") {
+    // cross-day zkey overlap is NOT debt the day-aware cluster can
+    // reduce — analyze scopes the overlap dial to (bucket, day), so the
+    // tick must settle instead of re-clustering forever
+    val t = dayTable("daypart-auto", 400, days = 3, filesPerBucket = 2)
+    val r1 = graft.jobs.AutoMaintain.run(t, targetBytes = 8L << 20)
+    assert(!r1.plan.isNoop, "first tick should pay down small-file debt")
+    val r2 = graft.jobs.AutoMaintain.run(t, targetBytes = 8L << 20)
+    assert(r2.plan.isNoop,
+      s"second tick must plan nothing, got ${r2.plan.actions}")
+    assertDayIsolated(t)
+  }
+
   test("spec evolution validates; source column is drop/rename-protected") {
     val t = QTable.create(TestSpark.tmpDir("daypart-val"), spark, buckets = 2)
     // unknown column refuses at SET time
