@@ -370,11 +370,23 @@ object Bench {
             c -> (rs.map(_.tCompact).min, rs.map(_.tCluster).min)
           }.toMap
         val (now, prev) = (minsAt(round), minsAt(round - 2))
-        converged = levels.forall { c =>
+        val stable = levels.forall { c =>
           now(c)._1 > prev(c)._1 * 0.98 && now(c)._2 > prev(c)._2 * 0.98
         }
+        // stop only when the primary gate ALREADY passes on current
+        // floors: extra rounds are always legal under best-of-N (minima
+        // only tighten), so when the low level's floor is still
+        // burst-inflated the run keeps sampling instead of freezing a
+        // sub-gate ratio into the artifact
+        val effNow = (now(pLow)._1 + now(pLow)._2) /
+          ((now(pHigh)._1 + now(pHigh)._2) * (pHigh.toDouble / pLow))
+        converged = stable && effNow >= 0.8
         if (converged) System.err.println(
-          s"[bench] per-phase floors converged after $round/$nRounds rounds; stopping suite early")
+          f"[bench] per-phase floors converged after $round/$nRounds rounds " +
+            f"(primary eff $effNow%.3f); stopping suite early")
+        else if (stable) System.err.println(
+          f"[bench] floors stable after $round/$nRounds rounds but primary " +
+            f"eff $effNow%.3f < 0.8 — continuing to sample")
       }
     }
     val rounds = roundsBuf.toSeq
@@ -759,9 +771,13 @@ object Bench {
           }
           val (nl, nh) = mins(r)
           val (pl, ph) = mins(r - 2)
-          done = nl > pl * 0.98 && nh > ph * 0.98
+          // same rule as the suite loop: stability alone is not enough —
+          // the executor-pair gate must already pass before stopping
+          done = nl > pl * 0.98 && nh > ph * 0.98 &&
+            nl / (nShards * nh) >= 0.8
           if (done) System.err.println(
-            s"[bench] procs floors converged after $r/$rounds iterations; stopping early")
+            f"[bench] procs floors converged after $r/$rounds iterations " +
+              f"(eff ${nl / (nShards * nh)}%.3f); stopping early")
         }
         if (it < rounds && !done) stageIter(it + 1)
       }

@@ -1360,7 +1360,13 @@ class QTable(val root: String, val spark: SparkSession) extends Serializable {
     * driver-parallel for per-group batches, a Spark job above the
     * distribute threshold (whole-table rewrites at cluster scale). */
   def harvest(dir: String): Seq[DataFileEntry] =
+    // zero-row part files (Spark's writer emits one for partition 0 of
+    // an exact-binned shuffle whose first bin is empty) carry no data
+    // and no stats: committing them would pollute manifests with
+    // entries every planner must special-case — skip them; the orphan
+    // sweep reclaims the bytes
     ParquetStats.entriesFor(ParquetStats.listParquet(dir, hadoopConf), spark)
+      .filter(_.rowCount > 0L)
 }
 
 object QTable {

@@ -62,36 +62,19 @@ object AppendJob {
         // invariant is what makes the column's min/max stats prune
         // date-range scans to O(days touched). Cost model is Iceberg's
         // fanout writer: a batch spanning D days writes >= D x B files
-        // (bounded below; a months-long backfill splits into batches).
-        // One extra column-pruned pass computes the batch's day span.
-        val day = graft.format.DayPartition.dayExpr(f)
-        val mm = aligned.agg(min(day), max(day)).head()
-        if (mm.isNullAt(0)) {
-          // all-null partition source: single null-day cell, plain layout
-          aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id"))
-        } else {
-          val (d0, d1) = (mm.getLong(0), mm.getLong(1))
-          val span = d1 - d0 + 1
-          require(span * b * filesPerBucket <= 32768,
-            s"append spans $span days x $b buckets x $filesPerBucket files " +
-              "> 32768 output cells — split the backfill into smaller batches")
-          val fpb = filesPerBucket.toLong
-          // sub-file hash is SALTED: pbucket is pmod(xxhash64(id), b), so
-          // an unsalted pmod(xxhash64(id), fpb) is a deterministic
-          // function of pbucket whenever fpb shares a factor with b —
-          // the split would then produce one file per cell, not fpb
-          val sub = pmod(xxhash64(col("image_id"), lit("sub")), lit(fpb))
-          val dayIdx = day - lit(d0)
-          // null days get their own trailing fpb-cell block (no bucket
-          // fan-out — they are rare by construction)
-          val bin = when(day.isNull, lit(span * b * fpb) + sub)
-            .otherwise((dayIdx * lit(b.toLong) + col("pbucket")) * lit(fpb) + sub)
-          val nBins = (span * b * fpb + fpb).toInt
-          val binned = ExactShuffle.repartitionByBin(aligned, nBins, bin)
-          // within a (day, bucket) cell, sort-on-append still applies;
-          // otherwise sort by id so id stats stay tight per file
-          if (sortOn) binned.sortWithinPartitions(sortKeys(snap): _*)
-          else binned.sortWithinPartitions(col("image_id"))
+        // (bounded; a months-long backfill splits into batches). One
+        // extra column-pruned pass computes the batch's day span
+        // (JobPlanning.dayBins — shared with the merge/update/upsert
+        // writers so no job erodes the date layout).
+        JobPlanning.dayBins(aligned, f, b, filesPerBucket) match {
+          case None =>
+            // all-null partition source: no day to isolate, plain layout
+            aligned.repartitionByRange(nFiles, col("pbucket"), col("image_id"))
+          case Some(binned) =>
+            // within a (day, bucket) cell, sort-on-append still applies;
+            // otherwise sort by id so id stats stay tight per file
+            if (sortOn) binned.sortWithinPartitions(sortKeys(snap): _*)
+            else binned.sortWithinPartitions(col("image_id"))
         }
       case None =>
         if (!sortOn)

@@ -6,6 +6,56 @@ import org.apache.spark.sql.SparkSession
 /** Shared planning helpers for the maintenance jobs. */
 object JobPlanning {
 
+  /** Exact (day, bucket, subfile) bins for a PHYSICAL-schema frame on a
+    * day-partitioned table ([[graft.format.DayPartition]]): every
+    * output partition covers exactly one (day, bucket) cell, so no
+    * written file ever straddles a day — the invariant that keeps
+    * date-range pruning exact. Costs one column-pruned min/max pass
+    * over the frame (cheap for the small new-row batches most writers
+    * produce). None when the partition source is entirely null in this
+    * frame (callers fall back to their plain layout; such rows carry no
+    * day to isolate). The sub-file hash is salted — `pmod(xxhash64(id),
+    * fpb)` is a deterministic function of `pbucket = pmod(xxhash64(id),
+    * B)` whenever the moduli share factors. */
+  def dayBins(aligned: org.apache.spark.sql.DataFrame,
+      f: graft.model.FieldDef, buckets: Int,
+      filesPerBucket: Int): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val day = graft.format.DayPartition.dayExpr(f)
+    val mm = aligned.agg(min(day), max(day)).head()
+    if (mm.isNullAt(0)) None
+    else {
+      val (d0, d1) = (mm.getLong(0), mm.getLong(1))
+      val span = d1 - d0 + 1
+      require(span * buckets * filesPerBucket <= 32768,
+        s"write spans $span days x $buckets buckets x $filesPerBucket files " +
+          "> 32768 output cells — split the backfill into smaller batches")
+      val fpb = filesPerBucket.toLong
+      val sub = pmod(xxhash64(col("image_id"), lit("sub")), lit(fpb))
+      val dayIdx = day - lit(d0)
+      // null days get their own trailing fpb-cell block (rare rows)
+      val bin = when(day.isNull, lit(span * buckets * fpb) + sub)
+        .otherwise((dayIdx * lit(buckets.toLong) + col("pbucket")) * lit(fpb) + sub)
+      val nBins = (span * buckets * fpb + fpb).toInt
+      Some(ExactShuffle.repartitionByBin(aligned, nBins, bin))
+    }
+  }
+
+  /** New-row write layout shared by every writer that creates data
+    * files OUTSIDE the append path (MERGE inserts and MOR post-images,
+    * UPDATE MOR post-images, upsert batches): day-binned when the
+    * table carries the `partition.days` spec — so merges and updates
+    * never erode the date layout — else the historical hash
+    * repartition by bucket. */
+  def layoutNewRows(aligned: org.apache.spark.sql.DataFrame,
+      snap: graft.model.Snapshot): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.format.DayPartition.fieldOf(snap)
+      .flatMap(f => dayBins(aligned, f, snap.buckets, 1))
+      .map(_.sortWithinPartitions(col("image_id")))
+      .getOrElse(aligned.repartition(col("pbucket")))
+  }
+
   /** Project a writer's frame onto the snapshot's PHYSICAL schema (the
     * write-side half of metadata-only schema evolution). Columns may
     * arrive under logical names (user append/merge sources) or physical

@@ -196,9 +196,18 @@ class MergeJob(
     val ckpt = new Checkpoint(table, jobId)
     val already = ckpt.committed
 
-    // 4. rewrite affected files per partition group, checkpointed
-    val groups = affected.groupBy(_.pbucketMin).toSeq
-      .map { case (b, fs) => (s"b$b", fs.sortBy(_.path)) }.sortBy(_._1)
+    // 4. rewrite affected files per partition group, checkpointed.
+    // Day-partitioned tables group per (day, bucket) — a CoW group's
+    // coalesced outputs read only same-day inputs, so the rewrite never
+    // writes a day-straddling file (same rule as CompactJob/ClusterJob)
+    val dayF = graft.format.DayPartition.fieldOf(snap)
+    val groups = affected
+      .groupBy(e => (dayF.flatMap(f => graft.format.DayPartition.entryDay(f, e)),
+        e.pbucketMin)).toSeq
+      .map { case ((d, b), fs) =>
+        (d.map(x => s"d$x-").getOrElse(if (dayF.isEmpty) "" else "dx-") + s"b$b",
+          fs.sortBy(_.path)) }
+      .sortBy(_._1)
     // broadcast payload: key, one `_new_<phys>` per SET column (cast to
     // the declared type), and the delete flag (null-safe, default false)
     val updatesSrc = broadcast(source.select(
@@ -306,7 +315,8 @@ class MergeJob(
         val out = if (matchedCount + insertCount > 0) {
           val dir = table.newDataDir(jobId, "rows")
           cleanDir(dir)
-          graft.format.TableWrite.parquet(newRows.repartition(col("pbucket")), dir)
+          graft.format.TableWrite.parquet(
+            JobPlanning.layoutNewRows(newRows, snap), dir)
           table.harvest(dir)
         } else Nil
         source.unpersist(); inserts.unpersist()
@@ -381,11 +391,10 @@ class MergeJob(
           val dir = table.newDataDir(jobId, group)
           cleanDir(dir)
           graft.format.TableWrite.parquet(
-            JobPlanning.alignToPhysical(
+            JobPlanning.layoutNewRows(JobPlanning.alignToPhysical(
               inserts.withColumn("pbucket",
                 pmod(xxhash64(col("image_id")), lit(snap.buckets.toLong)).cast("int")),
-              snap)
-              .repartition(col("pbucket")), dir)
+              snap), snap), dir)
           val out = table.harvest(dir)
           val entry = LineageEntry(jobId, "merge", group, insertInputs, out,
             out.map(_.rowCount).sum, out.map(_.byteCount).sum, "committed", 1)

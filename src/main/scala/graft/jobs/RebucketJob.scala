@@ -61,13 +61,21 @@ class RebucketJob(
       // initial defaults in (see CompactJob)
       val df = table.readEntriesForRewrite(snap, entries)
         .withColumn("pbucket", bucket)
-        .withColumn("__bin", col("pbucket") * subPerBucket + sub)
-      graft.format.TableWrite.parquet(
-        JobPlanning.alignToPhysical(
-          ExactShuffle.repartitionByBin(df, nOut, col("__bin"))
+      // day-partitioned tables re-bin on (day, newBucket, sub) so the
+      // spec-evolution rewrite PRESERVES day isolation (JobPlanning
+      // .dayBins — one column-pruned span pass, trivial next to the
+      // full rewrite rebucket already is)
+      val laid = graft.format.DayPartition.fieldOf(snap)
+        .flatMap(f => JobPlanning.dayBins(df, f, newBuckets, subPerBucket))
+        .map(_.sortWithinPartitions("pbucket", "phash"))
+        .getOrElse(
+          ExactShuffle.repartitionByBin(
+            df.withColumn("__bin", col("pbucket") * subPerBucket + sub),
+            nOut, col("__bin"))
             .drop("__bin")
-            .sortWithinPartitions("pbucket", "phash"),
-          snap), dir)
+            .sortWithinPartitions("pbucket", "phash"))
+      graft.format.TableWrite.parquet(
+        JobPlanning.alignToPhysical(laid, snap), dir)
       val files = table.harvest(dir)
       val entry = LineageEntry(jobId, "rebucket", "all", ckptInputs, files,
         files.map(_.rowCount).sum, files.map(_.byteCount).sum, "committed", 1)

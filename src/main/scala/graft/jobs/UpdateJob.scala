@@ -131,7 +131,8 @@ class UpdateJob(
           applySets(matched, lit(true)).drop("__gpath", "__gpos"), snap)
         val dir = table.newDataDir(jobId, "rows")
         cleanDir(dir)
-        graft.format.TableWrite.parquet(patched.repartition(col("pbucket")), dir)
+        graft.format.TableWrite.parquet(
+          JobPlanning.layoutNewRows(patched, snap), dir)
         val out = table.harvest(dir)
         return table.commit(Some(snap), "update", out,
           summaryBase ++ Map(
@@ -152,8 +153,16 @@ class UpdateJob(
       paths ++ table.deleteInputsFor(snap, paths) ++
         table.eqDeleteInputsFor(snap, files)
     }
-    val groups = affected.groupBy(_.pbucketMin).toSeq
-      .map { case (b, fs) => (s"b$b", fs.sortBy(_.path)) }.sortBy(_._1)
+    // day-partitioned tables: per-(day, bucket) groups so the CoW
+    // rewrite never writes a day-straddling file (CompactJob's rule)
+    val dayF = graft.format.DayPartition.fieldOf(snap)
+    val groups = affected
+      .groupBy(e => (dayF.flatMap(f => graft.format.DayPartition.entryDay(f, e)),
+        e.pbucketMin)).toSeq
+      .map { case ((d, b), fs) =>
+        (d.map(x => s"d$x-").getOrElse(if (dayF.isEmpty) "" else "dx-") + s"b$b",
+          fs.sortBy(_.path)) }
+      .sortBy(_._1)
     val rewritten = GroupRunner.run[(String, Seq[DataFileEntry])](
       groups, _._1, p => groupInputs(p._2), already, failAfterGroups, concurrency,
       onFailure = gf => ckpt.commit(LineageEntry(jobId, "update", gf.group,

@@ -84,7 +84,8 @@ class UpsertJob(
       Constraints.enforce(Constraints.logicalView(rows, snap), snap, "upsert")
       val dir = table.newDataDir(jobId, "rows")
       cleanDir(dir)
-      graft.format.TableWrite.parquet(rows.repartition(col("pbucket")), dir)
+      graft.format.TableWrite.parquet(
+        JobPlanning.layoutNewRows(rows, snap), dir)
       val out = table.harvest(dir)
       val flagged = srcCount - source.where(notDeleteFlagged).count()
 

@@ -161,6 +161,50 @@ class DayPartitionSpec extends AnyFunSuite {
     assertDayIsolated(t)
   }
 
+  test("merge, update, upsert, and rebucket all preserve day isolation") {
+    // every writer that creates data files routes through a day-aware
+    // layout (JobPlanning.dayBins/layoutNewRows + per-(day,bucket) CoW
+    // groups) — without this, repeated DML would erode the date layout
+    // file by file even though appends and compacts preserve it
+    val t = dayTable("daypart-dml", 400, days = 3, filesPerBucket = 2)
+    val keyDay = (lit(D0) + pmod(xxhash64(col("image_id"), lit("day")), lit(3L)))
+
+    // CoW MERGE with inserts: patched groups and the insert file(s)
+    val corr = t.read().limit(40)
+      .select(col("image_id"), concat(lit("m: "), col("caption")).as("caption"))
+      .unionByName(
+        graft.synth.DataGen.generate(spark, 10, 9L, 1).toDF()
+          .withColumn("image_id", concat(lit("ins-"), col("image_id")))
+          .withColumn("ts", keyDay * DayMs)
+          .select("image_id", "caption", "bytes", "w", "h", "fmt", "phash", "ts"),
+        allowMissingColumns = true)
+    new graft.jobs.MergeJob(t, "dml-merge").run(corr)
+    assertDayIsolated(t)
+    assert(t.read().count() == 410)
+
+    // CoW UPDATE across every day
+    new graft.jobs.UpdateJob(t).run(
+      Seq("caption" -> concat(lit("u: "), col("caption"))),
+      col("fmt") === "png")
+    assertDayIsolated(t)
+
+    // MOR UPDATE post-images
+    new graft.jobs.UpdateJob(t, mergeOnRead = true).run(
+      Seq("w" -> (col("w") + 1)), col("fmt") === "jpeg")
+    assertDayIsolated(t)
+
+    // equality upsert batch
+    new graft.jobs.UpsertJob(t).run(t.read().limit(15)
+      .withColumn("caption", lit("eq-upserted")))
+    assertDayIsolated(t)
+
+    // bucket-count spec evolution rewrites the whole table — and must
+    // re-bin per (day, newBucket)
+    new graft.jobs.RebucketJob(t, newBuckets = 8).run()
+    assertDayIsolated(t)
+    assert(t.read().count() == 410)
+  }
+
   test("spec evolution validates; source column is drop/rename-protected") {
     val t = QTable.create(TestSpark.tmpDir("daypart-val"), spark, buckets = 2)
     // unknown column refuses at SET time
