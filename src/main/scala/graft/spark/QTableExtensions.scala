@@ -700,6 +700,24 @@ final case class QTableCallCommand(verb: String, args: Map[String, String])
     def req(k: String): String = args.getOrElse(k,
       throw new IllegalArgumentException(
         s"CALL qtable.$verb requires $k => ..."))
+    // catalog procedures run BEFORE table resolution (`tables` has no
+    // table argument at all; `register` points a name at a raw path)
+    def catalogRoot: String = args.get("catalog")
+      .orElse(graft.format.Catalog.rootFor(spark)).getOrElse(throw
+        new IllegalArgumentException("no catalog configured: pass " +
+          s"catalog => '<dir>' or set ${graft.format.Catalog.ConfKey}"))
+    verb match {
+      case "register" =>
+        graft.format.Catalog.register(catalogRoot, req("name"), req("table"), spark)
+        return Seq(Row("registered", req("name")), Row("table", req("table")))
+      case "unregister" =>
+        val removed = graft.format.Catalog.unregister(catalogRoot, req("name"), spark)
+        return Seq(Row("unregistered", req("name")), Row("removed", removed.toString))
+      case "tables" =>
+        return graft.format.Catalog.list(catalogRoot, spark)
+          .map { case (n, r) => Row(n, r) }
+      case _ => ()
+    }
     // `table =>` takes a path or a catalog name (bare value, resolved
     // through spark.graft.catalog / GRAFT_CATALOG — graft.format.Catalog)
     val t0 = QTable(
@@ -797,7 +815,8 @@ final case class QTableCallCommand(verb: String, args: Map[String, String])
         s"unknown procedure: CALL qtable.$other — supported: compact, " +
           "cluster, expire, rewrite_manifests, remove_orphans, analyze, " +
           "maintain, set_constraint, drop_constraint, set_property, " +
-          "unset_property, clone, tag, untag, rollback")
+          "unset_property, clone, tag, untag, rollback, register, " +
+          "unregister, tables")
     }
     result.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
   }

@@ -91,6 +91,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(Catalog.resolve(cat, "raced", spark).contains(winners.head))
   }
 
+  test("CALL qtable.register/tables/unregister close the SQL surface") {
+    val cat = TestSpark.tmpDir("cat6")
+    val root = TestSpark.tmpDir("cat6-tbl")
+    val t = QTable.create(root, spark, 2)
+    AppendJob.append(t, DataGen.generate(spark, 25, 6L, 1).toDF())
+    def call(sql: String) = spark.sql(sql).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    call(s"CALL qtable.register(catalog => '$cat', name => 'sqlimgs', " +
+      s"table => '$root')")
+    assert(call(s"CALL qtable.tables(catalog => '$cat')") ==
+      Map("sqlimgs" -> root))
+    // a maintenance CALL resolves the bare name through the same catalog
+    val s2 = spark.newSession()
+    s2.conf.set(Catalog.ConfKey, cat)
+    val a = s2.sql("CALL qtable.analyze(table => 'sqlimgs')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a("files").toInt > 0)
+    call(s"CALL qtable.unregister(catalog => '$cat', name => 'sqlimgs')")
+    assert(call(s"CALL qtable.tables(catalog => '$cat')").isEmpty)
+  }
+
   test("invalid names refuse") {
     val cat = TestSpark.tmpDir("cat5")
     intercept[IllegalArgumentException] {
