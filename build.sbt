@@ -42,10 +42,23 @@ val memAvailGb: Long = {
     finally src.close()
   } catch { case _: Throwable => 64L }
 }
-val driverHeapGb: Long = sys.env.get("SPARK_DRIVER_MEM") match {
-  case Some(m) => m.toLowerCase.stripSuffix("g").toLong
+// SPARK_DRIVER_MEM accepts any JVM -Xmx size string ('16g', '16384m',
+// '17179869184'); whole-GiB values also feed the pre-touch budget below.
+// Non-GiB forms pass through to -Xmx verbatim (r5 advice fix: the bare
+// stripSuffix("g").toLong threw NumberFormatException at sbt load for
+// previously accepted values like '16384m').
+val driverMemOverride: Option[String] = sys.env.get("SPARK_DRIVER_MEM")
+val driverHeapGb: Long = driverMemOverride match {
+  case Some(m) if m.toLowerCase.matches("\\d+g") =>
+    m.toLowerCase.stripSuffix("g").toLong
+  case Some(m) if m.toLowerCase.matches("\\d+m") =>
+    math.max(1L, m.toLowerCase.stripSuffix("m").toLong / 1024)
+  case Some(_) => 16L // opaque form: assume the documented default budget
   case None    => math.max(6L, math.min(16L, memAvailGb - 40L))
 }
+val driverXmx: String =
+  driverMemOverride.filterNot(_.toLowerCase.matches("\\d+g"))
+    .getOrElse(s"${driverHeapGb}g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC: G1's humongous-allocation handling collapses on this
   // workload's fat binary rows (multi-second young pauses); the
@@ -53,7 +66,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${driverHeapGb}g",
+  s"-Xmx$driverXmx",
 )
 // Bench/Main runs pre-touch the whole heap at startup: on this guest a
 // lazily grown heap faults fresh pages through the host-side page path

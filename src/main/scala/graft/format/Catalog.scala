@@ -68,13 +68,18 @@ object Catalog {
   def unregister(root: String, name: String, spark: SparkSession): Boolean =
     ioFor(root, spark).delete(keyOf(root, name))
 
-  /** All (name, tableRoot) registrations, sorted by name. */
+  /** All (name, tableRoot) registrations, sorted by name. A pointer
+    * file unregistered between the directory listing and its read is
+    * skipped, not fatal (r5 advice fix: a concurrent unregister made
+    * list() — and with it the `tables` verb and resolveTableArg's
+    * error path — throw). */
   def list(root: String, spark: SparkSession): Seq[(String, String)] = {
     val io = ioFor(root, spark)
     if (!io.exists(root)) return Nil
-    io.listNames(root).filter(_.endsWith(".qcat")).sorted.map { f =>
-      f.stripSuffix(".qcat") ->
-        new String(io.readBytes(s"${root.stripSuffix("/")}/$f"), "UTF-8")
+    io.listNames(root).filter(_.endsWith(".qcat")).sorted.flatMap { f =>
+      try Some(f.stripSuffix(".qcat") ->
+        new String(io.readBytes(s"${root.stripSuffix("/")}/$f"), "UTF-8"))
+      catch { case _: java.io.IOException | _: RuntimeException => None }
     }
   }
 

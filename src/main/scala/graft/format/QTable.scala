@@ -1392,9 +1392,23 @@ object QTable {
   }
 
   /** True iff `path` lives under `root` on the SAME filesystem
-    * (scheme + authority + path-prefix). */
-  def ownedBy(path: String, root: String): Boolean =
-    ownerKey(path).startsWith(ownerKey(root).stripSuffix("/") + "/")
+    * (scheme + authority + path-prefix). Harvested entry paths are
+    * recorded scheme-stripped ([[ParquetStats.listParquetWithMtime]]
+    * records `getPath.toUri.getPath`), so an entry WITHOUT a scheme is
+    * compared path-only against the root: a scheme-qualified table root
+    * (`file:///x`, `s3a://...`) must still own its own harvested files —
+    * otherwise every compact rewrites the whole table and expire never
+    * deletes dead files (r5 advice fix). Entries that DO carry a scheme
+    * (external references recorded fully-qualified) keep the full
+    * scheme+authority comparison, preserving the cross-filesystem clone
+    * guard. */
+  def ownedBy(path: String, root: String): Boolean = {
+    val u = new org.apache.hadoop.fs.Path(path).toUri
+    if (u.getScheme == null) {
+      val rootPath = new org.apache.hadoop.fs.Path(root).toUri.getPath
+      u.getPath.startsWith(rootPath.stripSuffix("/") + "/")
+    } else ownerKey(path).startsWith(ownerKey(root).stripSuffix("/") + "/")
+  }
 
   /** The row-lineage column name (Iceberg v3 `_row_id`). */
   val RowIdCol = "_row_id"

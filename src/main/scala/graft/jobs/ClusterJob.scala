@@ -184,10 +184,13 @@ class ClusterJob(
     * only skews output file sizes a few percent, never correctness. */
   private def boundsByGroup(plans: Seq[Plan],
       zkeyCol: Column, sampleEvery: Int): Map[String, Array[Long]] = {
-    // every 4th file per group (min 1): pre-cluster files are id-range
+    // every 8th file per group (min 1): pre-cluster files are id-range
     // slices independent of the key components, so each is a near-uniform
-    // sample; 1/4 of rows is ample for a 128-point grid and halves the
-    // fixed pass cost vs round 2's every-2nd sampling. Under
+    // sample; one ~17k-row file per group is ample for a 128-point grid
+    // (boundary error only skews output file sizes a few percent, never
+    // correctness or file counts), and r6 measurement showed the pass is
+    // fixed-cost dominated — halving the scanned bytes vs r5's every-4th
+    // trims the serial pre-pass without moving the estimate. Under
     // write.sort-on-append the premise inverts — appended files are KEY
     // slices, so skipping files skips key ranges — and the caller passes
     // sampleEvery = 1 (every file; the pass is still column-pruned).
@@ -230,7 +233,7 @@ class ClusterJob(
     // individually and `already` is re-read per batch.
     val zkeyCol = sortKeyFor(snap, plans.flatMap(_.inputs))
     val sampleEvery =
-      if (snap.props.get("write.sort-on-append").contains("true")) 1 else 4
+      if (snap.props.get("write.sort-on-append").contains("true")) 1 else 8
     // batches never span day compartments: the bucket->group quantile
     // lookup assumes one group per bucket within a pass, and two days'
     // groups share bucket ranges — a mixed batch would pool both days'

@@ -91,7 +91,19 @@ class MergeJob(
       s"source is missing update column $c"))
 
     val source = source0.cache()
-    val srcCount = source.count()
+    // ONE aggregation job answers every scalar the planner needs — row
+    // count, multi-match check, id bounds for candidate pruning, and the
+    // delete-flag count — where rounds 1-5 ran four separate actions
+    // over the cached source (guide §1.2: per-task work after shape;
+    // each extra action is a full job round-trip on the driver).
+    val statCols = Seq(
+      count(lit(1)).as("n"), count(col("image_id")).as("nn"),
+      countDistinct(col("image_id")).as("nd"),
+      min("image_id").as("mn"), max("image_id").as("mx")) ++
+      deleteCol.map(c => sum(when(coalesce(col(c).cast("boolean"),
+        lit(false)), 1L).otherwise(0L)).as("ndel")).toSeq
+    val st = source.agg(statCols.head, statCols.tail: _*).head()
+    val srcCount = st.getLong(0)
     // empty source: commit nothing, current snapshot is already correct —
     // UNLESS the mirror-sync clause is on, where an empty source means
     // "no key survives" and every live row deletes
@@ -99,9 +111,9 @@ class MergeJob(
       source.unpersist(); return snap
     }
     // ANSI MERGE multi-match check: one source row per key or error
-    val dupKeys = source.groupBy("image_id").count().where(col("count") > 1).count()
-    require(dupKeys == 0,
-      s"MERGE source has $dupKeys duplicated image_id(s); resolve last-wins upstream")
+    // (non-null keys must be distinct; two NULL keys also collide)
+    require(st.getLong(1) == st.getLong(2) && srcCount - st.getLong(1) <= 1,
+      "MERGE source has duplicated image_id(s); resolve last-wins upstream")
 
     // 1. prune candidate files by image_id range overlap with the source
     // (with the NOT MATCHED BY SOURCE clause every live file is a
@@ -110,8 +122,7 @@ class MergeJob(
     val candidates =
       if (srcCount == 0) Nil
       else {
-        val srcIdBounds = source.agg(min("image_id"), max("image_id")).head()
-        val (srcMin, srcMax) = (srcIdBounds.getString(0), srcIdBounds.getString(1))
+        val (srcMin, srcMax) = (st.getString(3), st.getString(4))
         all.filter(f => f.imageIdMax >= srcMin && f.imageIdMin <= srcMax)
       }
 
@@ -132,6 +143,16 @@ class MergeJob(
     def readLivePos(files: Seq[DataFileEntry]) =
       table.readEntriesForRewriteWithPos(snap, files)
     val srcKeys = broadcast(source.select(col("image_id")))
+    // matched (source id, file) pairs from ONE candidate scan — shared
+    // below by the insert anti-join, which rounds 1-5 paid a SECOND
+    // column-pruned scan of the affected files for (guide §2.4). The
+    // cache is O(matches): bounded by source rows times their table
+    // copies, the same order as the broadcast source itself.
+    val matchedPairs: Option[org.apache.spark.sql.DataFrame] =
+      if (notMatchedBySourceDelete || candidates.isEmpty) None
+      else Some(readLivePos(candidates)
+        .select(col("image_id"), col("__gpath").as("_file"))
+        .join(srcKeys, Seq("image_id")).cache())
     // NOT MATCHED BY SOURCE: one pass over EVERY live file classifies it
     // by whether it holds matched rows, unmatched rows, or both — both
     // kinds must rewrite (CoW) or contribute delete positions (MOR). The
@@ -151,13 +172,11 @@ class MergeJob(
            perFile.filter(_.getLong(2) > 0)
              .map(r => normalizePath(r.getString(0))).toSet)
         }
-      } else if (candidates.isEmpty) (Set.empty[String], Set.empty[String])
-      else {
-        (readLivePos(candidates)
-          .select(col("image_id"), col("__gpath").as("_file"))
-          .join(srcKeys, Seq("image_id"))
-          .select("_file").distinct().collect().map(_.getString(0))
-          .map(normalizePath).toSet, Set.empty[String])
+      } else matchedPairs match {
+        case None => (Set.empty[String], Set.empty[String])
+        case Some(mp) =>
+          (mp.select("_file").distinct().collect().map(_.getString(0))
+            .map(normalizePath).toSet, Set.empty[String])
       }
     val affected =
       if (notMatchedBySourceDelete)
@@ -167,24 +186,34 @@ class MergeJob(
         }
       else candidates.filter(f => matchedFiles.contains(normalizePath(f.path)))
 
-    // 3. inserts = source ids present in no file (anti join against the
-    //    candidate scan only — pruning made the big side small); a
-    //    delete-flagged row that matched nothing is a no-op, not an insert
+    // 3. inserts = source ids that matched nothing; a delete-flagged row
+    //    that matched nothing is a no-op, not an insert. The standard
+    //    path anti-joins against the matched ids ALREADY materialized by
+    //    the discovery scan (a source id present in any candidate file is
+    //    by definition in that set, and one absent from every candidate
+    //    is absent from the table) — no second scan of the affected
+    //    files. The mirror-sync clause keeps the explicit scan: its
+    //    per-file classification is not id-level.
     val notDeleteFlagged = deleteCol
       .map(c => !coalesce(col(c).cast("boolean"), lit(false)))
       .getOrElse(lit(true))
     // no WHEN NOT MATCHED clause (`insertUnmatched = false`): unmatched
     // source rows are simply ignored, per ANSI — no anti-join runs
-    val inserts = (if (insertUnmatched) source.where(notDeleteFlagged)
+    val insertBase = (if (insertUnmatched) source.where(notDeleteFlagged)
       else source.limit(0))
       .drop(deleteCol.toSeq: _*)
-      .join(
-        readLive(affected).select("image_id"),
-        Seq("image_id"), "left_anti").cache()
+    val inserts = (if (notMatchedBySourceDelete)
+        insertBase.join(readLive(affected).select("image_id"),
+          Seq("image_id"), "left_anti")
+      else matchedPairs match {
+        case Some(mp) =>
+          insertBase.join(mp.select("image_id"), Seq("image_id"), "left_anti")
+        case None => insertBase // no candidate file: every source row inserts
+      }).cache()
     val insertCount = inserts.count()
+    matchedPairs.foreach(_.unpersist()) // discovery + inserts both materialized
     val deleteFlagged =
-      if (deleteCol.isDefined) srcCount - source.where(notDeleteFlagged).count()
-      else 0L
+      if (deleteCol.isDefined) st.getLong(5) else 0L
     // no matched ACTION at all (insert-only merge): matched files are
     // discovered (the insert anti-join above is scoped by them) but
     // never rewritten — the merge is a pure append of unmatched rows

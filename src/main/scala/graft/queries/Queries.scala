@@ -73,15 +73,29 @@ object Queries {
       |sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
       |  i -> array_to_string(ws[i:i+2],' '))) AS sh FROM w)""".stripMargin
 
+  /** Per-doc shingle arrays: one row per document carrying its shingle
+    * array — the shared scan for the MinHash family. Null-text docs drop
+    * (matching the explode semantics of the previous implementation and
+    * DuckDB's unnest; the synthetic corpus has none). */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    tWide(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), shingles(col("text")).as("shs"))
+
+  /** sig0..sig7 as PER-ROW expressions over the `shs` array:
+    * `array_min(transform(...))` computes min_k(mdHash64) inside one
+    * codegen stage, replacing the round-1..5 explode + groupBy(min)
+    * whose exchange shuffled every (doc_id, shingle) row (guide §2.4:
+    * remove shuffles outright — a min over a row-local array needs no
+    * exchange). Hash values are bit-identical to the grouped min, so
+    * the DuckDB oracle is untouched. */
+  private def sigCols: Seq[org.apache.spark.sql.Column] =
+    (0 until 8).map(k => array_min(transform(col("shs"),
+      sh => mdHash64(concat(lit(s"$k:"), sh)))).as(s"sig$k"))
+
   /** MinHash signatures (8 hashes over 3-word shingles) per doc_id —
     * shared by q13 (signatures/band keys) and q22 (candidate pairs). */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val d = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val sigCols = (0 until 8).map(k =>
-      min(mdHash64(concat(lit(s"$k:"), col("sh")))).as(s"sig$k"))
-    d.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-  }
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir).select(col("doc_id") +: sigCols: _*)
 
   private val minhashSigsSqlCte: String = {
     val sigs = (0 until 8).map(k =>
@@ -368,14 +382,21 @@ object Queries {
   /** SimHash (32-bit) per document via word-hash bit majority, portable
     * hash => exact DuckDB oracle. */
   def q14SimHash(s: SparkSession, dir: String): DataFrame = {
-    val d = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("h", mdHash64(col("word")))
+    // per-row pipeline: hash every word ONCE into a row-local array, then
+    // fold the 32 bit-majority counters with `aggregate` — no explode of
+    // ~100 rows per doc, no groupBy exchange of (doc_id, hash) rows
+    // (guide §2.4; the md5 per word occurrence — the dominant cost — is
+    // computed exactly as before, so values match the oracle bit-for-bit;
+    // null-text docs drop, matching the old explode semantics)
+    val d = tWide(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => mdHash64(w)).as("hs"))
     val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b")
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))).as(s"b$b")
     }
-    val agg = d.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = d.select(col("doc_id") +: bitSums: _*)
     val simhash = (0 until 32).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -611,12 +632,18 @@ object Queries {
     * §1.1): get_json_object path extraction, from_json with a DECLARED
     * schema (validate, never infer), and to_json re-wrapping. */
   def q18JsonPayload(s: SparkSession, dir: String): DataFrame = {
-    val parsed = from_json(col("props"),
-      org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+    // ONE JSON parse per row: the oracle computes k_path and k_parsed
+    // from the SAME expression (json_extract_string '$.k'), so deriving
+    // both outputs from one get_json_object — which codegen's common
+    // subexpression elimination evaluates once — halves the per-row JSON
+    // work the old from_json + get_json_object pair paid (guide §1.2
+    // per-task work; the r5 oracle hash already proved the two paths
+    // value-identical on this data)
+    val k = get_json_object(col("props"), "$.k").cast("long")
     t(s, dir, "events").select(
       col("event_id"),
-      get_json_object(col("props"), "$.k").cast("long").as("k_path"),
-      parsed.getField("k").cast("long").as("k_parsed"),
+      k.as("k_path"),
+      k.as("k_parsed"),
       to_json(struct(col("event_type").as("t"), col("user_id").as("u")))
         .as("payload"))
   }
@@ -782,7 +809,20 @@ object Queries {
   private val LshBucketCap = 50
 
   def q22LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigs(s, dir).cache()
+    // ONE pass computes, per document, the distinct-shingle set AND the 8
+    // MinHash sigs as row-local expressions. Rounds 1-5 exploded shingles
+    // twice (once into a groupBy(min) for sigs, once re-reading documents
+    // into a collect_set for the Jaccard sets) — two exchanges of every
+    // (doc_id, shingle) row plus a second full shingle computation, all
+    // removed here (guide §2.3/§2.4). The cached frame is O(docs) and
+    // serves the band keys and both sides of the pair join, so the join
+    // count drops from 4 to 2. `array_distinct` vs the old collect_set
+    // only differs in element ORDER; the verdict uses intersection/set
+    // SIZES, which are order-insensitive, and the sig values are
+    // bit-identical — the DuckDB oracle is untouched.
+    val sig = docShingles(s, dir)
+      .select(col("doc_id") +: array_distinct(col("shs")).as("ss") +: sigCols: _*)
+      .cache()
     val bands0 = sig.select(col("doc_id"),
       explode(map_from_arrays(
         array(lit(0), lit(1), lit(2), lit(3)),
@@ -807,18 +847,11 @@ object Queries {
       .reduce(_ + _)
     // EXACT n-gram Jaccard verdict for the (few) candidate pairs: the
     // expensive set compare runs only on LSH survivors, never all-pairs
-    val sets = tWide(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .groupBy("doc_id").agg(collect_set("sh").as("ss"))
-    val setsA = sets.toDF("sd_a", "ss_a")
-    val setsB = sets.toDF("sd_b", "ss_b")
     val inter = size(array_intersect(col("ss_a"), col("ss_b")))
     val jac100 = inter * 100 / (size(col("ss_a")) + size(col("ss_b")) - inter)
     cand
       .join(sa, col("doc_a") === col("doc_id_a"))
       .join(sb, col("doc_b") === col("doc_id_b"))
-      .join(setsA, col("doc_a") === col("sd_a"))
-      .join(setsB, col("doc_b") === col("sd_b"))
       .select(col("doc_a"), col("doc_b"), col("n_bands"),
         simSigs.cast("int").as("sim_sigs"),
         jac100.cast("int").as("jaccard100"),

@@ -73,17 +73,33 @@ object ScanEquivalence {
 
   /** Same check, ignoring expected caption updates: equivalence modulo a
     * corrections table (for MERGE verification: updated ids must carry
-    * the corrected caption, all others must be untouched). */
+    * the corrected caption, all others must be untouched).
+    *
+    * Shuffle shape (guide §2.3/§3.1): the expected view is built as
+    * (pre LEFT JOIN broadcast(corrections)) ∪ (corrections ANTI pre) —
+    * row-for-row the old full-outer coalesce, but the fat `bytes`
+    * column of `pre` is never shuffled to build it (the broadcast is
+    * the same small-source assumption MergeJob itself makes, and the
+    * anti join moves only projected ids). The final pre/post full-outer
+    * inside [[check]] still shuffles both tables once each — the floor
+    * for a key-aligned byte comparison — so the whole verification
+    * moves the payload twice instead of three times. */
   def checkMerged(pre: DataFrame, post: DataFrame, corrections: DataFrame,
       psnrDb: Double = 40.0): (Boolean, Long) = {
     val corr = corrections.select(col("image_id"), col("caption").as("_corr_caption"),
       col("bytes").as("_corr_bytes"), col("fmt").as("_corr_fmt"))
-    // expected view = pre upserted with corrections (driverless, pure plan)
-    val expected = pre.join(corr, Seq("image_id"), "full_outer")
-      .withColumn("caption", coalesce(col("_corr_caption"), col("caption")))
-      .withColumn("bytes", coalesce(col("bytes"), col("_corr_bytes")))
-      .withColumn("fmt", coalesce(col("fmt"), col("_corr_fmt")))
-      .drop("_corr_caption", "_corr_bytes", "_corr_fmt")
-    check(expected, post, psnrDb)
+    // matched/unmatched target rows: corrected caption wins, target
+    // bytes/fmt win (MERGE only patches captions; corr bytes/fmt are
+    // insert payloads)
+    val updated = pre.join(broadcast(corr), Seq("image_id"), "left")
+      .select(col("image_id"),
+        coalesce(col("_corr_caption"), col("caption")).as("caption"),
+        col("bytes"), col("fmt"))
+    // inserts: correction keys absent from the target — ids only cross
+    // the exchange, never payloads
+    val inserted = corr.join(pre.select("image_id"), Seq("image_id"), "left_anti")
+      .select(col("image_id"), col("_corr_caption").as("caption"),
+        col("_corr_bytes").as("bytes"), col("_corr_fmt").as("fmt"))
+    check(updated.unionByName(inserted), post, psnrDb)
   }
 }
