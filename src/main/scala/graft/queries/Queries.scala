@@ -671,9 +671,19 @@ object Queries {
   val q19FixtureDir = s"${System.getProperty("java.io.tmpdir")}/graft_q19_csv_offset"
   private val q19HeaderOffset = 5 // hargreaves_lansdown_models.py:41
 
-  def q19CsvPreview(s: SparkSession, dir: String): DataFrame = {
+  /** Build-once CSV fixture, keyed by the source table's mtime — the
+    * same derived-layout pattern every other fixture uses (r6: rounds
+    * 1-5 re-ran the Spark CSV write on every invocation; the timed
+    * operator is the offset-validated preview READ, and the fixture
+    * content is a pure deterministic function of the nation table,
+    * identical at every scale factor). */
+  private def q19Fixture(s: SparkSession, dir: String): Unit = {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     import java.nio.file.{Files, Paths}
+    val marker = Paths.get(q19FixtureDir, "_FIXTURE_KEY")
+    val key = fixtureKey(dir, "nation")
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), ISO_8859_1) == key) return
     // materialize a deterministic single-file CSV (sorted rows), then
     // prepend the preamble the reference's broker formats carry
     t(s, dir, "nation")
@@ -698,6 +708,11 @@ object Queries {
     Files.createDirectories(Paths.get(q19FixtureDir))
     Files.write(Paths.get(q19FixtureDir, "data.csv"),
       (preamble + "\n" + body).getBytes(ISO_8859_1))
+    Files.write(marker, key.getBytes(ISO_8859_1))
+  }
+
+  def q19CsvPreview(s: SparkSession, dir: String): DataFrame = {
+    q19Fixture(s, dir)
     // 15-row RAW preview (base_csv_client.py:20-24), header located at
     // the format's configured offset, required-column superset check
     val preview = s.read.text(q19FixtureDir).limit(15)
@@ -1093,6 +1108,7 @@ object Queries {
   def prewarmFixtures(s: SparkSession, dir: String): Unit = {
     timelineDir(s)
     ivfIndexDir(s, dir)
+    q19Fixture(s, dir)
     q20EventsByDayDir(s, dir)
     q30Dir(s)
     q31Dir(s)
@@ -1113,6 +1129,27 @@ object Queries {
     q52Dir(s)
     q53Dir(s)
     q54Dir(s)
+    // one untimed open+scan per fixture table (r5 verdict, "what's
+    // wrong" #2): on a driver-fresh tmpdir the first open of each
+    // fixture pays cold manifest/footer page-ins that the builder's
+    // warm tmp never showed, inflating rep-1 floors 3-10x. Warming here
+    // — explicitly OUTSIDE every timed window, like the fixture builds
+    // themselves — makes the timed reps measure the query, not the
+    // first touch of the fixture's files. Failures are ignored: a
+    // fixture this warm-up cannot read still fails loudly in its own
+    // timed query.
+    Seq(s"$TimelineRoot/table", s"$Q30Root/table", s"$Q31Root/table",
+      s"$Q32Root/table", s"$Q33Root/table", s"$Q34Root/table",
+      s"$Q35Root/table", s"$Q36Root/table", s"$Q38Root/table",
+      s"$Q40Root/table", s"$Q41Root/table", s"$Q42Root/table",
+      s"$Q43Root/table", s"$Q45Root/table", s"$Q46Root/table",
+      s"$Q47Root/table", s"$Q48Root/table", s"$Q49Root/table",
+      s"$Q50Root/table", s"$Q51Root/table", s"$Q52Root/table",
+      s"$Q53Root/table", s"$Q54Root/table").foreach { root =>
+      try graft.format.QTable(root, s).read().write
+        .mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
   }
 
   private def buildTimeline(s: SparkSession): Unit = {
