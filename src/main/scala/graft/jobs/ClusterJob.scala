@@ -275,6 +275,9 @@ class ClusterJob(
       grids: Map[String, Array[Long]], zkeyCol: Column,
       ckpt: Checkpoint, jobTable: graft.format.QTable,
       failAfterGroups: Int): Seq[LineageEntry] = {
+    // live file names of the snapshot being rewritten: cleanDir refuses
+    // to delete them (see [[cleanDir]])
+    val liveNames = table.entries(snap).map(e => QTable.fileName(e.path)).toSet
     // delete files join the checkpoint input identity (see CompactJob):
     // a group output predating a concurrent DELETE must not be reused
     def groupInputs(p: Plan): Seq[String] = {
@@ -288,7 +291,7 @@ class ClusterJob(
         Nil, Nil, 0L, 0L, "failed", gf.attempts)),
       sizeOf = _.bytes) { p =>
       val dir = table.newDataDir(jobId, p.group)
-      cleanDir(dir)
+      cleanDir(dir, liveNames)
       val nOut = math.max(1, math.round(p.bytes.toDouble / targetFileBytes).toInt)
       // decorated read: the rewrite folds position deletes away and
       // bakes initial defaults in (see CompactJob)
@@ -337,10 +340,22 @@ class ClusterJob(
     }
   }
 
-  private def cleanDir(dir: String): Unit = {
+  /** Clear a group's output dir before (re)writing it — refusing to
+    * delete files the current snapshot references (a job-id reused
+    * after its first run committed points here at the table's LIVE
+    * files; see [[CompactJob.cleanDir]] for the full hazard note).
+    * Genuine kill/resume passes: uncommitted partials are never live. */
+  private def cleanDir(dir: String, liveNames: Set[String]): Unit = {
     val hp = new HPath(dir)
     val fs = hp.getFileSystem(table.hadoopConf)
-    if (fs.exists(hp)) fs.delete(hp, true)
+    if (fs.exists(hp)) {
+      fs.listStatus(hp).map(_.getPath.getName).find(liveNames.contains)
+        .foreach { f => throw new IllegalStateException(
+          s"refusing to clear $dir: it holds live table file $f — " +
+            s"job-id '$jobId' collides with a previously COMMITTED run's " +
+            "output directory; re-run with a fresh job-id") }
+      fs.delete(hp, true)
+    }
   }
 }
 

@@ -107,6 +107,10 @@ class CompactJob(
     if (plans.isEmpty) return snap
 
     val ckpt = new Checkpoint(table, jobId)
+    // live file names of the snapshot being rewritten: cleanDir refuses
+    // to delete them (see [[cleanDir]]) — part names carry write UUIDs,
+    // so name membership is exact file identity
+    val liveNames = table.entries(snap).map(e => QTable.fileName(e.path)).toSet
     // isolated session: split-size confs are session-scoped, so pinning
     // them here can never race another job planning scans on the shared
     // session (e.g. a concurrent MERGE under CommitRetry)
@@ -126,7 +130,7 @@ class CompactJob(
           Nil, Nil, 0L, 0L, "failed", gf.attempts)),
         sizeOf = _.bytes) { p =>
         val dir = table.newDataDir(jobId, p.group)
-        cleanDir(dir) // crashed partial attempt is overwritten
+        cleanDir(dir, liveNames) // crashed partial attempt is overwritten
         // decorated read: rewriting a file folds its position deletes
         // into the output (a no-op join when the set is empty) and BAKES
         // initial defaults in — a raw scan would overwrite a live
@@ -170,9 +174,28 @@ class CompactJob(
     committed
   }
 
-  private def cleanDir(dir: String): Unit = {
+  /** Clear a group's output dir before (re)writing it. Deleting is only
+    * ever correct for a CRASHED PARTIAL attempt of THIS job — never for
+    * files the current snapshot references. That case is reachable: a
+    * job-id reused after its first run COMMITTED points newDataDir at
+    * the directory now holding the table's LIVE files (the checkpoint
+    * was cleared on commit, so nothing else distinguishes the reuse
+    * from a fresh run), and an unguarded delete destroys them before
+    * the group's read even starts — silent data loss from a plain CLI
+    * sequence (`compact --job-id X` twice). Refuse loudly instead.
+    * A genuine kill/resume passes: uncommitted partial outputs are by
+    * definition not in the snapshot, and committed groups are skipped
+    * by the checkpoint before this runs. */
+  private def cleanDir(dir: String, liveNames: Set[String]): Unit = {
     val hp = new HPath(dir)
     val fs = hp.getFileSystem(table.hadoopConf)
-    if (fs.exists(hp)) fs.delete(hp, true)
+    if (fs.exists(hp)) {
+      fs.listStatus(hp).map(_.getPath.getName).find(liveNames.contains)
+        .foreach { f => throw new IllegalStateException(
+          s"refusing to clear $dir: it holds live table file $f — " +
+            s"job-id '$jobId' collides with a previously COMMITTED run's " +
+            "output directory; re-run with a fresh job-id") }
+      fs.delete(hp, true)
+    }
   }
 }

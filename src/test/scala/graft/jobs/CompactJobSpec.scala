@@ -58,6 +58,40 @@ class CompactJobSpec extends AnyFunSuite {
     assert(ok, s"$bad violations after resumed compaction")
   }
 
+  test("reused job-id after a COMMITTED run refuses instead of deleting live files") {
+    // data-loss hazard found by the round-6 CLI drive: after `compact
+    // --job-id X` COMMITS, its outputs are the table's live files and
+    // they sit exactly where a second `compact --job-id X` plans ITS
+    // outputs — an unguarded cleanDir deletes the live inputs before the
+    // group's read starts. The guard must refuse loudly and leave the
+    // table byte-identical.
+    // single bucket + minGroupBytes=1 pins the group name to "b0" in
+    // both runs, so the second run's output dir is EXACTLY where the
+    // first run's committed (live) files sit — the CLI scenario
+    val t = freshTable(600, buckets = 1)
+    val jobId = "reused-id"
+    val s1 = new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId,
+      minGroupBytes = 1L).run()
+    assert(s1.operation == "compact")
+    // new small-file debt makes the second run plan real work for b0
+    AppendJob.append(t, DataGen.generate(spark, 100, 7L, 4).toDF(),
+      filesPerBucket = 2)
+    val ex = intercept[Exception] {
+      new CompactJob(t, targetFileBytes = 8L << 20, jobId = jobId,
+        minGroupBytes = 1L).run()
+    }
+    assert(ex.getMessage.contains("refusing to clear"),
+      s"expected the live-file guard, got: ${ex.getMessage}")
+    // nothing was deleted: every live file still exists and every row reads
+    t.entries(t.currentSnapshot).foreach(e =>
+      assert(new java.io.File(e.path).exists, s"live file deleted: ${e.path}"))
+    assert(t.read(t.currentSnapshot).count() == 700)
+    // a fresh job-id over the same table works fine
+    val s2 = new CompactJob(t, targetFileBytes = 8L << 20,
+      minGroupBytes = 1L).run()
+    assert(t.entries(s2).map(_.rowCount).sum == 700)
+  }
+
   test("crashed job resumed AFTER a new append: no rows dropped") {
     // the round-1 judge-flagged hazard: a group name (b0...) committed by
     // a crashed run must NOT be reused when a later append changed that
